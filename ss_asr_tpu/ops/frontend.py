@@ -1,0 +1,187 @@
+"""Log-mel filterbank frontend as a jitted JAX pipeline.
+
+TPU-native replacement for the reference's offline librosa pass
+(reference: src/preprocess.py:187-208): 40-band mel spectrogram with a 25 ms
+Hann window and 10 ms stride, natural ``log(x + float64_eps)``, output shaped
+``[num_frames, n_mels]``.
+
+Design notes (TPU-first):
+
+* The DFT is expressed as a single real matmul ``frames @ dft_basis`` with a
+  precomputed ``[n_fft, 2 * n_bins]`` cos/sin basis — this runs on the MXU with
+  static shapes, avoids XLA's FFT path for awkward odd sizes (e.g. n_fft=551
+  at 22.05 kHz), fuses with the window multiply, and is trivially
+  differentiable.
+* Mel projection is a second matmul; power + log are fused elementwise by XLA.
+* Everything is shape-static: callers pass fixed-size (bucketed) signal
+  buffers plus true sample counts; frame validity is derived from lengths.
+
+Semantics parity with librosa 0.6 ``melspectrogram``:
+
+* STFT ``center=True`` with reflect padding, periodic Hann window of length
+  ``n_fft``, ``power=2.0``.
+* Slaney-style mel filters (``htk=False``), area-normalized (``norm=1``),
+  ``fmin=0``, ``fmax=sr/2``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_DIMS = 40  # mel bands (reference: src/preprocess.py:30)
+WIN_MS = 25  # window length in ms (src/preprocess.py:31)
+STRIDE_MS = 10  # hop in ms (src/preprocess.py:32)
+#: log floor — float64 machine eps, as in the reference's np.finfo(float).eps
+LOG_EPS = float(np.finfo(np.float64).eps)
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = f >= min_log_hz
+    mels = np.where(log_region, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = m >= min_log_mel
+    freqs = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int = N_DIMS, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """Slaney-style area-normalized mel filter matrix ``[n_bins, n_mels]``."""
+    if fmax is None:
+        fmax = sr / 2.0
+    n_bins = 1 + n_fft // 2
+    fftfreqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts.reshape(-1, 1) - fftfreqs.reshape(1, -1)
+    lower = -ramps[:-2] / fdiff[:-1].reshape(-1, 1)
+    upper = ramps[2:] / fdiff[1:].reshape(-1, 1)
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney area normalization (librosa norm=1)
+    enorm = 2.0 / (mel_pts[2 : n_mels + 2] - mel_pts[:n_mels])
+    weights *= enorm.reshape(-1, 1)
+    return weights.T.astype(np.float32)  # [n_bins, n_mels]
+
+
+def _hann_periodic(n: int) -> np.ndarray:
+    """Periodic Hann window (scipy get_window('hann', n, fftbins=True))."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int) -> np.ndarray:
+    """Real-DFT basis ``[n_fft, 2 * n_bins]`` = [cos | -sin] columns."""
+    n_bins = 1 + n_fft // 2
+    t = np.arange(n_fft).reshape(-1, 1)
+    k = np.arange(n_bins).reshape(1, -1)
+    ang = 2.0 * np.pi * t * k / n_fft
+    basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return basis.astype(np.float32)
+
+
+def frame_params(sr: int, win_ms: int = WIN_MS, stride_ms: int = STRIDE_MS) -> Tuple[int, int]:
+    """(n_fft, hop) in samples for a sample rate — int truncation as reference."""
+    return int(sr * 0.001 * win_ms), int(sr * 0.001 * stride_ms)
+
+
+def num_frames(n_samples, n_fft: int, hop: int):
+    """Frame count for a centered STFT: 1 + floor(n_samples / hop) semantics.
+
+    With center=True, the padded signal has ``n + 2*(n_fft//2)`` samples and
+    the frame count is ``1 + (n + 2*(n_fft//2) - n_fft) // hop``.
+    Works on ints or arrays.
+    """
+    return 1 + (n_samples + 2 * (n_fft // 2) - n_fft) // hop
+
+
+def _frame_indices(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
+    starts = np.arange(n_frames) * hop
+    return starts.reshape(-1, 1) + np.arange(n_fft).reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_mels", "win_ms", "stride_ms"))
+def log_mel_fbank(
+    y: jax.Array,
+    sr: int,
+    n_mels: int = N_DIMS,
+    win_ms: int = WIN_MS,
+    stride_ms: int = STRIDE_MS,
+) -> jax.Array:
+    """``[n_samples] -> [num_frames, n_mels]`` log-mel filterbank (jitted).
+
+    The full pipeline — reflect pad, frame, window, DFT-matmul, power, mel
+    matmul, log — compiles to two MXU matmuls plus fused elementwise ops.
+    """
+    n_fft, hop = frame_params(sr, win_ms, stride_ms)
+    n = y.shape[0]
+    pad = n_fft // 2
+    y = jnp.pad(y.astype(jnp.float32), (pad, pad), mode="reflect")
+    nf = int(num_frames(n, n_fft, hop))
+    idx = jnp.asarray(_frame_indices(nf, n_fft, hop))
+    frames = y[idx]  # [nf, n_fft]
+    window = jnp.asarray(_hann_periodic(n_fft))
+    basis = jnp.asarray(_dft_basis(n_fft))  # [n_fft, 2*n_bins]
+    # HIGHEST precision: the DFT/mel projections feed log-domain features, so
+    # bf16 MXU passes visibly distort them; fp32 matmul is still MXU-tiled.
+    spec = jnp.dot(frames * window, basis, precision=jax.lax.Precision.HIGHEST)
+    n_bins = 1 + n_fft // 2
+    power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
+    mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    fb = jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(fb + LOG_EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_mels", "win_ms", "stride_ms"))
+def log_mel_fbank_batch(
+    y: jax.Array,
+    n_samples: jax.Array,
+    sr: int,
+    n_mels: int = N_DIMS,
+    win_ms: int = WIN_MS,
+    stride_ms: int = STRIDE_MS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched frontend over fixed-size signal buffers.
+
+    Args:
+      y: ``[B, N]`` zero-padded signals (static N — bucket upstream).
+      n_samples: ``[B]`` true sample counts.
+
+    Returns ``(fbanks [B, T, n_mels], frame_lens [B])`` where ``T`` is the
+    frame count for the full buffer and frames past ``frame_lens[b]`` are
+    zeroed (so downstream can recover lengths, as the reference's global
+    zero-padding contract does — src/ASRDataset.py:311-317).
+    """
+    n_fft, hop = frame_params(sr, win_ms, stride_ms)
+    fb = jax.vmap(lambda s: log_mel_fbank(s, sr, n_mels, win_ms, stride_ms))(y)
+    frame_lens = num_frames(n_samples, n_fft, hop).astype(jnp.int32)
+    t = fb.shape[1]
+    mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+    fb = jnp.where(mask[:, :, None], fb, 0.0)
+    return fb, frame_lens
+
+
+def compute_fbank(y: np.ndarray, sr: int, n_mels: int = N_DIMS) -> np.ndarray:
+    """Host convenience: one signal -> ``[T, n_mels]`` float32 numpy array."""
+    return np.asarray(log_mel_fbank(jnp.asarray(y, dtype=jnp.float32), sr, n_mels), dtype=np.float32)

@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# A sitecustomize hook may force-register an external TPU platform and
+# override JAX_PLATFORMS; the config knob takes precedence over both.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,82 @@
+"""Frontend golden tests vs an independent numpy STFT/mel reference.
+
+librosa is not available in this environment, so the oracle is a from-scratch
+numpy implementation of librosa-0.6 melspectrogram semantics (centered reflect
+STFT, periodic Hann, power=2, Slaney mel with area norm).
+"""
+
+import numpy as np
+import pytest
+
+from ss_asr_tpu.ops import frontend
+
+
+def _np_mel_reference(y, sr, n_mels=40):
+    n_fft = int(sr * 0.025)
+    hop = int(sr * 0.010)
+    pad = n_fft // 2
+    ypad = np.pad(y.astype(np.float64), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(ypad) - n_fft) // hop
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    frames = np.stack([ypad[i * hop : i * hop + n_fft] * window for i in range(n_frames)])
+    spec = np.fft.rfft(frames, n=n_fft, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = frontend.mel_filterbank(sr, n_fft, n_mels).astype(np.float64)
+    fb = power @ mel
+    return np.log(fb + np.finfo(np.float64).eps)
+
+
+@pytest.mark.parametrize("sr", [16000, 22050])
+def test_fbank_matches_numpy_fft_oracle(sr, rng):
+    y = rng.standard_normal(sr // 4).astype(np.float32)  # 250 ms
+    ours = np.asarray(frontend.log_mel_fbank(y, sr))
+    ref = _np_mel_reference(y, sr)
+    assert ours.shape == ref.shape
+    assert ours.shape[1] == 40
+    # float32 DFT-matmul vs float64 FFT: compare in linear power domain
+    np.testing.assert_allclose(np.exp(ours), np.exp(ref), rtol=2e-3, atol=1e-5)
+
+
+def test_fbank_frame_count_contract():
+    sr = 16000
+    n_fft, hop = frontend.frame_params(sr)
+    assert (n_fft, hop) == (400, 160)
+    y = np.zeros(16000, dtype=np.float32)
+    fb = np.asarray(frontend.log_mel_fbank(y, sr))
+    assert fb.shape[0] == frontend.num_frames(16000, n_fft, hop) == 101
+
+
+def test_fbank_silence_is_log_eps():
+    y = np.zeros(4000, dtype=np.float32)
+    fb = np.asarray(frontend.log_mel_fbank(y, 16000))
+    np.testing.assert_allclose(fb, np.log(frontend.LOG_EPS), rtol=1e-5)
+
+
+def test_mel_filterbank_shape_and_norm():
+    mel = frontend.mel_filterbank(16000, 400, 40)
+    assert mel.shape == (201, 40)
+    # every filter has positive mass; area-normalized filters shrink with freq
+    assert (mel.sum(axis=0) > 0).all()
+
+
+def test_batch_masks_past_length(rng):
+    sr = 16000
+    y = rng.standard_normal((2, 8000)).astype(np.float32)
+    n_samples = np.array([8000, 4000])
+    fb, lens = frontend.log_mel_fbank_batch(y, n_samples, sr)
+    n_fft, hop = frontend.frame_params(sr)
+    assert int(lens[0]) == frontend.num_frames(8000, n_fft, hop)
+    assert int(lens[1]) == frontend.num_frames(4000, n_fft, hop)
+    # frames past the true length are exactly zero (length-recovery contract)
+    assert np.all(np.asarray(fb)[1, int(lens[1]) :, :] == 0.0)
+    assert not np.all(np.asarray(fb)[1, : int(lens[1]), :] == 0.0)
+
+
+def test_batch_matches_single(rng):
+    sr = 16000
+    y = rng.standard_normal((3, 6000)).astype(np.float32)
+    n_samples = np.array([6000, 6000, 6000])
+    fb_b, _ = frontend.log_mel_fbank_batch(y, n_samples, sr)
+    for i in range(3):
+        fb_s = frontend.log_mel_fbank(y[i], sr)
+        np.testing.assert_allclose(np.asarray(fb_b)[i], np.asarray(fb_s), rtol=1e-5, atol=1e-5)
