@@ -1,0 +1,269 @@
+"""Recurrent cores as ``lax.scan`` programs with packed-sequence semantics.
+
+XLA has no analogue of cuDNN packed sequences (reference: src/asr.py:410-418),
+so variable length is handled with static shapes + masks:
+
+* Forward scans freeze the carry and zero the outputs once ``t >= length``.
+* Backward (reverse) scans gather-reverse each sample by its own length first,
+  run a forward scan, and reverse back — bit-equivalent to packing.
+
+TPU-first performance notes:
+
+* The input projection ``x @ W_ih`` for the *whole* sequence is hoisted out of
+  the scan into one large MXU matmul; the scan body only does the small
+  recurrent ``h @ W_hh`` matmul plus fused elementwise gate math.
+* Scans are time-major; batch and feature dims stay contiguous for the VPU.
+
+Gate order follows the torch convention (LSTM: i, f, g, o — GRU: r, z, n) so
+the architecture constants in SURVEY.md §2.2 carry over unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (reference: src/asr.py:175-212)
+# ---------------------------------------------------------------------------
+
+def lecun_normal(key: jax.Array, shape: Tuple[int, ...], fan_in: int | None = None) -> jax.Array:
+    """N(0, 1/sqrt(fan_in)) — the reference's init for every >=2D tensor."""
+    if fan_in is None:
+        fan_in = shape[0]
+    return (1.0 / jnp.sqrt(fan_in)) * jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def init_linear(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    p: Params = {"w": lecun_normal(key, (in_dim, out_dim), in_dim)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype=jnp.float32)
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_embedding(key: jax.Array, num: int, dim: int, std: float = 1.0) -> Params:
+    """Embedding table N(0, std) — reference uses N(0,1) (src/asr.py:210)."""
+    return {"table": std * jax.random.normal(key, (num, dim), dtype=jnp.float32)}
+
+
+def embed(p: Params, ids: jax.Array) -> jax.Array:
+    return jnp.take(p["table"], ids, axis=0)
+
+
+def init_lstm(
+    key: jax.Array, in_dim: int, hidden: int, forget_bias: float = 0.0
+) -> Params:
+    """LSTM cell params. ``b`` merges torch's two bias vectors.
+
+    ``forget_bias=1.0`` reproduces the reference's speller forget-gate-bias=1
+    (src/asr.py:204-212); encoder LSTMs use 0 (plain zero biases).
+    """
+    k1, k2 = jax.random.split(key)
+    b = jnp.zeros((4 * hidden,), dtype=jnp.float32)
+    if forget_bias:
+        b = b.at[hidden : 2 * hidden].set(forget_bias)
+    return {
+        "w_ih": lecun_normal(k1, (in_dim, 4 * hidden), in_dim),
+        "w_hh": lecun_normal(k2, (hidden, 4 * hidden), hidden),
+        "b": b,
+    }
+
+
+def init_gru(key: jax.Array, in_dim: int, hidden: int) -> Params:
+    """GRU cell params (torch GRUCell layout; separate biases for the n gate)."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(hidden)
+    k3, k4 = jax.random.split(k1)
+    return {
+        "w_ih": jax.random.uniform(k3, (in_dim, 3 * hidden), jnp.float32, -bound, bound),
+        "w_hh": jax.random.uniform(k4, (hidden, 3 * hidden), jnp.float32, -bound, bound),
+        "b_ih": jax.random.uniform(k2, (3 * hidden,), jnp.float32, -bound, bound),
+        "b_hh": jax.random.uniform(
+            jax.random.fold_in(k2, 1), (3 * hidden,), jnp.float32, -bound, bound
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Cells
+# ---------------------------------------------------------------------------
+
+def lstm_step(
+    p: Params, x: jax.Array, state: Tuple[jax.Array, jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """One LSTM step: x [B, in], state ([B,H],[B,H]) -> new state."""
+    h, c = state
+    gates = x @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+    return _lstm_gates(gates, c)
+
+
+def _lstm_gates(gates: jax.Array, c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def gru_step(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
+    """One GRU step (torch GRUCell semantics): x [B,in], h [B,H] -> h'."""
+    gi = x @ p["w_ih"] + p["b_ih"]
+    gh = h @ p["w_hh"] + p["b_hh"]
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+    z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
+    n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
+    return (1.0 - z) * n + z * h
+
+
+# ---------------------------------------------------------------------------
+# Sequence utilities
+# ---------------------------------------------------------------------------
+
+def reverse_sequence(xs: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse each row's first ``lengths[b]`` steps, keeping padding in place.
+
+    xs: [B, T, ...]; lengths: [B] int. Equivalent to packing + reverse.
+    """
+    B, T = xs.shape[0], xs.shape[1]
+    t = jnp.arange(T)[None, :]
+    lens = lengths[:, None]
+    idx = jnp.where(t < lens, lens - 1 - t, t)  # [B, T]
+    return jnp.take_along_axis(xs, idx.reshape(B, T, *([1] * (xs.ndim - 2))), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+def lstm_scan(
+    p: Params,
+    xs: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    reverse: bool = False,
+    state: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Unidirectional LSTM over [B, T, in] -> ([B, T, H], final (h, c)).
+
+    With ``lengths``: packed semantics — outputs at t >= len are zero, the
+    carry freezes at each sample's last valid step.  ``reverse=True`` runs the
+    backward direction (per-sample reversal, not naive flip).
+    """
+    B, T, _ = xs.shape
+    H = p["w_hh"].shape[0]
+    if state is None:
+        state = (
+            jnp.zeros((B, H), dtype=xs.dtype),
+            jnp.zeros((B, H), dtype=xs.dtype),
+        )
+    if reverse:
+        if lengths is None:
+            xs = xs[:, ::-1]
+        else:
+            xs = reverse_sequence(xs, lengths)
+
+    # Hoist the input projection: one big MXU matmul for the whole sequence.
+    gates_x = xs @ p["w_ih"] + p["b"]  # [B, T, 4H]
+    gates_x = jnp.swapaxes(gates_x, 0, 1)  # time-major [T, B, 4H]
+
+    if lengths is None:
+        def body(carry, gx):
+            h, c = carry
+            h2, c2 = _lstm_gates(gx + h @ p["w_hh"], c)
+            return (h2, c2), h2
+
+        (h, c), ys = jax.lax.scan(body, state, gates_x)
+    else:
+        tsteps = jnp.arange(T)
+
+        def body(carry, inp):
+            gx, t = inp
+            h, c = carry
+            h2, c2 = _lstm_gates(gx + h @ p["w_hh"], c)
+            valid = (t < lengths)[:, None]
+            h2 = jnp.where(valid, h2, h)
+            c2 = jnp.where(valid, c2, c)
+            y = jnp.where(valid, h2, 0.0)
+            return (h2, c2), y
+
+        (h, c), ys = jax.lax.scan(body, state, (gates_x, tsteps))
+
+    ys = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+    if reverse:
+        if lengths is None:
+            ys = ys[:, ::-1]
+        else:
+            ys = reverse_sequence(ys, lengths)
+    return ys, (h, c)
+
+
+def bilstm_scan(
+    p: Dict[str, Params], xs: jax.Array, lengths: Optional[jax.Array] = None
+) -> jax.Array:
+    """Bidirectional LSTM: params {'fwd','bwd'}; [B,T,in] -> [B,T,2H]."""
+    fwd, _ = lstm_scan(p["fwd"], xs, lengths, reverse=False)
+    bwd, _ = lstm_scan(p["bwd"], xs, lengths, reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def init_bilstm(key: jax.Array, in_dim: int, hidden: int) -> Dict[str, Params]:
+    k1, k2 = jax.random.split(key)
+    return {"fwd": init_lstm(k1, in_dim, hidden), "bwd": init_lstm(k2, in_dim, hidden)}
+
+
+def gru_scan(
+    p: Params,
+    xs: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    h0: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Unidirectional GRU over [B, T, in] -> ([B, T, H], final h)."""
+    B, T, _ = xs.shape
+    H = p["w_hh"].shape[0]
+    h = h0 if h0 is not None else jnp.zeros((B, H), dtype=xs.dtype)
+    gi = xs @ p["w_ih"] + p["b_ih"]  # hoisted input projection
+    gi = jnp.swapaxes(gi, 0, 1)
+    tsteps = jnp.arange(T)
+
+    def body(h, inp):
+        g, t = inp
+        gh = h @ p["w_hh"] + p["b_hh"]
+        r = jax.nn.sigmoid(g[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(g[..., H : 2 * H] + gh[..., H : 2 * H])
+        n = jnp.tanh(g[..., 2 * H :] + r * gh[..., 2 * H :])
+        h2 = (1.0 - z) * n + z * h
+        if lengths is not None:
+            valid = (t < lengths)[:, None]
+            h2 = jnp.where(valid, h2, h)
+        return h2, h2
+
+    h, ys = jax.lax.scan(body, h, (gi, tsteps))
+    return jnp.swapaxes(ys, 0, 1), h
+
+
+def downsample_time(xs: jax.Array, lengths: Optional[jax.Array] = None):
+    """Pyramidal 2x time reduction: concat consecutive frame pairs.
+
+    [B, T, F] -> [B, T//2, 2F]; odd trailing frame dropped; lengths halve by
+    integer division — exactly the reference's pBLSTM downsample
+    (src/asr.py:429-450, :423-425).
+    """
+    B, T, F = xs.shape
+    T2 = (T // 2) * 2
+    xs = xs[:, :T2, :].reshape(B, T2 // 2, 2 * F)
+    if lengths is None:
+        return xs
+    return xs, lengths // 2
