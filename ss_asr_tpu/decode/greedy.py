@@ -1,0 +1,99 @@
+"""Batched greedy decoding with optional char-LM shallow fusion.
+
+Parity with reference ``ASR.decode`` (src/asr.py:112-173): at each step the
+fused score is ``log_softmax(ASR logits) + lm_weight * log_softmax(LM
+logits)``; the argmax of the fused score is emitted and fed back; decoding
+stops at EOS or after ``max_steps``.
+
+The reference decodes one utterance at a time in Python; here the whole batch
+decodes in a single ``lax.scan`` with per-sample done flags, on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ss_asr_tpu.models import charlm as charlm_mod
+from ss_asr_tpu.models import las
+from ss_asr_tpu.ops import rnn
+from ss_asr_tpu.vocab import EOS_ID, SOS_ID
+
+
+def greedy_decode(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    max_steps: int = 200,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode a batch of utterances.
+
+    Returns ``(tokens [B, max_steps] int32, lengths [B] int32)`` where
+    ``lengths`` counts emitted chars *before* EOS (EOS itself and anything
+    after are padded with SOS=0, which ``Mapper.translate`` strips).
+    """
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    return fused_decode_from_memory(
+        params, cfg, enc_h, enc_lens, max_steps, lm_params, lm_cfg, lm_weight
+    )
+
+
+def fused_decode_from_memory(
+    params: Dict,
+    cfg: las.ASRConfig,
+    enc_h: jax.Array,
+    enc_lens: jax.Array,
+    max_steps: int,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    B, S, _ = enc_h.shape
+    comp_h = las.attention_precompute(params["attention"], enc_h)
+    valid = las.attention_mask(enc_lens, S)
+    use_lm = lm_params is not None and lm_weight != 0.0
+
+    spell0 = las.speller_init_state(B, cfg)
+    lm0 = charlm_mod.init_state(B, lm_cfg) if use_lm else None
+    last0 = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+    done0 = jnp.zeros((B,), dtype=bool)
+
+    def body(carry, _):
+        state, lm_state, last_ids, done = carry
+        _, context = las.attention_step(
+            params["attention"], comp_h, enc_h, state[0][0], valid
+        )
+        last_emb = rnn.embed(params["embed"], last_ids)
+        dec_in = jnp.concatenate([last_emb, context], axis=-1)
+        state, dec_out = las.speller_step(params["decoder"], dec_in, state)
+        asr_logp = jax.nn.log_softmax(rnn.linear(params["char_trans"], dec_out))
+        if use_lm:
+            lm_logits, lm_state = charlm_mod.step(lm_params, last_ids, lm_state)
+            fused = asr_logp + lm_weight * jax.nn.log_softmax(lm_logits)
+        else:
+            fused = asr_logp
+        ids = jnp.argmax(fused, axis=-1).astype(jnp.int32)
+        emit = jnp.where(done, jnp.int32(SOS_ID), ids)  # pad after finish
+        done_next = done | (ids == EOS_ID)
+        return (state, lm_state, ids, done_next), emit
+
+    (_, _, _, done), toks = jax.lax.scan(
+        body, (spell0, lm0, last0, done0), None, length=max_steps
+    )
+    toks = jnp.swapaxes(toks, 0, 1)  # [B, max_steps]
+    # length = chars before the first EOS (EOS excluded, reference returns
+    # the string without EOS, src/asr.py:167-173)
+    is_eos = toks == EOS_ID
+    any_eos = is_eos.any(axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos, max_steps).astype(jnp.int32)
+    # replace EOS and everything after with pad(SOS) for clean translate()
+    pos = jnp.arange(max_steps)[None, :]
+    toks = jnp.where(pos < lengths[:, None], toks, SOS_ID)
+    return toks, lengths
