@@ -1,0 +1,202 @@
+"""ASR dataset: index-driven batches with bucketed static shapes.
+
+Behavioral parity with the reference ASRDataset (src/ASRDataset.py): batches
+are consecutive runs of the length-sorted index; text is encoded over the
+fixed vocabulary and padded with SOS (= id 0); TAE mode returns
+(clean, char-dropped) text pairs where SOS/EOS are never dropped; lengths
+follow the reference conventions (x: true frame count, y: ``sum(!=0) + 1``).
+
+TPU-native differences (deliberate):
+
+* No global zero-padding of the corpus to one max length
+  (src/preprocess.py:55-60) — each batch is padded to a *bucketed* frame /
+  char length (rounded up to multiples of ``t_bucket`` / ``l_bucket``), so
+  XLA sees a handful of static shapes instead of one giant one.
+* Lengths ride the index metadata (``unpadded_num_frames``) rather than being
+  recovered by counting nonzero frames — same values by the zero-pad
+  contract, no wasted pass over the data.
+* A background thread prefetches the next batches (replacing DataLoader
+  workers, src/ASRDataset.py:294).
+* For static batch shapes, a trailing partial batch is either dropped
+  (training) or padded by repeating the last row with a validity mask (eval).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ss_asr_tpu.data.index import load_index
+from ss_asr_tpu.vocab import EOS_ID, SOS_ID, Mapper
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Batch:
+    """One training batch with static (bucketed) shapes."""
+
+    x: Optional[np.ndarray]  # [B, T, feat] float32 or None (text_only)
+    x_lens: Optional[np.ndarray]  # [B] int32
+    y: np.ndarray  # [B, L] int32 (SOS-padded)
+    y_lens: np.ndarray  # [B] int32 (sum(!=0) + 1 convention)
+    y_noised: Optional[np.ndarray] = None  # [B, Ln] int32 (TAE mode)
+    y_noised_lens: Optional[np.ndarray] = None
+    valid: Optional[np.ndarray] = None  # [B] bool, False for repeat-padding
+
+
+class ASRDataset:
+    def __init__(
+        self,
+        tsv_file: str,
+        batch_size: int = 32,
+        text_only: bool = False,
+        drop_rate: float = 0.0,
+        t_bucket: int = 128,
+        l_bucket: int = 16,
+        sort_key: str = "",
+        sort_ascending: bool = True,
+        seed: int = 0,
+    ):
+        self.frame = load_index(tsv_file)
+        if sort_key:
+            self.frame = self.frame.sort_values(by=[sort_key], ascending=sort_ascending)
+        self.batch_size = batch_size
+        self.text_only = text_only
+        self.drop_rate = drop_rate
+        self.t_bucket = t_bucket
+        self.l_bucket = l_bucket
+        self.mapper = Mapper()
+        self.rng = np.random.default_rng(seed)
+        self.num_samples = len(self.frame)
+        if not text_only and self.num_samples > 0:
+            self.feature_dim = int(np.load(self.frame.iloc[0]["path_to_fbank"]).shape[1])
+        else:
+            self.feature_dim = 0
+
+    # -- reference API parity helpers ------------------------------------
+    def get_char_dim(self) -> int:
+        return self.mapper.get_dim()
+
+    def get_feature_dim(self) -> int:
+        return self.feature_dim
+
+    def __len__(self) -> int:
+        """Number of full batches."""
+        return self.num_samples // self.batch_size
+
+    # -- internals --------------------------------------------------------
+    def _drop_chars(self, ids: np.ndarray) -> np.ndarray:
+        """Char-drop noise; SOS/EOS always kept (src/ASRDataset.py:111-129)."""
+        if self.drop_rate <= 0:
+            return ids
+        keep = (ids == SOS_ID) | (ids == EOS_ID) | (
+            self.rng.random(ids.shape[0]) > self.drop_rate
+        )
+        return ids[keep]
+
+    def _encode_rows(self, rows, noised: bool) -> tuple[np.ndarray, np.ndarray]:
+        enc: List[np.ndarray] = []
+        for text in rows["normalized_text"]:
+            ids = self.mapper.encode(text)
+            if noised:
+                ids = self._drop_chars(ids)
+            enc.append(ids)
+        lens = np.array([e.shape[0] for e in enc], dtype=np.int32)
+        L = round_up(int(lens.max()), self.l_bucket)
+        out = np.full((len(enc), L), SOS_ID, dtype=np.int32)
+        for i, e in enumerate(enc):
+            out[i, : e.shape[0]] = e
+        return out, lens
+
+    def _load_fbanks(self, rows) -> tuple[np.ndarray, np.ndarray]:
+        fbanks = [np.load(p) for p in rows["path_to_fbank"]]
+        lens = rows["unpadded_num_frames"].to_numpy(dtype=np.int32)
+        # tolerate both globally-padded (reference artifacts) and exact-length
+        # fbanks: trim or use as-is, then pad to the bucketed batch max
+        T = round_up(int(lens.max()), self.t_bucket)
+        out = np.zeros((len(fbanks), T, self.feature_dim), dtype=np.float32)
+        for i, (fb, ln) in enumerate(zip(fbanks, lens)):
+            ln = min(int(ln), fb.shape[0], T)
+            out[i, :ln] = fb[:ln]
+        return out, lens
+
+    def get_batch(self, start: int, pad_to_full: bool = False) -> Batch:
+        stop = min(start + self.batch_size, self.num_samples)
+        rows = self.frame.iloc[start:stop]
+        n = len(rows)
+        valid = None
+        if pad_to_full and n < self.batch_size:
+            reps = self.frame.iloc[[stop - 1] * (self.batch_size - n)]
+            import pandas as pd
+
+            rows = pd.concat([rows, reps])
+            valid = np.arange(self.batch_size) < n
+
+        y, y_raw_lens = self._encode_rows(rows, noised=False)
+        y_lens = ((y != 0).sum(axis=-1) + 1).astype(np.int32)
+
+        if self.text_only:
+            if self.drop_rate > 0:
+                yn, _ = self._encode_rows(rows, noised=True)
+                yn_lens = ((yn != 0).sum(axis=-1) + 1).astype(np.int32)
+                return Batch(None, None, y, y_lens, yn, yn_lens, valid)
+            return Batch(None, None, y, y_lens, valid=valid)
+
+        x, x_lens = self._load_fbanks(rows)
+        return Batch(x, x_lens, y, y_lens, valid=valid)
+
+    def iter_batches(
+        self,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        seed: Optional[int] = None,
+    ) -> Iterator[Batch]:
+        """Iterate batches with background-thread prefetch."""
+        starts = list(range(0, self.num_samples, self.batch_size))
+        if drop_last:
+            starts = [s for s in starts if s + self.batch_size <= self.num_samples]
+        if shuffle:
+            rng = np.random.default_rng(seed if seed is not None else self.rng.integers(2**31))
+            rng.shuffle(starts)
+        if prefetch <= 0:
+            for s in starts:
+                yield self.get_batch(s, pad_to_full=not drop_last)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop_token = object()
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(self.get_batch(s, pad_to_full=not drop_last))
+            finally:
+                q.put(stop_token)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop_token:
+                break
+            yield item
+
+
+def load_asr_dataset(
+    path: str,
+    batch_size: int = 32,
+    text_only: bool = False,
+    drop_rate: float = 0.0,
+    **kw,
+):
+    """Reference-parity loader: returns (Mapper, ASRDataset)."""
+    ds = ASRDataset(path, batch_size, text_only=text_only, drop_rate=drop_rate, **kw)
+    return ds.mapper, ds

@@ -1,0 +1,74 @@
+"""Char-LM dataset: a text corpus sliced into fixed-size chunks.
+
+Parity with the reference LMDataset (src/LMDataset.py) with one deliberate
+fix: the reference indexes chunk ``i`` at character offset ``i`` instead of
+``i * chunk_size`` (src/LMDataset.py:74), so only the first
+``len(file)/chunk_size`` characters of the corpus are ever used as chunk
+starts.  The evident intent — non-overlapping consecutive chunks covering the
+corpus — is what we implement.
+
+Batches are ``(x, y)`` int32 arrays of shape [B, chunk_size] with ``y``
+shifted one character ahead of ``x``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ss_asr_tpu.vocab import Mapper, UNK_ID
+
+
+class LMDataset:
+    def __init__(self, filename: Optional[str] = None, chunk_size: int = 200, text: Optional[str] = None):
+        self.mapper = Mapper()
+        if text is None and filename is not None:
+            with open(filename, "r", encoding="utf-8") as f:
+                text = f.read()
+        self.text = text or ""
+        self.chunk_size = chunk_size
+        # encode once; unknown chars (stray newlines etc.) -> UNK
+        self.ids = np.array(
+            [self.mapper.mapping.get(c, UNK_ID) for c in self.text], dtype=np.int32
+        )
+
+    def get_num_chars(self) -> int:
+        return self.mapper.get_dim()
+
+    def __len__(self) -> int:
+        """Number of full chunks (a chunk consumes chunk_size + 1 chars)."""
+        return max(0, (len(self.ids) - 1) // self.chunk_size)
+
+    def get_chunk(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        s = i * self.chunk_size
+        chunk = self.ids[s : s + self.chunk_size + 1]
+        return chunk[:-1], chunk[1:]
+
+    def iter_batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (x, y) [B, chunk_size] batches; drops the last partial."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for b in range(n // batch_size):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            xs, ys = zip(*(self.get_chunk(int(i)) for i in idx))
+            yield np.stack(xs), np.stack(ys)
+
+
+def load_lm_dataset(filename: str, chunk_size: int, batch_size: int, **kw) -> LMDataset:
+    return LMDataset(filename, chunk_size)
+
+
+def make_split(filename: str, train_file: str, eval_file: str, split: float = 0.9) -> None:
+    """90/10 character-level split of a corpus file (src/LMDataset.py:87-102)."""
+    with open(filename, "r", encoding="utf-8") as f:
+        text = f.read()
+    train_len = int(split * len(text))
+    with open(train_file, "w", encoding="utf-8") as t:
+        t.write(text[:train_len])
+    with open(eval_file, "w", encoding="utf-8") as e:
+        e.write(text[train_len:])

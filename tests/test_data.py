@@ -1,0 +1,146 @@
+import os
+
+import numpy as np
+import pytest
+
+from ss_asr_tpu.data.asr_dataset import ASRDataset, round_up
+from ss_asr_tpu.data.index import load_index, make_split, save_index, sort_index
+from ss_asr_tpu.data.lm_dataset import LMDataset, make_split as lm_split
+from ss_asr_tpu.vocab import EOS_ID, SOS_ID, normalize_string
+
+
+@pytest.fixture
+def tiny_corpus(tmp_path):
+    """Write a tiny synthetic corpus: 10 fake fbanks + index.tsv."""
+    rng = np.random.default_rng(0)
+    fdir = tmp_path / "fbanks"
+    fdir.mkdir()
+    rows = []
+    texts = [
+        "halló heimur", "góðan daginn", "já", "nei takk", "þetta er próf",
+        "einn tveir þrír", "fjórir fimm", "sex sjö átta", "níu tíu", "ellefu",
+    ]
+    for i, t in enumerate(texts):
+        T = 20 + 13 * i
+        fb = rng.standard_normal((T, 40)).astype(np.float32)
+        p = str(fdir / f"u{i}.npy")
+        np.save(p, fb)
+        norm, s_len = normalize_string(t)
+        rows.append((norm, p, s_len, T, "na", f"u{i}.wav"))
+    rows.sort(key=lambda r: r[3])
+    idx = tmp_path / "index.tsv"
+    with open(idx, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("\t".join(str(a) for a in r) + "\n")
+    return str(idx)
+
+
+def test_index_roundtrip(tiny_corpus, tmp_path):
+    df = load_index(tiny_corpus)
+    assert len(df) == 10
+    assert list(df.columns)[0] == "normalized_text"
+    out = str(tmp_path / "re.tsv")
+    save_index(df, out)
+    df2 = load_index(out)
+    assert (df2["unpadded_num_frames"] == df["unpadded_num_frames"]).all()
+
+
+def test_sort_and_split(tiny_corpus, tmp_path):
+    sort_index(tiny_corpus, "unpadded_num_frames", sort_ascending=False,
+               out_index=str(tmp_path / "desc.tsv"))
+    df = load_index(str(tmp_path / "desc.tsv"))
+    assert df["unpadded_num_frames"].is_monotonic_decreasing
+    make_split(tiny_corpus, seed=0)
+    tr = load_index(str(tmp_path / "train.tsv"))
+    ev = load_index(str(tmp_path / "eval.tsv"))
+    assert len(tr) + len(ev) == 10
+
+
+def test_asr_batches_bucketed(tiny_corpus):
+    ds = ASRDataset(tiny_corpus, batch_size=4, t_bucket=32, l_bucket=8)
+    batches = list(ds.iter_batches(prefetch=0))
+    assert len(batches) == 2  # 10 // 4, last partial dropped
+    for b in batches:
+        assert b.x.shape[0] == 4
+        assert b.x.shape[1] % 32 == 0
+        assert b.y.shape[1] % 8 == 0
+        assert b.x.dtype == np.float32 and b.y.dtype == np.int32
+        # frames past x_lens are zero
+        for i in range(4):
+            assert np.all(b.x[i, b.x_lens[i]:] == 0)
+        # y_lens convention: sum(!=0) + 1
+        np.testing.assert_array_equal(b.y_lens, (b.y != 0).sum(-1) + 1)
+        # every row starts with SOS and contains EOS
+        assert np.all(b.y[:, 0] == SOS_ID)
+        assert np.all((b.y == EOS_ID).sum(-1) == 1)
+
+
+def test_asr_eval_padding_with_valid_mask(tiny_corpus):
+    ds = ASRDataset(tiny_corpus, batch_size=4)
+    batches = list(ds.iter_batches(drop_last=False, prefetch=0))
+    assert len(batches) == 3
+    last = batches[-1]
+    assert last.x.shape[0] == 4
+    assert last.valid is not None
+    np.testing.assert_array_equal(last.valid, [True, True, False, False])
+
+
+def test_text_only_with_noise(tiny_corpus):
+    ds = ASRDataset(tiny_corpus, batch_size=4, text_only=True, drop_rate=0.5, seed=1)
+    b = next(ds.iter_batches(prefetch=0))
+    assert b.x is None
+    assert b.y_noised is not None
+    # noise only drops: noised lengths <= clean lengths
+    assert np.all(b.y_noised_lens <= b.y_lens)
+    # SOS/EOS survive in every noised row
+    assert np.all(b.y_noised[:, 0] == SOS_ID)
+    assert np.all((b.y_noised == EOS_ID).sum(-1) == 1)
+
+
+def test_prefetch_matches_sync(tiny_corpus):
+    ds = ASRDataset(tiny_corpus, batch_size=4)
+    sync = list(ds.iter_batches(prefetch=0))
+    pre = list(ds.iter_batches(prefetch=2))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.y, b.y)
+
+
+def test_lm_dataset_chunks(tmp_path):
+    text = "abcdefghij" * 30  # 300 chars
+    f = tmp_path / "corpus.txt"
+    f.write_text(text)
+    ds = LMDataset(str(f), chunk_size=50)
+    assert len(ds) == (300 - 1) // 50
+    x, y = ds.get_chunk(0)
+    assert x.shape == (50,) and y.shape == (50,)
+    # y is x shifted by one
+    np.testing.assert_array_equal(x[1:], y[:-1])
+    # chunk 1 starts where chunk 0 ended (stride == chunk_size, defect fix)
+    x1, _ = ds.get_chunk(1)
+    ids_all = ds.ids
+    np.testing.assert_array_equal(x1, ids_all[50:100])
+
+
+def test_lm_batches(tmp_path):
+    f = tmp_path / "c.txt"
+    f.write_text("halló heimur " * 100)
+    ds = LMDataset(str(f), chunk_size=20)
+    batches = list(ds.iter_batches(batch_size=8, shuffle=True, seed=0))
+    assert all(x.shape == (8, 20) for x, y in batches)
+    assert len(batches) == len(ds) // 8
+
+
+def test_lm_split(tmp_path):
+    f = tmp_path / "c.txt"
+    f.write_text("x" * 100)
+    lm_split(str(f), str(tmp_path / "tr.txt"), str(tmp_path / "ev.txt"), split=0.9)
+    assert len((tmp_path / "tr.txt").read_text()) == 90
+    assert len((tmp_path / "ev.txt").read_text()) == 10
+
+
+def test_round_up():
+    assert round_up(1, 16) == 16
+    assert round_up(16, 16) == 16
+    assert round_up(17, 16) == 32
