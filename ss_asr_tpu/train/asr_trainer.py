@@ -1,0 +1,172 @@
+"""Supervised LAS training (reference ASRTrainer, src/trainer.py:374-545)."""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.data.asr_dataset import ASRDataset
+from ss_asr_tpu.models import las
+from ss_asr_tpu.train import losses
+from ss_asr_tpu.train.optim import make_optimizer
+from ss_asr_tpu.train.solver import Solver
+from ss_asr_tpu.utils import checkpoint as ckpt
+from ss_asr_tpu.utils.metrics import calc_acc, calc_err, draw_att
+
+
+class ASRTrainer(Solver):
+    def __init__(self, config, paras):
+        super().__init__(config, paras, "asr")
+
+    # ------------------------------------------------------------------
+    def load_data(self):
+        c = self.config["asr"]
+        tb, lb = c.get("t_bucket", 128), c.get("l_bucket", 16)
+        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size, t_bucket=tb, l_bucket=lb)
+        self.valid_ds = ASRDataset(c["valid_index"], batch_size=self.valid_batch_size, t_bucket=tb, l_bucket=lb)
+        self.mapper = self.train_ds.mapper
+        self.wer_step = c.get("wer_step", 50)
+
+    # ------------------------------------------------------------------
+    def set_model(self):
+        c = self.config["asr"]
+        self.cfg = las.ASRConfig.from_dict(c["mdl"])
+        self.params = self.setup_params(lambda k: las.init_asr(k, self.cfg), self.ckppath)
+        self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"])
+        self.opt_state = self.optim.init(self.params)
+
+        cfg = self.cfg
+        optim = self.optim
+
+        @jax.jit
+        def train_step(params, opt_state, x, x_lens, y, key):
+            decode_step = y.shape[1] - 1
+
+            def loss_fn(p):
+                _, logits, att = las.asr_forward(
+                    p, cfg, x, x_lens, decode_step, teacher=y, key=key
+                )
+                label = y[:, 1:]
+                return losses.masked_ce_per_utt(logits, label, y), (logits, att)
+
+            (loss, (logits, att)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optim.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss, logits
+
+        @functools.partial(jax.jit, static_argnames=("extra_steps",))
+        def valid_step(params, x, x_lens, y, extra_steps=30):
+            decode_step = y.shape[1] - 1 + extra_steps
+            _, logits, att = las.asr_forward(params, cfg, x, x_lens, decode_step)
+            label = y[:, 1:]
+            ans_len = y.shape[1] - 1
+            logp = jax.nn.log_softmax(logits[:, :ans_len], axis=-1)
+            nll = -jnp.take_along_axis(logp, label[..., None], axis=-1)[..., 0]
+            mask = (label != 0).astype(logits.dtype)
+            per_utt = (nll * mask).sum(-1) / jnp.maximum(
+                (y != 0).sum(-1).astype(logits.dtype), 1.0
+            )
+            return per_utt, logits, att
+
+        self._train_step = train_step
+        self._valid_step = valid_step
+
+    # ------------------------------------------------------------------
+    def exec(self):
+        self.verbose(f"Training set total {len(self.train_ds)} batches")
+        for epoch in range(self.n_epochs):
+            self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
+            for b_ind, b in enumerate(self.train_ds.iter_batches()):
+                self.verbose(
+                    f"Batch: {b_ind}/{len(self.train_ds)}, global step: {self.tr.step}",
+                    progress=True,
+                )
+                self.params, self.opt_state, loss, logits = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    jnp.asarray(b.x),
+                    jnp.asarray(b.x_lens),
+                    jnp.asarray(b.y),
+                    self.next_key(),
+                )
+                if self.tr.step % self.logging_step == 0:
+                    label = b.y[:, 1:]
+                    self.lg.scalar("train_loss", float(loss), self.tr.step)
+                    self.lg.scalar("train_acc", calc_acc(np.asarray(logits), label), self.tr.step)
+                if self.tr.step % self.wer_step == 0:
+                    label = b.y[:, 1:]
+                    self.lg.scalar(
+                        "train_error",
+                        calc_err(np.asarray(logits), label, mapper=self.mapper),
+                        self.tr.step,
+                    )
+                if self.tr.step % self.save_step == 0:
+                    self.verbose(f"Model saved at step {self.tr.step}")
+                    ckpt.save_pytree(self.ckppath, self.params)
+                if self.tr.step % self.valid_step == 0:
+                    self.valid()
+                self.tr.do_step()
+
+    # ------------------------------------------------------------------
+    def valid(self):
+        total_loss, total_acc, total_err, n = 0.0, 0.0, 0.0, 0
+        logits = att = label = b = None
+        for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
+            self.verbose(f"Validation step - ( {b_idx} / {len(self.valid_ds)} )", progress=True)
+            per_utt, logits, att = self._valid_step(
+                self.params, jnp.asarray(b.x), jnp.asarray(b.x_lens), jnp.asarray(b.y)
+            )
+            label = b.y[:, 1:]
+            valid = b.valid if b.valid is not None else np.ones(b.y.shape[0], bool)
+            pu = np.asarray(per_utt)[valid]
+            total_loss += float(pu.mean())
+            lg = np.asarray(logits)[valid]
+            total_acc += calc_acc(lg[:, : label.shape[1]], label[valid])
+            total_err += calc_err(lg, label[valid], mapper=self.mapper)
+            n += 1
+
+        avg_loss = total_loss / max(n, 1)
+        avg_acc = total_acc / max(n, 1)
+        avg_err = total_err / max(n, 1)
+        self.lg.scalar("eval_loss", avg_loss, self.tr.step)
+        self.lg.scalar("eval_error", avg_err, self.tr.step)
+        self.lg.scalar("eval_acc", avg_acc, self.tr.step)
+
+        # attention maps + hypotheses for the last batch
+        if logits is not None:
+            hyp_ids = np.argmax(np.asarray(logits), axis=-1)
+            val_hyp = [self.mapper.translate(p) for p in hyp_ids]
+            val_txt = [self.mapper.translate(l) for l in label]
+            maps = draw_att(np.asarray(att), hyp_ids)
+            for idx, attmap in enumerate(maps[:4]):
+                self.lg.image(f"eval_att_{idx}", attmap, self.tr.step)
+                self.lg.text(
+                    f"eval_hyp_{idx}",
+                    f"{val_hyp[idx]} |predict vs. real| {val_txt[idx]}",
+                    self.tr.step,
+                )
+
+        if avg_loss < self.tr.get_best():
+            self.tr.set_best(avg_loss)
+            self.verbose(
+                f"Best validation loss for ASR : {avg_loss:.4f} @ global step {self.tr.step}"
+            )
+            ckpt.save_pytree(self.best_ckppath, self.params)
+            if logits is not None:
+                with open(os.path.join(self.ckpdir, "best_hyp.txt"), "w") as f:
+                    for t1, t2 in zip(val_hyp, val_txt):
+                        f.write(f"{t1},{t2}\n")
+        else:
+            self.verbose(
+                f"Validation metric worse : ({avg_loss:.4f} vs. {self.tr.get_best():.4f})"
+            )
+
+    def close(self):
+        self.verbose(f"Finished training! Saving most recent model at step {self.tr.step}")
+        ckpt.save_pytree(self.ckppath, self.params)
+        self.lg.close()

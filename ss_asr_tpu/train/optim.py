@@ -1,0 +1,76 @@
+"""Optimizers: reference-parity Adadelta/Adam with clip + NaN-step skip.
+
+The reference clips the global grad norm at 5 and *cancels the whole step*
+when the norm is NaN (src/trainer.py:131-148).  ``optax.apply_if_finite``
+reproduces the skip (optimizer accumulators untouched); clipping happens
+inside, so a finite-but-huge norm is scaled exactly as torch's
+``clip_grad_norm_``.
+
+Subtree training (TAE updates the ASR's speller but not its listener, etc.)
+uses ``optax.masked`` over a boolean pytree built from key-path predicates —
+the TPU-native replacement for the reference's "pass these parameter lists to
+the optimizer" pattern (src/trainer.py:634-641,790-794,943-951).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import optax
+
+
+def make_optimizer(
+    opt_type: str,
+    learning_rate: float,
+    grad_clip: float = 5.0,
+    eps: float = 1e-8,
+    mask=None,
+) -> optax.GradientTransformation:
+    """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics."""
+    t = opt_type.lower()
+    if t == "adadelta":
+        inner = optax.adadelta(learning_rate=learning_rate, eps=eps)
+    elif t == "adam":
+        inner = optax.adam(learning_rate=learning_rate, eps=eps)
+    elif t == "sgd":
+        inner = optax.sgd(learning_rate=learning_rate)
+    else:
+        raise ValueError(f"Unknown optimizer type: {opt_type}")
+    chain = optax.chain(optax.clip_by_global_norm(grad_clip), inner)
+    if mask is not None:
+        # optax.masked leaves the complement's updates untouched (i.e. raw
+        # gradients would flow into frozen params) — zero them first, which
+        # also keeps the clip norm computed over the trainable subtree only,
+        # like the reference's per-trainer parameter lists.
+        inv = jax.tree.map(lambda m: not m, mask)
+        chain = optax.chain(
+            optax.masked(optax.set_to_zero(), inv),
+            optax.masked(chain, mask),
+        )
+    # 10**8 consecutive non-finite steps before giving up ≈ "always skip"
+    return optax.apply_if_finite(chain, max_consecutive_errors=10**8)
+
+
+def path_mask(params: Dict, pred: Callable[[Tuple[str, ...]], bool]) -> Dict:
+    """Boolean pytree: pred(path) per leaf, path = tuple of dict keys."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return bool(pred(path))
+
+    return walk(params, ())
+
+
+def prefix_mask(params: Dict, prefixes: Sequence[Tuple[str, ...]]) -> Dict:
+    """True for leaves whose path starts with any of the given prefixes."""
+
+    def pred(path):
+        return any(path[: len(p)] == tuple(p) for p in prefixes)
+
+    return path_mask(params, pred)
+
+
+def global_norm(tree) -> jax.Array:
+    return optax.global_norm(tree)

@@ -1,0 +1,163 @@
+"""Speech-autoencoder training that also updates the ASR listener.
+
+Reference SAETrainer (src/trainer.py:760-907): smooth-L1 reconstruction of the
+input fbank from [global conv encoding | listener frames]; the optimizer spans
+the SAE plus the ASR encoder.  Loss follows the reference's pad-up/truncate-
+down alignment: compare over the first max(x_lens) frames (zeros beyond each
+sample's own length included, as there).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.data.asr_dataset import ASRDataset
+from ss_asr_tpu.models import las, speech_autoencoder as sae_mod
+from ss_asr_tpu.train import losses
+from ss_asr_tpu.train.optim import make_optimizer, prefix_mask
+from ss_asr_tpu.train.solver import Solver
+from ss_asr_tpu.utils import checkpoint as ckpt
+
+
+class SAETrainer(Solver):
+    def __init__(self, config, paras):
+        super().__init__(config, paras, "sae")
+
+    def load_data(self):
+        c = self.config["sae"]
+        tb, lb = c.get("t_bucket", 128), c.get("l_bucket", 16)
+        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size, t_bucket=tb, l_bucket=lb)
+        self.valid_ds = ASRDataset(c["valid_index"], batch_size=self.valid_batch_size, t_bucket=tb, l_bucket=lb)
+        self.mapper = self.train_ds.mapper
+
+    def set_model(self, asrpath=None):
+        self.asrpath_in, self.asrpath_out = self.genpath(asrpath, "asr")
+        self.asr_cfg = las.ASRConfig.from_dict(self.config["asr"]["mdl"])
+        self.sae_cfg = sae_mod.SAEConfig.from_dict(
+            {
+                **self.config["sae"]["mdl"],
+                "feature_dim": self.asr_cfg.feature_dim,
+                "listener_out_dim": self.asr_cfg.enc_out_dim,
+            }
+        )
+
+        asr_params = self.setup_params(lambda k: las.init_asr(k, self.asr_cfg), self.asrpath_in)
+        if ckpt.exists(self.ckppath):
+            self.verbose(f"Loading a pretrained model from {self.ckppath}")
+            loaded = ckpt.load_pytree(self.ckppath)
+            sae_params = jax.tree.map(jnp.asarray, loaded["params"])
+            self.bn_state = jax.tree.map(jnp.asarray, loaded["bn_state"])
+        else:
+            self.verbose(f"No model found at {self.ckppath}. A new model will be created")
+            sae_params, self.bn_state = sae_mod.init_sae(self.next_key(), self.sae_cfg)
+        self.params = {"asr": asr_params, "sae": sae_params}
+
+        mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))
+        c = self.config["sae"]["opt"]
+        self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask)
+        self.opt_state = self.optim.init(self.params)
+
+        asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim
+
+        def recon_loss(params, bn_state, x, x_lens, train):
+            listener_out, _ = las.listener_apply(params["asr"]["encoder"], x, x_lens)
+            recon, new_bn = sae_mod.sae_forward(
+                params["sae"], bn_state, sae_cfg, x, listener_out, train=train
+            )
+            T = x.shape[1]
+            recon = recon[:, :T, :]
+            # pad recon up to T if the listener dropped odd frames (T not /8)
+            pad = T - recon.shape[1]
+            if pad > 0:
+                recon = jnp.pad(recon, ((0, 0), (0, pad), (0, 0)))
+            t_valid = jnp.max(x_lens)
+            return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn)
+
+        @jax.jit
+        def train_step(params, opt_state, bn_state, x, x_lens):
+            (loss, (_, new_bn)), grads = jax.value_and_grad(
+                lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
+            )(params)
+            updates, opt_state = optim.update(grads, opt_state, params)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return params, opt_state, new_bn, loss
+
+        @jax.jit
+        def valid_step(params, bn_state, x, x_lens):
+            loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
+            return loss, recon
+
+        self._train_step = train_step
+        self._valid_step = valid_step
+
+    def exec(self):
+        self.verbose(f"Training set total {len(self.train_ds)} batches.")
+        for epoch in range(self.n_epochs):
+            self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
+            for b_ind, b in enumerate(self.train_ds.iter_batches()):
+                self.verbose(
+                    f"Batch: {b_ind}/{len(self.train_ds)}, global step: {self.tr.step}",
+                    progress=True,
+                )
+                self.params, self.opt_state, self.bn_state, loss = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    self.bn_state,
+                    jnp.asarray(b.x),
+                    jnp.asarray(b.x_lens),
+                )
+                if self.tr.step % self.logging_step == 0:
+                    self.lg.scalar("train_loss", float(loss), self.tr.step)
+                if self.tr.step % self.valid_step == 0:
+                    self.valid()
+                if self.tr.step % self.save_step == 0:
+                    self.verbose(f"Model saved at step {self.tr.step}")
+                    self._save_sae(self.ckppath)
+                    ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+                self.tr.do_step()
+
+    def _save_sae(self, path):
+        ckpt.save_pytree(path, {"params": self.params["sae"], "bn_state": self.bn_state})
+
+    def valid(self):
+        avg_loss, n = 0.0, 0
+        recon = b = None
+        for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
+            self.verbose(
+                f"Validation step - {self.tr.step} ( {b_idx} / {len(self.valid_ds)} )",
+                progress=True,
+            )
+            loss, recon = self._valid_step(
+                self.params, self.bn_state, jnp.asarray(b.x), jnp.asarray(b.x_lens)
+            )
+            avg_loss += float(loss)
+            n += 1
+        avg_loss /= max(n, 1)
+
+        # spectrogram reconstruction comparisons for the last batch
+        if recon is not None:
+            r = np.asarray(recon)
+            for i in range(min(2, r.shape[0])):
+                ln = int(b.x_lens[i])
+                both = np.stack([b.x[i, :ln].T, r[i, :ln].T])  # [2, F, T]
+                self.lg.image(f"encode_compare_{i}", both, self.tr.step)
+
+        self.lg.scalar("eval_loss", avg_loss, self.tr.step)
+        if avg_loss < self.tr.get_best():
+            self.tr.set_best(avg_loss)
+            self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")
+            self._save_sae(self.best_ckppath)
+        else:
+            self.verbose(
+                f"Validation metric worse : ({avg_loss:.4f} vs. {self.tr.get_best():.4f})"
+            )
+
+    def close(self):
+        self.verbose(
+            f"Finished training! Saving most recent model at step {self.tr.step} plus the ASR"
+        )
+        self._save_sae(self.ckppath)
+        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+        self.lg.close()

@@ -1,0 +1,116 @@
+"""Solver base: config handling, checkpoint/tracker/logger plumbing.
+
+Parity with the reference Solver (src/trainer.py:33-195): per-module
+checkpoint paths under ``<ckpdir>/<name>/``, a resumable ``tracker.json``,
+per-module log streams, config defaulting via ``set_if_exists``, and the
+``genpath`` in/out checkpoint-relay helper used for cross-trainer parameter
+sharing.  Device selection is replaced by JAX's backend (TPU when present;
+the mesh wiring lives in ss_asr_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+from typing import Callable, Optional, Tuple
+
+import jax
+
+from ss_asr_tpu.utils import checkpoint as ckpt
+from ss_asr_tpu.utils.logging import MetricLogger
+from ss_asr_tpu.utils.tracker import Tracker
+
+
+def make_paras(
+    name: str = "experiment_1",
+    logdir: str = "runs/",
+    ckpdir: str = "result/",
+    seed: int = 1,
+    verbose: bool = True,
+) -> SimpleNamespace:
+    return SimpleNamespace(name=name, logdir=logdir, ckpdir=ckpdir, seed=seed, verbose=verbose)
+
+
+class Solver:
+    def __init__(self, config: dict, paras, module_id: str):
+        self.config = config
+        self.paras = paras
+        self.module_id = module_id
+
+        self.ckpdir = os.path.join(paras.ckpdir, paras.name)
+        os.makedirs(self.ckpdir, exist_ok=True)
+
+        self.tr = Tracker(os.path.join(self.ckpdir, "tracker.json"), module_id)
+        self.lg = MetricLogger(
+            os.path.join(paras.logdir, paras.name, module_id), module_id
+        )
+
+        self.ckppath = os.path.join(self.ckpdir, module_id + ".npz")
+        self.best_ckppath = os.path.join(self.ckpdir, module_id + "_best.npz")
+
+        self.valid_step = self.set_if_exists("valid_step", 500)
+        self.logging_step = self.set_if_exists("logging_step", 250)
+        self.save_step = self.set_if_exists("save_step", 1000)
+        self.n_epochs = self.set_if_exists("n_epochs", 5)
+        self.train_batch_size = self.set_if_exists("train_batch_size", 32)
+        self.valid_batch_size = self.set_if_exists("valid_batch_size", 32)
+        self.test_batch_size = self.set_if_exists("test_batch_size", 1)
+
+        self._key = jax.random.key(int(getattr(paras, "seed", 1)) + hash(module_id) % 2**16)
+        self.verbose_summary()
+
+    # ------------------------------------------------------------------
+    def next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def set_if_exists(self, key: str, default):
+        section = self.config.get(self.module_id, {})
+        return section.get(key, default)
+
+    def verbose(self, msg, progress: bool = False) -> None:
+        if not getattr(self.paras, "verbose", True):
+            return
+        if progress:
+            print(str(msg) + " " * 10, end="\r")
+        else:
+            print(f"[INFO ({self.module_id} / {self.paras.name})] {msg}")
+
+    def verbose_summary(self) -> None:
+        self.verbose("-------SUMMARY-------")
+        self.verbose(f"Current step : {self.tr.step}")
+        self.verbose(f"Best metric value : {self.tr.get_best()}")
+        self.verbose(f"Number of epochs: {self.n_epochs}")
+        self.verbose(
+            f"Steps: [Logging {self.logging_step}], [Saving {self.save_step}], "
+            f"[Validation {self.valid_step}]"
+        )
+        self.verbose(
+            f"Batch sizes: [Train {self.train_batch_size}], "
+            f"[Validation {self.valid_batch_size}], [Testing {self.test_batch_size}]"
+        )
+        self.verbose("---------------------")
+
+    # ------------------------------------------------------------------
+    def setup_params(self, init_fn: Callable[[jax.Array], dict], ckp_path: str) -> dict:
+        """Init a param tree, loading the checkpoint at ckp_path if present."""
+        if ckpt.exists(ckp_path):
+            self.verbose(f"Loading a pretrained model from {ckp_path}")
+            import jax.numpy as jnp
+
+            return jax.tree.map(jnp.asarray, ckpt.load_pytree(ckp_path))
+        self.verbose(f"No model found at {ckp_path}. A new model will be created")
+        return init_fn(self.next_key())
+
+    def genpath(self, p, module_id: str) -> Tuple[str, str]:
+        """In/out checkpoint path pair for parameter relays (trainer.py:170-191)."""
+        if p is None:
+            q = os.path.join(self.ckpdir, f"{module_id}.npz")
+            return (q, q)
+        if isinstance(p, str):
+            return (p, p)
+        assert len(p) == 2
+        return tuple(p)
+
+    def close(self) -> None:
+        return None

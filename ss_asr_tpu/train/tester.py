@@ -1,0 +1,118 @@
+"""Inference: decode a test set with char-LM shallow fusion.
+
+Reference ASRTester (src/trainer.py:547-592) decodes greedily one utterance
+at a time despite its beam-size config knobs (the TODO at trainer.py:590).
+Here decoding is batched on device, and beam search is available — restoring
+what the reference's dead ``decode_beam_size`` knob intended.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.data.asr_dataset import ASRDataset
+from ss_asr_tpu.decode.greedy import greedy_decode
+from ss_asr_tpu.models import charlm, las
+from ss_asr_tpu.train.solver import Solver
+from ss_asr_tpu.utils import checkpoint as ckpt
+from ss_asr_tpu.utils.metrics import calc_cer, calc_err
+
+
+class ASRTester(Solver):
+    def __init__(self, config, paras):
+        super().__init__(config, paras, "asr")
+        c = config["asr"]
+        self.decode_file = "_".join(
+            [
+                "decode",
+                "beam",
+                str(c.get("decode_beam_size", 1)),
+                "len",
+                str(c.get("max_decode_step_ratio", 0.25)),
+            ]
+        )
+
+    def load_data(self):
+        c = self.config["asr"]
+        self.test_ds = ASRDataset(c["test_index"], batch_size=max(self.test_batch_size, 1), t_bucket=c.get("t_bucket", 128), l_bucket=c.get("l_bucket", 16))
+        self.mapper = self.test_ds.mapper
+
+    def set_model(self):
+        c = self.config["asr"]
+        self.cfg = las.ASRConfig.from_dict(c["mdl"])
+        self.params = self.setup_params(lambda k: las.init_asr(k, self.cfg), self.ckppath)
+
+        # defect #5 fix: the reference reads char_lm.hidden_size at the wrong
+        # nesting level; accept both layouts
+        lm_c = self.config.get("char_lm", {})
+        lm_mdl = lm_c.get("mdl", lm_c)
+        self.lm_cfg = charlm.CharLMConfig.from_dict(lm_mdl)
+        lm_path = os.path.join(self.ckpdir, "char_lm.npz")
+        if ckpt.exists(lm_path):
+            import jax
+
+            self.lm_params = jax.tree.map(jnp.asarray, ckpt.load_pytree(lm_path))
+        else:
+            self.verbose(f"No char LM at {lm_path}; decoding without fusion")
+            self.lm_params = None
+
+        self.lm_weight = c.get("decode_lm_weight", 0.0)
+        self.decode_beam_size = c.get("decode_beam_size", 1)
+        self.max_decode_steps = c.get("max_decode_steps", 200)
+        self.decode_file += "_lm{}".format(self.lm_weight)
+
+    def exec(self, lm_weight=None) -> List[str]:
+        if lm_weight is None:
+            lm_weight = self.lm_weight
+        use_lm = self.lm_params is not None and lm_weight != 0.0
+        self.verbose(
+            f"Start decoding (beam size {self.decode_beam_size}, "
+            f"lm_weight {lm_weight if use_lm else 0})"
+        )
+        results: List[str] = []
+        refs: List[str] = []
+        for b in self.test_ds.iter_batches(drop_last=False, shuffle=False):
+            toks, lens = self._decode_batch(b, lm_weight if use_lm else 0.0)
+            valid = b.valid if b.valid is not None else np.ones(toks.shape[0], bool)
+            for i in range(toks.shape[0]):
+                if not valid[i]:
+                    continue
+                results.append(self.mapper.translate(np.asarray(toks[i])))
+                refs.append(self.mapper.translate(b.y[i]))
+
+        out_path = os.path.join(self.ckpdir, self.decode_file + ".txt")
+        with open(out_path, "w", encoding="utf-8") as f:
+            for hyp, ref in zip(results, refs):
+                f.write(f"{hyp}\t{ref}\n")
+        self.verbose(f"Decoded {len(results)} utterances -> {out_path}")
+        return results
+
+    def _decode_batch(self, b, lm_weight):
+        if self.decode_beam_size > 1:
+            from ss_asr_tpu.decode.beam import beam_decode
+
+            return beam_decode(
+                self.params,
+                self.cfg,
+                jnp.asarray(b.x),
+                jnp.asarray(b.x_lens),
+                beam_size=self.decode_beam_size,
+                max_steps=self.max_decode_steps,
+                lm_params=self.lm_params if lm_weight else None,
+                lm_cfg=self.lm_cfg,
+                lm_weight=lm_weight,
+            )
+        return greedy_decode(
+            self.params,
+            self.cfg,
+            jnp.asarray(b.x),
+            jnp.asarray(b.x_lens),
+            max_steps=self.max_decode_steps,
+            lm_params=self.lm_params if lm_weight else None,
+            lm_cfg=self.lm_cfg,
+            lm_weight=lm_weight,
+        )

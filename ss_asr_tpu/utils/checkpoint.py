@@ -1,0 +1,55 @@
+"""Param-pytree checkpointing as flat .npz archives.
+
+Layout parity with the reference's per-module files
+(``<ckpdir>/<name>/<module_id>.cpt``, src/trainer.py:58-71): each module's
+param tree is one ``<module_id>.npz`` whose keys are ``/``-joined tree paths.
+Cross-trainer parameter relays (asr_1 -> asr_2 -> asr_3 in the Seed pipeline)
+ride these files exactly like the reference's torch.save state_dicts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_pytree(path: str, tree: Dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(tree)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str) -> Dict:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten(flat)
+
+
+def exists(path: str) -> bool:
+    return os.path.isfile(path)
