@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ss_asr_tpu.models import las
+from ss_asr_tpu.parallel import mesh as pmesh
+from ss_asr_tpu.train import losses
+from ss_asr_tpu.vocab import VOCAB_SIZE
+
+CFG = las.ASRConfig(encoder_state_size=16, decoder_state_size=16, mlp_out_size=16, feature_dim=8)
+
+
+def _batch(rng, B=8, T=16, L=9):
+    x = rng.standard_normal((B, T, CFG.feature_dim)).astype(np.float32)
+    x_lens = np.full((B,), T, dtype=np.int32)
+    y = rng.integers(1, VOCAB_SIZE, (B, L)).astype(np.int32)
+    return x, x_lens, y
+
+
+def _loss_fn(params, x, x_lens, y, key):
+    _, logits, _ = las.asr_forward(params, CFG, x, x_lens, y.shape[1] - 1, teacher=y, key=key)
+    return losses.masked_ce_per_utt(logits, y[:, 1:], y)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    m = pmesh.make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = pmesh.make_mesh(n_data=4, n_model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_param_pspec_rules():
+    assert pmesh.param_pspec((128, 64), 2) == P(None, "model")
+    assert pmesh.param_pspec((64,), 2) == P()  # 1D replicated
+    assert pmesh.param_pspec((50, 7), 2) == P("model", None)  # only dim0 divisible
+    assert pmesh.param_pspec((51, 7), 2) == P()  # nothing divisible
+    assert pmesh.param_pspec((128, 64), 1) == P()
+
+
+def test_dp_loss_matches_single_device(rng):
+    """Data-parallel sharded loss must equal the unsharded loss exactly."""
+    params = las.init_asr(jax.random.key(0), CFG)
+    x, x_lens, y = _batch(rng)
+    key = jax.random.key(1)
+
+    ref = float(jax.jit(_loss_fn)(params, x, x_lens, y, key))
+
+    m = pmesh.make_mesh(n_data=8, n_model=1)
+    batch = pmesh.shard_batch({"x": x, "x_lens": x_lens, "y": y}, m)
+    p_sh = pmesh.shard_params(params, m)
+    with jax.set_mesh(m):
+        got = float(jax.jit(_loss_fn)(p_sh, batch["x"], batch["x_lens"], batch["y"], key))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_tp_loss_matches_single_device(rng):
+    """Tensor-parallel (model axis) sharding must not change the math."""
+    params = las.init_asr(jax.random.key(0), CFG)
+    x, x_lens, y = _batch(rng)
+    key = jax.random.key(1)
+    ref = float(jax.jit(_loss_fn)(params, x, x_lens, y, key))
+
+    m = pmesh.make_mesh(n_data=4, n_model=2)
+    batch = pmesh.shard_batch({"x": x, "x_lens": x_lens, "y": y}, m)
+    p_sh = pmesh.shard_params(params, m)
+    with jax.set_mesh(m):
+        got = float(jax.jit(_loss_fn)(p_sh, batch["x"], batch["x_lens"], batch["y"], key))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_dp_grads_match_single_device(rng):
+    params = las.init_asr(jax.random.key(0), CFG)
+    x, x_lens, y = _batch(rng)
+    key = jax.random.key(1)
+    g_ref = jax.jit(jax.grad(_loss_fn))(params, x, x_lens, y, key)
+
+    m = pmesh.make_mesh(n_data=8, n_model=1)
+    batch = pmesh.shard_batch({"x": x, "x_lens": x_lens, "y": y}, m)
+    p_sh = pmesh.shard_params(params, m)
+    with jax.set_mesh(m):
+        g = jax.jit(jax.grad(_loss_fn))(p_sh, batch["x"], batch["x_lens"], batch["y"], key)
+    a = np.asarray(g["char_trans"]["w"])
+    b = np.asarray(g_ref["char_trans"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_pad_batch_to():
+    tree = {"x": np.ones((3, 4)), "y": np.arange(3)}
+    padded, n_valid = pmesh.pad_batch_to(tree, 8)
+    assert padded["x"].shape == (8, 4)
+    assert n_valid == 3
+    np.testing.assert_array_equal(padded["y"][3:], [2] * 5)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    g.dryrun_multichip(8)
