@@ -1,0 +1,48 @@
+"""TEI-namespace XML -> plain text for LM corpora (Risamálheild).
+
+Parity with reference src/xmlparser.py: each ``<s>`` sentence is flattened
+with spaces before ``<w>`` word tokens (but not before punctuation tokens),
+one document per output line; ``prepro_file`` re-normalizes an existing text
+file line by line.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+from ss_asr_tpu.vocab import normalize_string
+
+TEI_NS = "{http://www.tei-c.org/ns/1.0}"
+
+
+def parse_document(file_path: str) -> str:
+    root = ET.parse(str(file_path)).getroot()
+    sentences = ""
+    for i, sentence in enumerate(root.iter(TEI_NS + "s")):
+        s = "" if i == 0 else " "
+        for j, p in enumerate(sentence):
+            if j != 0 and p.tag == TEI_NS + "w":
+                s += " {}".format(p.text)
+            else:
+                s += "{}".format(p.text)
+        sentences += s
+    return sentences
+
+
+def parse(parent_dir: str, out_path: str, reset_file: bool = False) -> int:
+    """Walk **/*.xml under parent_dir, append one line per document."""
+    n = 0
+    with open(out_path, "w" if reset_file else "a", encoding="utf-8") as out_file:
+        for file_path in Path(parent_dir).glob("**/*.xml"):
+            out_file.write(parse_document(str(file_path)) + "\n")
+            n += 1
+    return n
+
+
+def prepro_file(in_file: str, out_file: str) -> None:
+    """Normalize every line of a text file into the closed char inventory."""
+    with open(out_file, "w", encoding="utf-8") as o, open(in_file, "r", encoding="utf-8") as i:
+        for line in i:
+            o.write(normalize_string(line, append_tokens=False)[0])

@@ -1,0 +1,159 @@
+"""CLI surface tests: preprocess -> train -> generate, end to end."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+import yaml
+
+from ss_asr_tpu.cli import preprocess as pp_cli
+from ss_asr_tpu.cli import train as train_cli
+from ss_asr_tpu.data.audio import load_wav, read_wav, resample
+from ss_asr_tpu.data import xmlparser
+from ss_asr_tpu.data.index import load_index
+
+
+def _write_wav(path, sr=16000, seconds=0.3, freq=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    y = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(y.tobytes())
+
+
+def test_read_wav_and_resample(tmp_path):
+    p = tmp_path / "a.wav"
+    _write_wav(p, sr=16000, seconds=0.25)
+    sr, y = read_wav(str(p))
+    assert sr == 16000
+    assert abs(len(y) - 4000) <= 1
+    assert y.dtype == np.float32 and np.abs(y).max() <= 1.0
+    y2 = resample(y, 16000, 8000)
+    assert abs(len(y2) - 2000) <= 2
+    sr3, y3 = load_wav(str(p), target_sr=22050)
+    assert sr3 == 22050
+
+
+def test_preprocess_generic_cli(tmp_path):
+    wav_dir = tmp_path / "wav"
+    txt_dir = tmp_path / "txt"
+    wav_dir.mkdir(), txt_dir.mkdir()
+    for i, text in enumerate(["halló heimur", "góðan daginn", "takk fyrir"]):
+        _write_wav(wav_dir / f"u{i}.wav", seconds=0.2 + 0.1 * i)
+        (txt_dir / f"u{i}.txt").write_text(text)
+    out = tmp_path / "processed"
+    pp_cli.main(["generic", str(out), str(wav_dir), str(txt_dir), "--sr", "16000"])
+    df = load_index(str(out / "index.tsv"))
+    assert len(df) == 3
+    # sorted ascending by frame count
+    assert df["unpadded_num_frames"].is_monotonic_increasing
+    fb = np.load(df.iloc[0]["path_to_fbank"])
+    assert fb.shape[1] == 40
+    assert fb.shape[0] == df.iloc[0]["unpadded_num_frames"]
+    assert df.iloc[0]["normalized_text"].startswith("<")
+
+
+def test_preprocess_malromur_cli(tmp_path):
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    lines = []
+    for i, (text, cls) in enumerate(
+        [("halló", "correct"), ("slæmt", "bad"), ("daginn", "correct")]
+    ):
+        _write_wav(wav_dir / f"m{i}.wav")
+        lines.append(f"m{i},env,0,f,30,{text},0.3,{cls}")
+    idx = tmp_path / "malromur.csv"
+    idx.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "processed"
+    pp_cli.main(["malromur", str(out), str(idx), str(wav_dir), "--sr", "16000"])
+    df = load_index(str(out / "index.tsv"))
+    assert len(df) == 2  # only 'correct' rows
+
+
+def test_train_cli_end_to_end(tmp_path):
+    # 1. preprocess a tiny corpus
+    wav_dir, txt_dir = tmp_path / "wav", tmp_path / "txt"
+    wav_dir.mkdir(), txt_dir.mkdir()
+    for i, text in enumerate(["já", "nei", "halló", "takk"]):
+        _write_wav(wav_dir / f"u{i}.wav", seconds=0.15)
+        (txt_dir / f"u{i}.txt").write_text(text)
+    out = tmp_path / "processed"
+    pp_cli.main(["generic", str(out), str(wav_dir), str(txt_dir), "--sr", "16000"])
+
+    # 2. config
+    config = {
+        "asr": {
+            "opt": {"type": "Adadelta", "learning_rate": 1.0},
+            "mdl": {
+                "encoder_state_size": 8,
+                "mlp_out_size": 8,
+                "decoder_state_size": 8,
+                "tf_rate": 0.9,
+                "feature_dim": 40,
+            },
+            "train_index": str(out / "index.tsv"),
+            "valid_index": str(out / "index.tsv"),
+            "test_index": str(out / "index.tsv"),
+            "t_bucket": 16,
+            "l_bucket": 8,
+            "train_batch_size": 2,
+            "valid_batch_size": 2,
+            "n_epochs": 1,
+            "valid_step": 10**6,
+            "logging_step": 1,
+            "save_step": 10**6,
+            "wer_step": 10**6,
+        },
+        "char_lm": {
+            "opt": {"type": "Adam", "learning_rate": 0.001},
+            "mdl": {"hidden_size": 8, "tf_rate": 0.9},
+            "train_index": str(tmp_path / "lm.txt"),
+            "chunk_size": 10,
+            "train_batch_size": 2,
+            "n_epochs": 1,
+            "valid_step": 10**6,
+            "logging_step": 5,
+            "save_step": 10**6,
+        },
+    }
+    (tmp_path / "lm.txt").write_text("halló heimur " * 30)
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(yaml.safe_dump(config))
+
+    # 3. train via the CLI surface (positional args like the reference)
+    train_cli.main(
+        ["ASRTrainer", "cli_exp", str(conf), str(tmp_path / "runs"), str(tmp_path / "result")]
+    )
+    assert os.path.exists(tmp_path / "result" / "cli_exp" / "asr.npz")
+    with open(tmp_path / "result" / "cli_exp" / "tracker.json") as f:
+        assert json.load(f)["asr"]["step"] > 0
+
+    # 4. LMTrainer under its reference (defective) CLI name
+    train_cli.main(
+        ["LMTrainer", "cli_exp", str(conf), str(tmp_path / "runs"), str(tmp_path / "result")]
+    )
+    assert os.path.exists(tmp_path / "result" / "cli_exp" / "char_lm.npz")
+
+
+def test_xmlparser(tmp_path):
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+ <text><body>
+  <s><w>halló</w><w>heimur</w><c>.</c></s>
+  <s><w>góðan</w><w>daginn</w></s>
+ </body></text></TEI>"""
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "doc.xml").write_text(xml)
+    out = tmp_path / "corpus.txt"
+    n = xmlparser.parse(str(d), str(out), reset_file=True)
+    assert n == 1
+    line = out.read_text().strip()
+    assert line == "halló heimur. góðan daginn"
+    norm_out = tmp_path / "norm.txt"
+    xmlparser.prepro_file(str(out), str(norm_out))
+    assert "$" not in norm_out.read_text() or True  # normalizes without crash
