@@ -1,0 +1,149 @@
+"""Batched beam-search decoding with char-LM shallow fusion.
+
+The reference plumbs ``decode_beam_size`` / ``Hypothesis`` but ships only
+greedy decoding (its defect #1 and the TODO at src/trainer.py:590); the
+thesis' best results use beam-8 with LM fusion (Table 6.12).  This module
+restores that capability, TPU-native:
+
+* the whole (batch x beam) frontier advances in one ``lax.scan`` — states are
+  laid out [B*K, ...] so the attention/speller matmuls stay batched on the
+  MXU;
+* per-step fused scores are ``log_softmax(ASR) + lm_weight*log_softmax(LM)``,
+  exactly the greedy fusion rule (src/asr.py:153-156) generalized to K
+  hypotheses;
+* finished beams are frozen by forcing probability mass onto the pad symbol;
+* the backtrack over (parent, token) pointers happens on host (tiny arrays).
+
+No length normalization (pure sum of log-probs), matching the plain beam
+semantics the reference intended.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.models import charlm as charlm_mod
+from ss_asr_tpu.models import las
+from ss_asr_tpu.ops import rnn
+from ss_asr_tpu.vocab import EOS_ID, SOS_ID
+
+NEG_INF = -1e30
+
+
+def beam_decode(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    beam_size: int = 8,
+    max_steps: int = 200,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (tokens [B, max_steps] int32 pad-filled, lengths [B])."""
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    toks, parents, final_scores, final_done = _beam_scan(
+        params, cfg, enc_h, enc_lens, beam_size, max_steps, lm_params, lm_cfg, lm_weight
+    )
+    return _backtrack(
+        np.asarray(toks), np.asarray(parents), np.asarray(final_scores),
+        np.asarray(final_done), max_steps,
+    )
+
+
+def _beam_scan(
+    params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg, lm_weight
+):
+    B, S, F = enc_h.shape
+    use_lm = lm_params is not None and lm_weight != 0.0
+    V = cfg.vocab_size
+
+    comp_h = las.attention_precompute(params["attention"], enc_h)
+    valid = las.attention_mask(enc_lens, S)
+    # tile encoder memory across beams: [B*K, ...]
+    rep = lambda a: jnp.repeat(a, K, axis=0)
+    enc_hK, comp_hK, validK = rep(enc_h), rep(comp_h), rep(valid)
+
+    spell0 = las.speller_init_state(B * K, cfg)
+    lm0 = charlm_mod.init_state(B * K, lm_cfg) if use_lm else None
+    last0 = jnp.full((B * K,), SOS_ID, dtype=jnp.int32)
+    scores0 = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (K - 1), dtype=jnp.float32), (B, 1)
+    )  # only beam 0 live at t=0
+    done0 = jnp.zeros((B, K), dtype=bool)
+
+    pad_onehot = jnp.full((V,), NEG_INF).at[SOS_ID].set(0.0)
+
+    def gather_beams(tree, parent):
+        """Reindex a [B*K, ...] state tree by parent beam ids [B, K]."""
+        flat_idx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)  # [B*K]
+        return jax.tree.map(lambda a: a[flat_idx], tree)
+
+    def body(carry, _):
+        state, lm_state, last_ids, scores, done = carry
+        _, context = las.attention_step(
+            params["attention"], comp_hK, enc_hK, state[0][0], validK
+        )
+        last_emb = rnn.embed(params["embed"], last_ids)
+        dec_in = jnp.concatenate([last_emb, context], axis=-1)
+        state_new, dec_out = las.speller_step(params["decoder"], dec_in, state)
+        logp = jax.nn.log_softmax(rnn.linear(params["char_trans"], dec_out))
+        if use_lm:
+            lm_logits, lm_state_new = charlm_mod.step(lm_params, last_ids, lm_state)
+            logp = logp + lm_weight * jax.nn.log_softmax(lm_logits)
+        else:
+            lm_state_new = lm_state
+        logp = logp.reshape(B, K, V)
+        # frozen beams may only emit pad at no cost
+        logp = jnp.where(done[:, :, None], pad_onehot[None, None, :], logp)
+
+        cand = scores[:, :, None] + logp  # [B, K, V]
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        parent = (top_idx // V).astype(jnp.int32)  # [B, K]
+        token = (top_idx % V).astype(jnp.int32)  # [B, K]
+
+        state_new = gather_beams(state_new, parent)
+        lm_state_new = gather_beams(lm_state_new, parent) if use_lm else lm_state_new
+        done_new = jnp.take_along_axis(done, parent, axis=1) | (token == EOS_ID)
+        last_new = token.reshape(-1)
+
+        return (
+            (state_new, lm_state_new, last_new, top_scores, done_new),
+            (token, parent),
+        )
+
+    init = (spell0, lm0, last0, scores0, done0)
+    (_, _, _, scores, done), (toks, parents) = jax.lax.scan(
+        body, init, None, length=max_steps
+    )
+    return toks, parents, scores, done  # toks/parents: [T, B, K]
+
+
+def _backtrack(toks, parents, final_scores, final_done, max_steps):
+    """Host-side pointer chase: pick best beam per sample, rebuild tokens."""
+    T, B, K = toks.shape
+    out = np.zeros((B, max_steps), dtype=np.int32)
+    lengths = np.zeros((B,), dtype=np.int32)
+    for b in range(B):
+        # pure max-logp selection (finished beams already paid their EOS cost
+        # and extend for free on pad, so higher score == better hypothesis)
+        k = int(np.argmax(final_scores[b]))
+        seq = []
+        for t in range(T - 1, -1, -1):
+            seq.append(int(toks[t, b, k]))
+            k = int(parents[t, b, k])
+        seq.reverse()
+        # trim at first EOS (frozen-beam pads only ever occur after it)
+        clean = []
+        for c in seq:
+            if c == EOS_ID:
+                break
+            clean.append(c)
+        lengths[b] = len(clean)
+        out[b, : len(clean)] = clean
+    return out, lengths

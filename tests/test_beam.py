@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ss_asr_tpu.decode.beam import beam_decode
+from ss_asr_tpu.decode.greedy import greedy_decode
+from ss_asr_tpu.models import charlm, las
+from ss_asr_tpu.vocab import EOS_ID, SOS_ID
+
+CFG = las.ASRConfig(encoder_state_size=8, decoder_state_size=8, mlp_out_size=8, feature_dim=5)
+LM_CFG = charlm.CharLMConfig(hidden_size=8)
+
+
+def _inputs(rng, B=2, T=16):
+    x = jnp.asarray(rng.standard_normal((B, T, CFG.feature_dim)).astype(np.float32))
+    return x, jnp.asarray([T] * B)
+
+
+def test_beam1_matches_greedy(rng):
+    """Beam size 1 must reproduce greedy decoding exactly."""
+    params = las.init_asr(jax.random.key(0), CFG)
+    x, lens = _inputs(rng)
+    g_toks, g_lens = greedy_decode(params, CFG, x, lens, max_steps=15)
+    b_toks, b_lens = beam_decode(params, CFG, x, lens, beam_size=1, max_steps=15)
+    np.testing.assert_array_equal(np.asarray(g_lens), b_lens)
+    np.testing.assert_array_equal(np.asarray(g_toks), b_toks)
+
+
+def test_beam_matches_exhaustive_reference(rng):
+    """The scan-based frontier must equal a brute-force python beam search."""
+    from ss_asr_tpu.decode import beam as BM
+    from ss_asr_tpu.ops import rnn as r
+
+    params = las.init_asr(jax.random.key(1), CFG)
+    x, lens = _inputs(rng, B=1)
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, lens)
+    K, T = 3, 4
+    toks, parents, fs, fd = BM._beam_scan(
+        params, CFG, enc_h, enc_lens, K, T, None, None, 0.0
+    )
+    got_scores = np.sort(np.asarray(fs)[0])[::-1]
+
+    comp = las.attention_precompute(params["attention"], enc_h)
+    valid = las.attention_mask(enc_lens, enc_h.shape[1])
+
+    def step(state, last):
+        _, ctx = las.attention_step(params["attention"], comp, enc_h, state[0][0], valid)
+        dec_in = jnp.concatenate(
+            [r.embed(params["embed"], jnp.array([last], dtype=jnp.int32)), ctx], axis=-1
+        )
+        state, out = las.speller_step(params["decoder"], dec_in, state)
+        return state, np.asarray(jax.nn.log_softmax(r.linear(params["char_trans"], out)))[0]
+
+    beams = [(0.0, [], las.speller_init_state(1, CFG), SOS_ID)]
+    for _ in range(T):
+        cands = []
+        for sc, seq, st, last in beams:
+            st2, logp = step(st, last)
+            for v in range(CFG.vocab_size):
+                cands.append((sc + float(logp[v]), seq + [v], st2, v))
+        beams = sorted(cands, key=lambda c: -c[0])[:K]
+    want_scores = np.array([b[0] for b in beams])
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-4)
+
+    # best sequence must match too (via backtrack)
+    out, L = BM._backtrack(np.asarray(toks), np.asarray(parents), np.asarray(fs), np.asarray(fd), T)
+    want_best = beams[0][1]
+    np.testing.assert_array_equal(out[0][: int(L[0])], want_best[: int(L[0])])
+
+
+def test_beam_with_lm_runs(rng):
+    params = las.init_asr(jax.random.key(2), CFG)
+    lm_params = charlm.init_charlm(jax.random.key(3), LM_CFG)
+    x, lens = _inputs(rng)
+    toks, lengths = beam_decode(
+        params, CFG, x, lens, beam_size=4, max_steps=10,
+        lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=0.5,
+    )
+    assert toks.shape == (2, 10)
+    for b in range(2):
+        assert np.all(toks[b, lengths[b]:] == SOS_ID)
+        assert not np.any(toks[b, : lengths[b]] == EOS_ID)
