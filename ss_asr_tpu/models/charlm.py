@@ -86,17 +86,24 @@ def teacher_forced_unroll(
         else jnp.full((B,), SOS_ID, dtype=jnp.int32)
     )
 
-    def body(carry, lbl_t):
-        ids, state, k = carry
+    # RNG hoisted out of the scan (no threefry on the sequential path):
+    # per-step Bernoulli draws + Gumbel-argmax sampling noise.
+    k_tf, k_g = jax.random.split(key)
+    tf_draws = jax.random.uniform(k_tf, (L,)) <= tf
+    gumbel = jax.random.gumbel(k_g, (L, B, cfg.vocab_size))
+
+    def body(carry, inp):
+        lbl_t, use_tf, gumbel_t = inp
+        ids, state = carry
         logits, state = step(p, ids, state)
-        k, k_tf, k_s = jax.random.split(k, 3)
-        use_tf = jax.random.uniform(k_tf) <= tf
-        sampled = jax.random.categorical(k_s, logits, axis=-1).astype(labels.dtype)
+        sampled = jnp.argmax(logits + gumbel_t, axis=-1).astype(labels.dtype)
         next_ids = jnp.where(use_tf, lbl_t, sampled)
-        return (next_ids, state, k), logits
+        return (next_ids, state), logits
 
     labels_t = jnp.swapaxes(labels, 0, 1)  # [L, B]
-    (_, _, _), logits = jax.lax.scan(body, (start, init_state(B, cfg), key), labels_t)
+    (_, _), logits = jax.lax.scan(
+        body, (start, init_state(B, cfg)), (labels_t, tf_draws, gumbel)
+    )
     return jnp.swapaxes(logits, 0, 1)
 
 

@@ -211,17 +211,27 @@ def attend_and_spell(
         # teacher char to feed *after* step t is teacher[:, t+1]
         teacher_next = rnn.embed(params["embed"], teacher[:, 1 : decode_step + 1])
         teacher_next = jnp.swapaxes(teacher_next, 0, 1)  # [L, B, d]
+        # RNG hoist: all randomness is drawn *before* the scan so no threefry
+        # hashing sits on the sequential path (measured ~100us/step on v5e).
+        # One Bernoulli(tf) draw per step shared across the batch (reference
+        # uses random.random() <= tf_rate per step, src/asr.py:94); sampling
+        # from the softmax is Gumbel-argmax with precomputed noise.
+        key0 = key if key is not None else jax.random.key(0)
+        k_tf, k_g = jax.random.split(key0)
+        tf_draws = jax.random.uniform(k_tf, (decode_step,)) <= tf  # [L]
+        gumbel = jax.random.gumbel(k_g, (decode_step, B, cfg.vocab_size))
     else:
         teacher_next = jnp.zeros((decode_step, B, cfg.decoder_state_size), dtype=jnp.float32)
+        tf_draws = jnp.zeros((decode_step,), dtype=bool)
+        gumbel = jnp.zeros((decode_step, 1, 1), dtype=jnp.float32)
 
     last_char0 = rnn.embed(
         params["embed"], jnp.full((B,), SOS_ID, dtype=jnp.int32)
     )
-    key0 = key if key is not None else jax.random.key(0)
 
     def body(carry, inp):
-        state, last_char, k = carry
-        t, teacher_t = inp
+        state, last_char = carry
+        t, teacher_t, use_tf, gumbel_t = inp
         score, context = attention_step(
             params["attention"], comp_h, enc_h, state[0][0], valid
         )
@@ -229,13 +239,9 @@ def attend_and_spell(
         state, dec_out = speller_step(params["decoder"], dec_in, state)
         cur_char = rnn.linear(params["char_trans"], dec_out)  # [B, V]
 
-        k, k_tf, k_sample = jax.random.split(k, 3)
         greedy = rnn.embed(params["embed"], jnp.argmax(cur_char, axis=-1))
         if teacher is not None:
-            # one uniform draw per step, shared across the batch (reference
-            # uses random.random() <= tf_rate per step, src/asr.py:94)
-            use_tf = jax.random.uniform(k_tf) <= tf
-            sampled_ids = jax.random.categorical(k_sample, cur_char, axis=-1)
+            sampled_ids = jnp.argmax(cur_char + gumbel_t, axis=-1)
             sampled = rnn.embed(params["embed"], sampled_ids)
             next_char = jnp.where(use_tf, teacher_t, sampled)
             if tf_cutoff_last:
@@ -243,11 +249,13 @@ def attend_and_spell(
                 next_char = jnp.where(is_last, greedy, next_char)
         else:
             next_char = greedy
-        return (state, next_char, k), (cur_char, score)
+        return (state, next_char), (cur_char, score)
 
-    init = (speller_init_state(B, cfg), last_char0, key0)
+    init = (speller_init_state(B, cfg), last_char0)
     ts = jnp.arange(decode_step)
-    (_, _, _), (logits, scores) = jax.lax.scan(body, init, (ts, teacher_next))
+    (_, _), (logits, scores) = jax.lax.scan(
+        body, init, (ts, teacher_next, tf_draws, gumbel)
+    )
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(scores, 0, 1)
 
 

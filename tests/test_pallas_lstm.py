@@ -1,0 +1,29 @@
+"""Pallas LSTM kernel parity vs the lax.scan reference (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ss_asr_tpu.ops import rnn
+from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+
+@pytest.mark.parametrize("B,T,I,H", [(8, 12, 16, 32), (4, 7, 8, 16)])
+def test_pallas_matches_scan_full_length(rng, B, T, I, H):
+    p = rnn.init_lstm(jax.random.key(0), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    want, _ = rnn.lstm_scan(p, xs)
+    got = lstm_scan_pallas(p, xs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pallas_masks_lengths(rng):
+    B, T, I, H = 4, 10, 8, 16
+    p = rnn.init_lstm(jax.random.key(1), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([10, 6, 3, 1], dtype=jnp.int32)
+    want, _ = rnn.lstm_scan(p, xs, lengths=lens)
+    got = lstm_scan_pallas(p, xs, lengths=lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert np.all(np.asarray(got)[1, 6:] == 0)
