@@ -63,10 +63,15 @@ class ASRDataset:
         sort_key: str = "",
         sort_ascending: bool = True,
         seed: int = 0,
+        host_shard: "tuple[int, int] | None" = None,
     ):
         self.frame = load_index(tsv_file)
         if sort_key:
             self.frame = self.frame.sort_values(by=[sort_key], ascending=sort_ascending)
+        if host_shard is not None:
+            # multi-host input pipeline: each process reads a strided shard
+            host_id, num_hosts = host_shard
+            self.frame = self.frame.iloc[host_id::num_hosts]
         self.batch_size = batch_size
         self.text_only = text_only
         self.drop_rate = drop_rate
@@ -200,3 +205,35 @@ def load_asr_dataset(
     """Reference-parity loader: returns (Mapper, ASRDataset)."""
     ds = ASRDataset(path, batch_size, text_only=text_only, drop_rate=drop_rate, **kw)
     return ds.mapper, ds
+
+
+def prepare_x(x: np.ndarray):
+    """Reference-API compat (src/ASRDataset.py:297-317): recover unpadded
+    fbank lengths by counting frames with any nonzero value.
+
+    Accepts [B, T, F] (or the reference's [1, B, T, F]); returns
+    (x float32, x_lens int32 ndarray)."""
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 4:
+        x = x[0]
+    x_lens = (x.sum(axis=-1) != 0).sum(axis=-1).astype(np.int32)
+    return x, x_lens
+
+
+def prepare_y(y: np.ndarray):
+    """Reference-API compat (src/ASRDataset.py:319-339): text lengths under
+    the SOS-as-pad convention — ``sum(y != 0) + 1``."""
+    y = np.asarray(y, dtype=np.int32)
+    if y.ndim == 3:
+        y = y[0]
+    y_lens = ((y != 0).sum(axis=-1) + 1).astype(np.int32)
+    return y, y_lens
+
+
+def shard_index_rows(frame, host_id: int, num_hosts: int):
+    """Per-host shard of a length-sorted index for multi-host input pipelines.
+
+    Strided slicing keeps each host's shard length-sorted (so per-host
+    bucketing still works) while balancing total audio across hosts.
+    """
+    return frame.iloc[host_id::num_hosts]

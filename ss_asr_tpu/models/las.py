@@ -253,6 +253,8 @@ def attend_and_spell(
 
     init = (speller_init_state(B, cfg), last_char0)
     ts = jnp.arange(decode_step)
+    if rnn.SCAN_REMAT:
+        body = jax.checkpoint(body)
     (_, _), (logits, scores) = jax.lax.scan(
         body, init, (ts, teacher_next, tf_draws, gumbel)
     )

@@ -16,6 +16,11 @@ TPU-first performance notes:
 
 Gate order follows the torch convention (LSTM: i, f, g, o — GRU: r, z, n) so
 the architecture constants in SURVEY.md §2.2 carry over unchanged.
+
+``SCAN_REMAT`` (default on) wraps every scan body in ``jax.checkpoint``: the
+backward pass recomputes the cheap gate math from the carries instead of
+streaming per-step residuals through HBM — measured ~an-order-of-magnitude
+faster LSTM backward on TPU v5e.
 """
 
 from __future__ import annotations
@@ -26,6 +31,9 @@ import jax
 import jax.numpy as jnp
 
 Params = Dict[str, jax.Array]
+
+#: Rematerialize scan bodies in the backward pass (see module docstring).
+SCAN_REMAT = True
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +193,8 @@ def lstm_scan(
             h2, c2 = _lstm_gates(gx + h @ p["w_hh"], c)
             return (h2, c2), h2
 
+        if SCAN_REMAT:
+            body = jax.checkpoint(body)
         (h, c), ys = jax.lax.scan(body, state, gates_x)
     else:
         tsteps = jnp.arange(T)
@@ -199,6 +209,8 @@ def lstm_scan(
             y = jnp.where(valid, h2, 0.0)
             return (h2, c2), y
 
+        if SCAN_REMAT:
+            body = jax.checkpoint(body)
         (h, c), ys = jax.lax.scan(body, state, (gates_x, tsteps))
 
     ys = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
@@ -256,6 +268,8 @@ def gru_scan(
             h2 = jnp.where(valid, h2, h)
         return h2, h2
 
+    if SCAN_REMAT:
+        body = jax.checkpoint(body)
     h, ys = jax.lax.scan(body, h, (gi, tsteps))
     return jnp.swapaxes(ys, 0, 1), h
 
