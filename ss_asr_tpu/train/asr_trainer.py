@@ -16,7 +16,8 @@ from ss_asr_tpu.train import losses
 from ss_asr_tpu.train.optim import make_optimizer
 from ss_asr_tpu.train.solver import Solver
 from ss_asr_tpu.utils import checkpoint as ckpt
-from ss_asr_tpu.utils.metrics import calc_acc, calc_err, draw_att
+from ss_asr_tpu.utils.metrics import calc_acc, calc_cer, calc_err, draw_att
+from ss_asr_tpu.utils.profiling import StepTimer
 
 
 class ASRTrainer(Solver):
@@ -79,6 +80,7 @@ class ASRTrainer(Solver):
     # ------------------------------------------------------------------
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches")
+        timer = StepTimer()
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
             for b_ind, b in enumerate(self.train_ds.iter_batches()):
@@ -94,10 +96,14 @@ class ASRTrainer(Solver):
                     jnp.asarray(b.y),
                     self.next_key(),
                 )
+                timer.tick()
                 if self.tr.step % self.logging_step == 0:
                     label = b.y[:, 1:]
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
                     self.lg.scalar("train_acc", calc_acc(np.asarray(logits), label), self.tr.step)
+                    if timer.steps_per_sec > 0:
+                        self.lg.scalar("train_utt_per_sec",
+                                       timer.utt_per_sec(b.y.shape[0]), self.tr.step)
                 if self.tr.step % self.wer_step == 0:
                     label = b.y[:, 1:]
                     self.lg.scalar(
@@ -114,7 +120,7 @@ class ASRTrainer(Solver):
 
     # ------------------------------------------------------------------
     def valid(self):
-        total_loss, total_acc, total_err, n = 0.0, 0.0, 0.0, 0
+        total_loss, total_acc, total_err, total_cer, n = 0.0, 0.0, 0.0, 0.0, 0
         logits = att = label = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
             self.verbose(f"Validation step - ( {b_idx} / {len(self.valid_ds)} )", progress=True)
@@ -128,6 +134,7 @@ class ASRTrainer(Solver):
             lg = np.asarray(logits)[valid]
             total_acc += calc_acc(lg[:, : label.shape[1]], label[valid])
             total_err += calc_err(lg, label[valid], mapper=self.mapper)
+            total_cer += calc_cer(lg, label[valid], mapper=self.mapper)
             n += 1
 
         avg_loss = total_loss / max(n, 1)
@@ -136,6 +143,7 @@ class ASRTrainer(Solver):
         self.lg.scalar("eval_loss", avg_loss, self.tr.step)
         self.lg.scalar("eval_error", avg_err, self.tr.step)
         self.lg.scalar("eval_acc", avg_acc, self.tr.step)
+        self.lg.scalar("eval_cer", total_cer / max(n, 1), self.tr.step)
 
         # attention maps + hypotheses for the last batch
         if logits is not None:
