@@ -87,6 +87,10 @@ def fused_decode_from_memory(
         body, (spell0, lm0, last0, done0), None, length=max_steps
     )
     toks = jnp.swapaxes(toks, 0, 1)  # [B, max_steps]
+    return _finalize(toks, max_steps)
+
+
+def _finalize(toks: jax.Array, max_steps: int) -> Tuple[jax.Array, jax.Array]:
     # length = chars before the first EOS (EOS excluded, reference returns
     # the string without EOS, src/asr.py:167-173)
     is_eos = toks == EOS_ID
@@ -97,3 +101,56 @@ def fused_decode_from_memory(
     pos = jnp.arange(max_steps)[None, :]
     toks = jnp.where(pos < lengths[:, None], toks, SOS_ID)
     return toks, lengths
+
+
+def greedy_decode_early_exit(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    max_steps: int = 200,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Latency-optimized greedy decode: ``lax.while_loop`` that stops as soon
+    as every sample in the batch has emitted EOS (the scan variant always
+    runs ``max_steps``).  Same outputs as :func:`greedy_decode`."""
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    B, S, _ = enc_h.shape
+    comp_h = las.attention_precompute(params["attention"], enc_h)
+    valid = las.attention_mask(enc_lens, S)
+    use_lm = lm_params is not None and lm_weight != 0.0
+
+    spell0 = las.speller_init_state(B, cfg)
+    lm0 = charlm_mod.init_state(B, lm_cfg) if use_lm else None
+    last0 = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+    done0 = jnp.zeros((B,), dtype=bool)
+    toks0 = jnp.full((B, max_steps), SOS_ID, dtype=jnp.int32)
+
+    def cond(carry):
+        step, _, _, _, done, _ = carry
+        return jnp.logical_and(step < max_steps, ~jnp.all(done))
+
+    def body(carry):
+        step, state, lm_state, last_ids, done, toks = carry
+        _, context = las.attention_step(
+            params["attention"], comp_h, enc_h, state[0][0], valid
+        )
+        last_emb = rnn.embed(params["embed"], last_ids)
+        dec_in = jnp.concatenate([last_emb, context], axis=-1)
+        state, dec_out = las.speller_step(params["decoder"], dec_in, state)
+        fused = jax.nn.log_softmax(rnn.linear(params["char_trans"], dec_out))
+        if use_lm:
+            lm_logits, lm_state = charlm_mod.step(lm_params, last_ids, lm_state)
+            fused = fused + lm_weight * jax.nn.log_softmax(lm_logits)
+        ids = jnp.argmax(fused, axis=-1).astype(jnp.int32)
+        emit = jnp.where(done, jnp.int32(SOS_ID), ids)
+        toks = jax.lax.dynamic_update_slice(toks, emit[:, None], (0, step))
+        done = done | (ids == EOS_ID)
+        return (step + 1, state, lm_state, ids, done, toks)
+
+    _, _, _, _, _, toks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), spell0, lm0, last0, done0, toks0)
+    )
+    return _finalize(toks, max_steps)

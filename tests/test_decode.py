@@ -81,3 +81,29 @@ def test_decode_respects_done_flag(rng):
     toks, out_lens = np.asarray(toks), np.asarray(out_lens)
     for b in range(3):
         assert np.all(toks[b, out_lens[b] :] == SOS_ID)
+
+
+def test_early_exit_matches_scan_decode(rng):
+    from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+
+    params = las.init_asr(jax.random.key(5), CFG)
+    x, lens = _inputs(rng, B=3, T=24)
+    t1, l1 = greedy.greedy_decode(params, CFG, x, lens, max_steps=20)
+    t2, l2 = greedy_decode_early_exit(params, CFG, x, lens, max_steps=20)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_early_exit_with_lm(rng):
+    from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+
+    params = las.init_asr(jax.random.key(6), CFG)
+    lm_params = charlm.init_charlm(jax.random.key(7), LM_CFG)
+    x, lens = _inputs(rng, B=2)
+    t1, l1 = greedy.greedy_decode(
+        params, CFG, x, lens, max_steps=15, lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=0.4
+    )
+    t2, l2 = greedy_decode_early_exit(
+        params, CFG, x, lens, max_steps=15, lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=0.4
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
