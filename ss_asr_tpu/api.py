@@ -1,0 +1,115 @@
+"""High-level inference API: checkpoint -> transcripts in three lines.
+
+    from ss_asr_tpu.api import Transcriber
+    t = Transcriber.from_checkpoint("result/exp/asr.npz", config)
+    print(t.transcribe_wav("utt.wav"))
+
+The reference has no equivalent (decoding requires assembling an ASRTester);
+this is the serving-path surface: early-exit greedy by default, beam + LM
+fusion when configured.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.data.asr_dataset import round_up
+from ss_asr_tpu.data.audio import load_wav
+from ss_asr_tpu.models import charlm as charlm_mod
+from ss_asr_tpu.models import las
+from ss_asr_tpu.ops.frontend import compute_fbank
+from ss_asr_tpu.utils import checkpoint as ckpt
+from ss_asr_tpu.vocab import Mapper
+
+
+class Transcriber:
+    def __init__(
+        self,
+        params: Dict,
+        cfg: las.ASRConfig,
+        lm_params: Optional[Dict] = None,
+        lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+        lm_weight: float = 0.0,
+        beam_size: int = 1,
+        max_steps: int = 200,
+        sr: int = 22050,
+        t_bucket: int = 128,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.lm_params = lm_params
+        self.lm_cfg = lm_cfg
+        self.lm_weight = lm_weight
+        self.beam_size = beam_size
+        self.max_steps = max_steps
+        self.sr = sr
+        self.t_bucket = t_bucket
+        self.mapper = Mapper()
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        asr_path: str,
+        config: Optional[dict] = None,
+        lm_path: Optional[str] = None,
+        **kw,
+    ) -> "Transcriber":
+        config = config or {}
+        cfg = las.ASRConfig.from_dict(config.get("asr", {}).get("mdl", {}))
+        params = jax.tree.map(jnp.asarray, ckpt.load_pytree(asr_path))
+        lm_params = lm_cfg = None
+        if lm_path is not None:
+            lm_c = config.get("char_lm", {})
+            lm_cfg = charlm_mod.CharLMConfig.from_dict(lm_c.get("mdl", lm_c))
+            lm_params = jax.tree.map(jnp.asarray, ckpt.load_pytree(lm_path))
+            kw.setdefault(
+                "lm_weight", config.get("asr", {}).get("decode_lm_weight", 0.5)
+            )
+        kw.setdefault("beam_size", config.get("asr", {}).get("decode_beam_size", 1))
+        return cls(params, cfg, lm_params=lm_params, lm_cfg=lm_cfg, **kw)
+
+    # ------------------------------------------------------------------
+    def transcribe_fbank(
+        self, fbanks: Union[np.ndarray, Sequence[np.ndarray]]
+    ) -> List[str]:
+        """[T, feat] or list thereof -> transcripts."""
+        if isinstance(fbanks, np.ndarray) and fbanks.ndim == 2:
+            fbanks = [fbanks]
+        lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
+        T = round_up(int(lens.max()), self.t_bucket)
+        x = np.zeros((len(fbanks), T, self.cfg.feature_dim), dtype=np.float32)
+        for i, f in enumerate(fbanks):
+            x[i, : f.shape[0]] = f
+        x, lens = jnp.asarray(x), jnp.asarray(lens)
+
+        use_lm = self.lm_params is not None and self.lm_weight != 0.0
+        if self.beam_size > 1:
+            from ss_asr_tpu.decode.beam import beam_decode
+
+            toks, _ = beam_decode(
+                self.params, self.cfg, x, lens,
+                beam_size=self.beam_size, max_steps=self.max_steps,
+                lm_params=self.lm_params if use_lm else None,
+                lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
+            )
+        else:
+            from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+
+            toks, _ = greedy_decode_early_exit(
+                self.params, self.cfg, x, lens, max_steps=self.max_steps,
+                lm_params=self.lm_params if use_lm else None,
+                lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
+            )
+        return [self.mapper.translate(t) for t in np.asarray(toks)]
+
+    def transcribe_signal(self, y: np.ndarray, sr: Optional[int] = None) -> str:
+        fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr)
+        return self.transcribe_fbank(fb)[0]
+
+    def transcribe_wav(self, path: str) -> str:
+        sr, y = load_wav(path, target_sr=self.sr)
+        return self.transcribe_signal(y, sr)

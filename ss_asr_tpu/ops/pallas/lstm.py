@@ -95,6 +95,214 @@ def lstm_seq_pallas(
     )(lengths2d, gates_x, whh)
 
 
+def _lstm_fwd_kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
+    """Forward that also streams out the cell states (backward residuals)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    h = h_ref[:]
+    c = c_ref[:]
+    gates = gx_ref[0] + jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+
+    valid = (t < len_ref[:, 0])[:, None]
+    h_new = jnp.where(valid, h2, h)
+    c_new = jnp.where(valid, c2, c)
+    h_ref[:] = h_new
+    c_ref[:] = c_new
+    y_ref[0] = jnp.where(valid, h2, 0.0)
+    cs_ref[0] = c_new
+
+
+def _lstm_bwd_kernel(
+    len_ref, gx_ref, hprev_ref, cprev_ref, c_ref, dy_ref, whh_ref,
+    dgx_ref, dwhh_ref, dh_ref, dc_ref, acc_ref,
+):
+    """Reverse-time backward step.  Grid index k == T-1-t (streams blocks in
+    reverse); carries (dh, dc) and the dWhh accumulator live in VMEM."""
+    k = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - k
+
+    @pl.when(k == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    # recompute the forward gates from streamed residuals
+    gates = gx_ref[0] + jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32)
+    H = h_prev.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_t = c_ref[0]
+    tanh_c = jnp.tanh(c_t)
+
+    dh_in = dh_ref[:]
+    dh = dh_in + dy_ref[0]  # dy only contributes where the step was valid
+    dc = dc_ref[:]
+    do = dh * tanh_c
+    dct = dh * o * (1.0 - tanh_c * tanh_c) + dc
+    di = dct * g
+    dg = dct * i
+    df = dct * c_prev
+    dc_prev = dct * f
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )  # [B, 4H]
+    valid = (t < len_ref[:, 0])[:, None]
+    dgates = jnp.where(valid, dgates, 0.0)
+    # dh_{t-1} = dgates @ Whh^T  (contract the 4H axis)
+    dh_prev = jax.lax.dot_general(
+        dgates, whh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
+    dc_ref[:] = jnp.where(valid, dc_prev, dc)
+    dgx_ref[0] = dgates
+    # dWhh += h_{t-1}^T @ dgates
+    acc_ref[:] += jax.lax.dot_general(
+        h_prev, dgates, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == T - 1)
+    def _():
+        dwhh_ref[:] = acc_ref[:]
+
+
+def _fwd_pallas(gates_x, whh, lengths, interpret):
+    T, B, G = gates_x.shape
+    H = G // 4
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0)),
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0)),
+            pl.BlockSpec((H, G), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )
+    y, cs = pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths2d, gates_x, whh)
+    return y, cs
+
+
+def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
+    T, B, G = gates_x.shape
+    H = G // 4
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    # h_{t-1} / c_{t-1} streams: shift by one (zeros at t=0)
+    h_prev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), y[:-1]], axis=0)
+    c_prev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), cs[:-1]], axis=0)
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731 — reverse-time streaming
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0)),
+            pl.BlockSpec((1, B, G), rev),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((H, G), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G), rev),
+            pl.BlockSpec((H, G), lambda t: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((H, G), jnp.float32),
+        ],
+    )
+    dgx, dwhh = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths2d, gates_x, h_prev, c_prev, cs, dy, whh)
+    return dgx, dwhh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lstm_seq_pallas_vjp(gates_x, whh, lengths, interpret=False):
+    """Differentiable fused LSTM loop: both directions of the time loop run
+    as Pallas kernels with VMEM-resident carries and dWhh accumulation."""
+    y, _ = _fwd_pallas(gates_x, whh, lengths, interpret)
+    return y
+
+
+def _vjp_fwd(gates_x, whh, lengths, interpret):
+    y, cs = _fwd_pallas(gates_x, whh, lengths, interpret)
+    return y, (gates_x, whh, lengths, y, cs)
+
+
+def _vjp_bwd(interpret, res, dy):
+    gates_x, whh, lengths, y, cs = res
+    dgx, dwhh = _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret)
+    return dgx, dwhh, None
+
+
+lstm_seq_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def lstm_scan_pallas_trainable(
+    p, xs: jax.Array, lengths: Optional[jax.Array] = None, interpret: bool = False
+) -> jax.Array:
+    """Differentiable drop-in for ``rnn.lstm_scan(...)[0]`` with Pallas
+    forward *and* backward kernels; the input/weight projections stay in XLA
+    (their grads are plain matmuls)."""
+    B, T, _ = xs.shape
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    gx = xs @ p["w_ih"] + p["b"]
+    gx = jnp.swapaxes(gx, 0, 1)
+    y = lstm_seq_pallas_vjp(gx, p["w_hh"], lengths, interpret)
+    return jnp.swapaxes(y, 0, 1)
+
+
 def lstm_scan_pallas(
     p,
     xs: jax.Array,

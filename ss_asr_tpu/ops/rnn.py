@@ -141,16 +141,32 @@ def gru_step(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
 # Sequence utilities
 # ---------------------------------------------------------------------------
 
+@jax.custom_vjp
 def reverse_sequence(xs: jax.Array, lengths: jax.Array) -> jax.Array:
     """Reverse each row's first ``lengths[b]`` steps, keeping padding in place.
 
     xs: [B, T, ...]; lengths: [B] int. Equivalent to packing + reverse.
+
+    The permutation is an involution, so the VJP is the same gather — the
+    custom rule prevents XLA from emitting its default (slow on TPU)
+    scatter for the transpose of take_along_axis.
     """
     B, T = xs.shape[0], xs.shape[1]
     t = jnp.arange(T)[None, :]
     lens = lengths[:, None]
     idx = jnp.where(t < lens, lens - 1 - t, t)  # [B, T]
     return jnp.take_along_axis(xs, idx.reshape(B, T, *([1] * (xs.ndim - 2))), axis=1)
+
+
+def _reverse_sequence_fwd(xs, lengths):
+    return reverse_sequence(xs, lengths), lengths
+
+
+def _reverse_sequence_bwd(lengths, g):
+    return reverse_sequence(g, lengths), None
+
+
+reverse_sequence.defvjp(_reverse_sequence_fwd, _reverse_sequence_bwd)
 
 
 # ---------------------------------------------------------------------------

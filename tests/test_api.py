@@ -1,0 +1,50 @@
+import numpy as np
+import jax
+
+from ss_asr_tpu.api import Transcriber
+from ss_asr_tpu.models import las
+from ss_asr_tpu.utils import checkpoint as ckpt
+
+
+def test_transcriber_from_checkpoint(tmp_path, rng):
+    cfg = las.ASRConfig(
+        encoder_state_size=8, decoder_state_size=8, mlp_out_size=8, feature_dim=40
+    )
+    params = las.init_asr(jax.random.key(0), cfg)
+    p = str(tmp_path / "asr.npz")
+    ckpt.save_pytree(p, params)
+
+    config = {"asr": {"mdl": {"encoder_state_size": 8, "decoder_state_size": 8,
+                              "mlp_out_size": 8, "feature_dim": 40}}}
+    t = Transcriber.from_checkpoint(p, config, sr=8000, t_bucket=16, max_steps=10)
+
+    out = t.transcribe_signal(rng.standard_normal(4000).astype(np.float32), sr=8000)
+    assert isinstance(out, str)
+
+    outs = t.transcribe_fbank([
+        rng.standard_normal((30, 40)).astype(np.float32),
+        rng.standard_normal((20, 40)).astype(np.float32),
+    ])
+    assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+
+
+def test_transcriber_wav(tmp_path, rng):
+    import wave
+
+    cfg = las.ASRConfig(
+        encoder_state_size=8, decoder_state_size=8, mlp_out_size=8, feature_dim=40
+    )
+    params = las.init_asr(jax.random.key(1), cfg)
+    p = str(tmp_path / "asr.npz")
+    ckpt.save_pytree(p, params)
+    wav = tmp_path / "u.wav"
+    y = (0.1 * rng.standard_normal(8000) * 32767).astype(np.int16)
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(y.tobytes())
+    config = {"asr": {"mdl": {"encoder_state_size": 8, "decoder_state_size": 8,
+                              "mlp_out_size": 8, "feature_dim": 40}}}
+    t = Transcriber.from_checkpoint(p, config, sr=8000, t_bucket=16, max_steps=8)
+    assert isinstance(t.transcribe_wav(str(wav)), str)

@@ -27,3 +27,41 @@ def test_pallas_masks_lengths(rng):
     got = lstm_scan_pallas(p, xs, lengths=lens, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     assert np.all(np.asarray(got)[1, 6:] == 0)
+
+
+def test_pallas_vjp_forward_matches(rng):
+    from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
+
+    B, T, I, H = 4, 9, 8, 16
+    p = rnn.init_lstm(jax.random.key(2), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([9, 7, 4, 2], dtype=jnp.int32)
+    want, _ = rnn.lstm_scan(p, xs, lengths=lens)
+    got = lstm_scan_pallas_trainable(p, xs, lengths=lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pallas_vjp_grads_match_scan(rng):
+    from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
+
+    B, T, I, H = 4, 9, 8, 16
+    p = rnn.init_lstm(jax.random.key(3), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([9, 7, 4, 2], dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def loss_scan(p, xs):
+        y, _ = rnn.lstm_scan(p, xs, lengths=lens)
+        return jnp.sum(y * w)
+
+    def loss_pallas(p, xs):
+        y = lstm_scan_pallas_trainable(p, xs, lengths=lens, interpret=True)
+        return jnp.sum(y * w)
+
+    (gp_s, gx_s) = jax.grad(loss_scan, argnums=(0, 1))(p, xs)
+    (gp_p, gx_p) = jax.grad(loss_pallas, argnums=(0, 1))(p, xs)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-4)
+    for k in ("w_ih", "w_hh", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gp_p[k]), np.asarray(gp_s[k]), atol=1e-4, err_msg=k
+        )
