@@ -103,12 +103,62 @@ def get_torch_baseline(B: int, T: int, L: int, allow_measure: bool) -> float | N
     return val
 
 
+def bench_decode_latency(T: int = 512, max_steps: int = 200, iters: int = 30) -> float:
+    """p50 single-utterance greedy decode latency (early-exit path), ms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+    from ss_asr_tpu.models import las
+
+    cfg = las.ASRConfig()
+    params = las.init_asr(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    dec = jax.jit(
+        lambda x, xl: greedy_decode_early_exit(params, cfg, x, xl, max_steps=max_steps)
+    )
+    lat = []
+    x = jnp.asarray(rng.standard_normal((1, T, cfg.feature_dim)).astype(np.float32))
+    xl = jnp.asarray(np.array([T], dtype=np.int32))
+    jax.block_until_ready(dec(x, xl))  # compile
+    for i in range(iters):
+        # fresh input each call (the relay caches identical invocations)
+        x = jnp.asarray(rng.standard_normal((1, T, cfg.feature_dim)).astype(np.float32))
+        t0 = time.perf_counter()
+        jax.block_until_ready(dec(x, xl))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    log(f"decode latency p50 {p50:.1f} ms (min {lat[0]:.1f}, max {lat[-1]:.1f})")
+    return p50
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI/CPU)")
     ap.add_argument("--no-baseline", action="store_true", help="skip torch measurement")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--metric",
+        choices=["train_throughput", "decode_latency"],
+        default="train_throughput",
+    )
     args = ap.parse_args()
+
+    if args.metric == "decode_latency":
+        p50 = bench_decode_latency(iters=max(args.iters, 20))
+        print(
+            json.dumps(
+                {
+                    "metric": "greedy_decode_latency_p50",
+                    "value": round(p50, 2),
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
 
     if args.quick:
         B, T, L = 8, 64, 16

@@ -144,3 +144,30 @@ def test_round_up():
     assert round_up(1, 16) == 16
     assert round_up(16, 16) == 16
     assert round_up(17, 16) == 32
+
+
+def test_prepare_x_y_compat(tiny_corpus):
+    from ss_asr_tpu.data.asr_dataset import prepare_x, prepare_y
+
+    ds = ASRDataset(tiny_corpus, batch_size=4)
+    b = next(ds.iter_batches(prefetch=0))
+    x, x_lens = prepare_x(b.x)
+    np.testing.assert_array_equal(x_lens, b.x_lens)
+    y, y_lens = prepare_y(b.y)
+    np.testing.assert_array_equal(y_lens, b.y_lens)
+    # reference shape convention: a leading unit axis is squeezed
+    x2, _ = prepare_x(b.x[None])
+    assert x2.shape == b.x.shape
+
+
+def test_host_sharding(tiny_corpus):
+    full = ASRDataset(tiny_corpus, batch_size=2)
+    s0 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(0, 2))
+    s1 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(1, 2))
+    assert s0.num_samples + s1.num_samples == full.num_samples
+    # shards are disjoint
+    p0 = set(s0.frame["path_to_fbank"])
+    p1 = set(s1.frame["path_to_fbank"])
+    assert not (p0 & p1)
+    # strided sharding keeps each shard length-sorted
+    assert list(s0.frame["unpadded_num_frames"]) == sorted(s0.frame["unpadded_num_frames"])
