@@ -126,10 +126,13 @@ def _lstm_fwd_kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
 
 def _lstm_bwd_kernel(
     len_ref, gx_ref, hprev_ref, cprev_ref, c_ref, dy_ref, whh_ref,
-    dgx_ref, dwhh_ref, dh_ref, dc_ref, acc_ref,
+    dgx_ref, dh_ref, dc_ref,
 ):
     """Reverse-time backward step.  Grid index k == T-1-t (streams blocks in
-    reverse); carries (dh, dc) and the dWhh accumulator live in VMEM."""
+    reverse); the (dh, dc) carries live in VMEM.  dWhh is NOT accumulated
+    here: the streamed dgates make it one big batched matmul outside
+    (sum_t h_{t-1}^T dgates_t), which the MXU does far better than T small
+    rank-B updates."""
     k = pl.program_id(0)
     T = pl.num_programs(0)
     t = T - 1 - k
@@ -138,7 +141,6 @@ def _lstm_bwd_kernel(
     def _():
         dh_ref[:] = jnp.zeros_like(dh_ref)
         dc_ref[:] = jnp.zeros_like(dc_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
@@ -180,15 +182,6 @@ def _lstm_bwd_kernel(
     dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
     dc_ref[:] = jnp.where(valid, dc_prev, dc)
     dgx_ref[0] = dgates
-    # dWhh += h_{t-1}^T @ dgates
-    acc_ref[:] += jax.lax.dot_general(
-        h_prev, dgates, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(k == T - 1)
-    def _():
-        dwhh_ref[:] = acc_ref[:]
 
 
 def _fwd_pallas(gates_x, whh, lengths, interpret):
@@ -246,23 +239,22 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, B, G), rev),
-            pl.BlockSpec((H, G), lambda t: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((H, G), jnp.float32),
         ],
     )
-    dgx, dwhh = pl.pallas_call(
+    (dgx,) = pl.pallas_call(
         _lstm_bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),
-            jax.ShapeDtypeStruct((H, G), jnp.float32),
         ],
         interpret=interpret,
     )(lengths2d, gates_x, h_prev, c_prev, cs, dy, whh)
+    # dWhh = sum_t h_{t-1}^T dgates_t as ONE batched MXU matmul
+    dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dgx)
     return dgx, dwhh
 
 

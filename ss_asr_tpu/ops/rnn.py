@@ -35,6 +35,21 @@ Params = Dict[str, jax.Array]
 #: Rematerialize scan bodies in the backward pass (see module docstring).
 SCAN_REMAT = True
 
+#: LSTM sequence implementation: "auto" uses the fused Pallas kernels
+#: (ops/pallas/lstm.py — measured ~2x faster fwd+bwd than lax.scan on v5e)
+#: whenever the backend is TPU, and lax.scan elsewhere. Set to "scan" to
+#: force the XLA path (e.g. for model-axis-sharded multi-chip runs until the
+#: kernel grows a GSPMD partitioning rule) or "pallas" to force the kernel.
+LSTM_IMPL = "auto"
+
+
+def _use_pallas_lstm() -> bool:
+    if LSTM_IMPL == "pallas":
+        return True
+    if LSTM_IMPL == "scan":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 # ---------------------------------------------------------------------------
 # Initializers (reference: src/asr.py:175-212)
@@ -247,7 +262,20 @@ def bilstm_scan(
     vmap-over-directions variant was measured slower on TPU v5e — batched
     [2,B,H]x[2,H,4H] matmuls serialize on the MXU anyway and the combined
     program compiles far slower.)
+
+    On TPU the per-direction sequence runs through the fused Pallas kernels
+    (see ``LSTM_IMPL``).
     """
+    if _use_pallas_lstm():
+        from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable as plstm
+
+        fwd = plstm(p["fwd"], xs, lengths)
+        if lengths is None:
+            bwd = plstm(p["bwd"], xs[:, ::-1])[:, ::-1]
+        else:
+            xr = reverse_sequence(xs, lengths)
+            bwd = reverse_sequence(plstm(p["bwd"], xr, lengths), lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
     fwd, _ = lstm_scan(p["fwd"], xs, lengths, reverse=False)
     bwd, _ = lstm_scan(p["bwd"], xs, lengths, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)
