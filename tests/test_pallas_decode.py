@@ -1,0 +1,28 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss_asr_tpu.decode.greedy import greedy_decode
+from ss_asr_tpu.models import las
+from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
+
+CFG = las.ASRConfig(encoder_state_size=8, decoder_state_size=8, mlp_out_size=8, feature_dim=5)
+
+
+def test_pallas_decode_matches_scan(rng):
+    params = las.init_asr(jax.random.key(0), CFG)
+    x = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    lens = jnp.asarray([16, 16])
+    t1, l1 = greedy_decode(params, CFG, x, lens, max_steps=12)
+    t2, l2 = greedy_decode_pallas(params, CFG, x, lens, max_steps=12, interpret=True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_pallas_decode_masked_lengths(rng):
+    params = las.init_asr(jax.random.key(1), CFG)
+    x = jnp.asarray(rng.standard_normal((2, 24, 5)).astype(np.float32))
+    lens = jnp.asarray([24, 9])
+    t1, l1 = greedy_decode(params, CFG, x, lens, max_steps=10)
+    t2, l2 = greedy_decode_pallas(params, CFG, x, lens, max_steps=10, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
