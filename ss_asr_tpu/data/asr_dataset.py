@@ -38,6 +38,62 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Optional native batch loader (C pthread pool reading .npy payloads straight
+# into the padded batch buffer; replaces the reference's DataLoader workers).
+def _get_batchloader():
+    global _BATCHLOADER
+    try:
+        return _BATCHLOADER
+    except NameError:
+        pass
+    import ctypes
+
+    from ss_asr_tpu import native
+
+    lib = native.load("batchloader.c", "libbatchloader.so")
+    if lib is not None:
+        lib.load_fbank_batch.restype = ctypes.c_int
+        lib.load_fbank_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+        ]
+    _BATCHLOADER = lib
+    return lib
+
+
+def load_fbank_batch_native(
+    paths, out: np.ndarray, lens: np.ndarray, n_threads: int = 8
+) -> Optional[np.ndarray]:
+    """Fill ``out[i, :lens[i]]`` from each .npy; returns per-row status array
+    (0 = ok) or None when the native library is unavailable."""
+    import ctypes
+
+    lib = _get_batchloader()
+    if lib is None:
+        return None
+    n, t_pad, feat = out.shape
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    status = np.zeros(n, dtype=np.int64)
+    lib.load_fbank_batch(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t_pad,
+        feat,
+        lens64.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return status
+
+
 @dataclass
 class Batch:
     """One training batch with static (bucketed) shapes."""
@@ -121,14 +177,21 @@ class ASRDataset:
         return out, lens
 
     def _load_fbanks(self, rows) -> tuple[np.ndarray, np.ndarray]:
-        fbanks = [np.load(p) for p in rows["path_to_fbank"]]
+        paths = list(rows["path_to_fbank"])
         lens = rows["unpadded_num_frames"].to_numpy(dtype=np.int32)
-        # tolerate both globally-padded (reference artifacts) and exact-length
-        # fbanks: trim or use as-is, then pad to the bucketed batch max
         T = round_up(int(lens.max()), self.t_bucket)
-        out = np.zeros((len(fbanks), T, self.feature_dim), dtype=np.float32)
-        for i, (fb, ln) in enumerate(zip(fbanks, lens)):
-            ln = min(int(ln), fb.shape[0], T)
+        out = np.zeros((len(paths), T, self.feature_dim), dtype=np.float32)
+        clipped = np.minimum(lens, T)
+        status = load_fbank_batch_native(paths, out, clipped)
+        if status is None:
+            bad = range(len(paths))  # no native lib: load everything in python
+        else:
+            bad = np.nonzero(status != 0)[0]
+        # python fallback rows; tolerates globally-padded (reference layout)
+        # and exact-length fbanks alike
+        for i in bad:
+            fb = np.load(paths[i])
+            ln = min(int(lens[i]), fb.shape[0], T)
             out[i, :ln] = fb[:ln]
         return out, lens
 

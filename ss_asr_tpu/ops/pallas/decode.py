@@ -95,6 +95,13 @@ def _decode_kernel(
     emit = jnp.where(done, jnp.int32(SOS_ID), ids)
     done_new = jnp.logical_or(done, ids == EOS_ID)
 
+    # the [max_steps, B] token buffer stays fully VMEM-resident (tiny);
+    # write row t with a masked update (per-step (1, B) blocks violate the
+    # sublane tiling rule)
+    T_out = out_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
+    out_ref[:] = jnp.where(row == t, emit[None, :], out_ref[:])
+
     # feedback: embed via one-hot matmul (dynamic row gather lowers poorly)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == ids[:, None]).astype(
         jnp.float32
@@ -106,7 +113,6 @@ def _decode_kernel(
     h2_ref[:] = h2n
     c2_ref[:] = c2
     done_ref[:] = done_new[:, None].astype(jnp.int32)
-    out_ref[0] = emit
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "interpret"))
@@ -135,7 +141,7 @@ def _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret):
             pl.BlockSpec((1, V), lambda t: (0, 0)),
             pl.BlockSpec(emb.shape, fixed),
         ],
-        out_specs=pl.BlockSpec((1, B), lambda t: (t, 0)),
+        out_specs=pl.BlockSpec((max_steps, B), lambda t: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),  # h1
             pltpu.VMEM((B, H), jnp.float32),  # c1

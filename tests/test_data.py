@@ -171,3 +171,34 @@ def test_host_sharding(tiny_corpus):
     assert not (p0 & p1)
     # strided sharding keeps each shard length-sorted
     assert list(s0.frame["unpadded_num_frames"]) == sorted(s0.frame["unpadded_num_frames"])
+
+
+def test_native_batchloader_matches_numpy(tiny_corpus):
+    from ss_asr_tpu.data.asr_dataset import load_fbank_batch_native
+
+    ds = ASRDataset(tiny_corpus, batch_size=4)
+    rows = ds.frame.iloc[0:4]
+    paths = list(rows["path_to_fbank"])
+    lens = rows["unpadded_num_frames"].to_numpy(dtype=np.int32)
+    T = int(lens.max())
+    out = np.zeros((4, T, 40), dtype=np.float32)
+    status = load_fbank_batch_native(paths, out, lens)
+    if status is None:
+        pytest.skip("native batchloader unavailable")
+    assert np.all(status == 0)
+    for i, p in enumerate(paths):
+        ref = np.load(p)
+        np.testing.assert_array_equal(out[i, : lens[i]], ref[: lens[i]])
+        assert np.all(out[i, lens[i]:] == 0)
+
+
+def test_native_batchloader_bad_file_falls_back(tmp_path, tiny_corpus):
+    from ss_asr_tpu.data.asr_dataset import load_fbank_batch_native
+
+    bogus = tmp_path / "bogus.npy"
+    bogus.write_bytes(b"not a npy file")
+    out = np.zeros((1, 8, 40), dtype=np.float32)
+    status = load_fbank_batch_native([str(bogus)], out, np.array([8]))
+    if status is None:
+        pytest.skip("native batchloader unavailable")
+    assert status[0] != 0  # flagged, python fallback path would handle it
