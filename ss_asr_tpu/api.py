@@ -38,6 +38,7 @@ class Transcriber:
         max_steps: int = 200,
         sr: int = 22050,
         t_bucket: int = 128,
+        use_pallas_kernel: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -48,6 +49,7 @@ class Transcriber:
         self.max_steps = max_steps
         self.sr = sr
         self.t_bucket = t_bucket
+        self.use_pallas_kernel = use_pallas_kernel
         self.mapper = Mapper()
 
     @classmethod
@@ -95,6 +97,12 @@ class Transcriber:
                 beam_size=self.beam_size, max_steps=self.max_steps,
                 lm_params=self.lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
+            )
+        elif self.use_pallas_kernel and not use_lm:
+            from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
+
+            toks, _ = greedy_decode_pallas(
+                self.params, self.cfg, x, lens, max_steps=self.max_steps
             )
         else:
             from ss_asr_tpu.decode.greedy import greedy_decode_early_exit

@@ -93,6 +93,34 @@ def shard_batch(tree, mesh: Mesh):
     )
 
 
+def shard_map_grads(grads_fn, mesh: Mesh, n_batch_args: int):
+    """Explicit-SPMD data parallelism for a gradient function.
+
+    ``grads_fn(params, *batch_args) -> (loss, grads)`` runs per device on its
+    local batch shard (params replicated); loss and grads are pmean-ed over
+    DATA_AXIS.  Unlike jit+GSPMD sharding, every op inside — including Pallas
+    kernels, which GSPMD cannot partition — sees plain local arrays, so this
+    is the multi-chip path that composes with the fused LSTM/decode kernels.
+    """
+    from jax import lax, shard_map
+
+    def local_fn(params, *batch):
+        loss, grads = grads_fn(params, *batch)
+        loss = lax.pmean(loss, DATA_AXIS)
+        grads = jax.tree.map(lambda g: lax.pmean(g, DATA_AXIS), grads)
+        return loss, grads
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in range(n_batch_args)),
+        out_specs=(P(), P()),
+        # scan carries start replicated and become device-varying after the
+        # first step; skip the varying-axis check rather than pcast every init
+        check_vma=False,
+    )
+
+
 def pad_batch_to(tree, batch: int):
     """Pad every array's leading dim up to ``batch`` (repeat-last) so the
     global batch divides the data axis; returns (tree, n_valid)."""

@@ -107,3 +107,33 @@ def test_graft_entry_contract():
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     g.dryrun_multichip(8)
+
+
+def test_shard_map_grads_matches_single_device(rng):
+    """Explicit-SPMD DP (shard_map) must equal single-device loss and grads."""
+    params = las.init_asr(jax.random.key(0), CFG)
+    x, x_lens, y = _batch(rng)
+    key = jax.random.key(1)
+
+    def loss_tf(p, x, xl, yy):
+        # tf_rate=1: no sampling, so per-device RNG shapes cannot diverge
+        _, logits, _ = las.asr_forward(
+            p, CFG, x, xl, yy.shape[1] - 1, teacher=yy, key=key, tf_rate=1.0
+        )
+        return losses.masked_ce_per_utt(logits, yy[:, 1:], yy)
+
+    def grads_fn(p, x, xl, yy):
+        return jax.value_and_grad(loss_tf)(p, x, xl, yy)
+
+    ref_loss, ref_grads = jax.jit(grads_fn)(params, x, x_lens, y)
+
+    m = pmesh.make_mesh(n_data=8, n_model=1)
+    wrapped = jax.jit(pmesh.shard_map_grads(grads_fn, m, n_batch_args=3))
+    with jax.set_mesh(m):
+        loss, grads = wrapped(params, x, x_lens, y)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads["char_trans"]["w"]),
+        np.asarray(ref_grads["char_trans"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
