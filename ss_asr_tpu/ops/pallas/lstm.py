@@ -95,101 +95,118 @@ def lstm_seq_pallas(
     )(lengths2d, gates_x, whh)
 
 
+#: time steps per grid block — amortizes DMA issue overhead across CHUNK
+#: steps (per-step blocks spend more time launching copies than computing)
+CHUNK = 8
+
+
 def _lstm_fwd_kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
-    """Forward that also streams out the cell states (backward residuals).
+    """Forward over one CHUNK of time steps; streams out h and c states
+    (backward residuals).
 
     ``gx``/``whh`` may arrive in bf16 (halved HBM/VMEM traffic, faster MXU
     pass); the recurrent matmul accumulates in f32 and the carries stay f32.
     """
-    t = pl.program_id(0)
+    k = pl.program_id(0)
+    C = gx_ref.shape[0]
 
-    @pl.when(t == 0)
+    @pl.when(k == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    h = h_ref[:]
-    c = c_ref[:]
-    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
-    )
-    H = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c2 = f * c + i * g
-    h2 = o * jnp.tanh(c2)
+    def step(i, _):
+        t = k * C + i
+        h = h_ref[:]
+        c = c_ref[:]
+        gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
+            h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
+        )
+        H = h.shape[-1]
+        ii = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c2 = f * c + ii * g
+        h2 = o * jnp.tanh(c2)
+        valid = (t < len_ref[:, 0])[:, None]
+        h_new = jnp.where(valid, h2, h)
+        c_new = jnp.where(valid, c2, c)
+        h_ref[:] = h_new
+        c_ref[:] = c_new
+        y_ref[i] = jnp.where(valid, h2, 0.0)
+        cs_ref[i] = c_new
+        return 0
 
-    valid = (t < len_ref[:, 0])[:, None]
-    h_new = jnp.where(valid, h2, h)
-    c_new = jnp.where(valid, c2, c)
-    h_ref[:] = h_new
-    c_ref[:] = c_new
-    y_ref[0] = jnp.where(valid, h2, 0.0)
-    cs_ref[0] = c_new
+    jax.lax.fori_loop(0, C, step, 0)
 
 
-def _lstm_bwd_kernel(
-    len_ref, gx_ref, hprev_ref, cprev_ref, c_ref, dy_ref, whh_ref,
-    dgx_ref, dh_ref, dc_ref,
-):
-    """Reverse-time backward step.  Grid index k == T-1-t (streams blocks in
-    reverse); the (dh, dc) carries live in VMEM.  dWhh is NOT accumulated
-    here: the streamed dgates make it one big batched matmul outside
-    (sum_t h_{t-1}^T dgates_t), which the MXU does far better than T small
-    rank-B updates."""
+def _lstm_bwd_kernel(len_ref, gx_ref, res_ref, whh_ref, dgx_ref, dh_ref, dc_ref):
+    """Reverse-time backward over one CHUNK (grid streams chunks newest-
+    first); the (dh, dc) carries live in VMEM.  Residuals arrive packed as
+    ``res = [h_prev | c_prev | c_t | dy]`` [C, B, 4H] — one stream instead of
+    four.  dWhh is NOT accumulated here: the streamed dgates make it one big
+    batched matmul outside (sum_t h_{t-1}^T dgates_t)."""
     k = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - k
+    Tc = pl.num_programs(0)
+    C = gx_ref.shape[0]
 
     @pl.when(k == 0)
     def _():
         dh_ref[:] = jnp.zeros_like(dh_ref)
         dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    # recompute the forward gates from streamed residuals
-    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
-        h_prev.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
-    )
-    H = h_prev.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_t = c_ref[0]
-    tanh_c = jnp.tanh(c_t)
+    def step(j, _):
+        i = C - 1 - j  # walk the chunk backwards
+        t = (Tc - 1 - k) * C + i
+        res = res_ref[i]
+        H = dh_ref.shape[-1]
+        h_prev = res[:, :H]
+        c_prev = res[:, H : 2 * H]
+        c_t = res[:, 2 * H : 3 * H]
+        dy = res[:, 3 * H :]
+        # recompute the forward gates from streamed residuals
+        gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
+            h_prev.astype(whh_ref.dtype), whh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        ii = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        tanh_c = jnp.tanh(c_t)
 
-    dh_in = dh_ref[:]
-    dh = dh_in + dy_ref[0]  # dy only contributes where the step was valid
-    dc = dc_ref[:]
-    do = dh * tanh_c
-    dct = dh * o * (1.0 - tanh_c * tanh_c) + dc
-    di = dct * g
-    dg = dct * i
-    df = dct * c_prev
-    dc_prev = dct * f
-    dgates = jnp.concatenate(
-        [
-            di * i * (1.0 - i),
-            df * f * (1.0 - f),
-            dg * (1.0 - g * g),
-            do * o * (1.0 - o),
-        ],
-        axis=-1,
-    )  # [B, 4H]
-    valid = (t < len_ref[:, 0])[:, None]
-    dgates = jnp.where(valid, dgates, 0.0)
-    # dh_{t-1} = dgates @ Whh^T  (contract the 4H axis)
-    dh_prev = jax.lax.dot_general(
-        dgates.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
-    dc_ref[:] = jnp.where(valid, dc_prev, dc)
-    dgx_ref[0] = dgates
+        dh_in = dh_ref[:]
+        dh = dh_in + dy  # dy only contributes where the step was valid
+        dc = dc_ref[:]
+        do = dh * tanh_c
+        dct = dh * o * (1.0 - tanh_c * tanh_c) + dc
+        di = dct * g
+        dg = dct * ii
+        df = dct * c_prev
+        dc_prev = dct * f
+        dgates = jnp.concatenate(
+            [
+                di * ii * (1.0 - ii),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )  # [B, 4H]
+        valid = (t < len_ref[:, 0])[:, None]
+        dgates = jnp.where(valid, dgates, 0.0)
+        # dh_{t-1} = dgates @ Whh^T  (contract the 4H axis)
+        dh_prev = jax.lax.dot_general(
+            dgates.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
+        dc_ref[:] = jnp.where(valid, dc_prev, dc)
+        dgx_ref[i] = dgates
+        return 0
+
+    jax.lax.fori_loop(0, C, step, 0)
 
 
 #: MXU input dtype for the kernels: "float32" (default) or "bfloat16"
@@ -203,23 +220,34 @@ def _kdt():
     return _jnp.bfloat16 if KERNEL_DTYPE == "bfloat16" else _jnp.float32
 
 
+def _pad_time(a, Tp):
+    T = a.shape[0]
+    if T == Tp:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((Tp - T,) + a.shape[1:], a.dtype)], axis=0
+    )
+
+
 def _fwd_pallas(gates_x, whh, lengths, interpret):
     gates_x = gates_x.astype(_kdt())
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
     H = G // 4
+    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    gates_x = _pad_time(gates_x, Tp)  # padded steps are masked by lengths
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(T,),
+        grid=(Tp // CHUNK,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0)),
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0)),
-            pl.BlockSpec((H, G), lambda t: (0, 0)),
+            pl.BlockSpec((B, 1), lambda k: (0, 0)),
+            pl.BlockSpec((CHUNK, B, G), lambda k: (k, 0, 0)),
+            pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((CHUNK, B, H), lambda k: (k, 0, 0)),
+            pl.BlockSpec((CHUNK, B, H), lambda k: (k, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -230,12 +258,12 @@ def _fwd_pallas(gates_x, whh, lengths, interpret):
         _lstm_fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
         ],
         interpret=interpret,
     )(lengths2d, gates_x, whh)
-    return y, cs
+    return y[:T], cs[:T]
 
 
 def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
@@ -243,25 +271,34 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
     H = G // 4
+    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
-    # h_{t-1} / c_{t-1} streams: shift by one (zeros at t=0)
-    h_prev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), y[:-1]], axis=0)
-    c_prev = jnp.concatenate([jnp.zeros((1, B, H), jnp.float32), cs[:-1]], axis=0)
-    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731 — reverse-time streaming
+    # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream)
+    zrow = jnp.zeros((1, B, H), jnp.float32)
+    res = jnp.concatenate(
+        [
+            jnp.concatenate([zrow, y[:-1]], axis=0),
+            jnp.concatenate([zrow, cs[:-1]], axis=0),
+            cs,
+            dy.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    gates_x = _pad_time(gates_x, Tp)
+    res = _pad_time(res, Tp)
+    Tc = Tp // CHUNK
+    rev = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest chunk first
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(T,),
+        grid=(Tc,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0)),
-            pl.BlockSpec((1, B, G), rev),
-            pl.BlockSpec((1, B, H), rev),
-            pl.BlockSpec((1, B, H), rev),
-            pl.BlockSpec((1, B, H), rev),
-            pl.BlockSpec((1, B, H), rev),
-            pl.BlockSpec((H, G), lambda t: (0, 0)),
+            pl.BlockSpec((B, 1), lambda k: (0, 0)),
+            pl.BlockSpec((CHUNK, B, G), rev),
+            pl.BlockSpec((CHUNK, B, 4 * H), rev),
+            pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G), rev),
+            pl.BlockSpec((CHUNK, B, G), rev),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -272,11 +309,13 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
         _lstm_bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, G), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths2d, gates_x, h_prev, c_prev, cs, dy, whh)
+    )(lengths2d, gates_x, res, whh)
+    dgx = dgx[:T]
     # dWhh = sum_t h_{t-1}^T dgates_t as ONE batched MXU matmul
+    h_prev = res[:T, :, :H]
     dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dgx)
     return dgx, dwhh
 
