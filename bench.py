@@ -33,6 +33,8 @@ def log(*a):
 
 
 def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -> float:
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,7 +52,7 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     x_lens = jnp.asarray(np.full((B,), T, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, x_lens, y, key):
         def loss_fn(p):
             _, logits, _ = las.asr_forward(

@@ -44,7 +44,7 @@ class ASRTrainer(Solver):
         cfg = self.cfg
         optim = self.optim
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, x, x_lens, y, key):
             decode_step = y.shape[1] - 1
 

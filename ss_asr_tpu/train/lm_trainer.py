@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +37,7 @@ class CHARLMTrainer(Solver):
         self.opt_state = self.optim.init(self.params)
         cfg, optim = self.cfg, self.optim
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, y, key):
             # reference: input at step 0 is id 0 for the whole batch and the
             # target at step i is y[:, i] (trainer.py:231-239)

@@ -9,6 +9,7 @@ sample's own length included, as there).
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,7 +76,7 @@ class SAETrainer(Solver):
             t_valid = jnp.max(x_lens)
             return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, bn_state, x, x_lens):
             (loss, (_, new_bn)), grads = jax.value_and_grad(
                 lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True

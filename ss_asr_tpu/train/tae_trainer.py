@@ -13,6 +13,7 @@ ignore_index=0 (src/trainer.py:665-676).
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,7 +77,7 @@ class TAETrainer(Solver):
             )
             return losses.masked_ce_per_utt(logits, y, y), logits
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, y, y_noised, noise_lens, key):
             (loss, logits), grads = jax.value_and_grad(
                 lambda p: loss_of(p, y, y_noised, noise_lens, key), has_aux=True
