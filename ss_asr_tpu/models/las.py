@@ -126,8 +126,14 @@ def attention_precompute(p: Params, h: jax.Array) -> jax.Array:
 
 
 def attention_mask(enc_lens: jax.Array, S: int) -> jax.Array:
-    """[B, S] True at valid encoder positions."""
-    return jnp.arange(S)[None, :] < enc_lens[:, None]
+    """[B, S] True at valid encoder positions.
+
+    Lengths are clamped to >= 1: a sub-8-frame utterance floors to zero
+    encoder steps through the pyramid, and an all-masked row would turn the
+    attention softmax into NaNs (the reference would crash on packing such
+    an utterance instead).
+    """
+    return jnp.arange(S)[None, :] < jnp.maximum(enc_lens, 1)[:, None]
 
 
 def attention_step(

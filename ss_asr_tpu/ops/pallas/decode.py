@@ -121,7 +121,8 @@ def _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret):
     (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = weights
     H = whh1.shape[0]
     V = ct_w.shape[1]
-    lengths2d = enc_lens.astype(jnp.int32).reshape(B, 1)
+    # clamp: all-masked attention rows would NaN (see las.attention_mask)
+    lengths2d = jnp.maximum(enc_lens.astype(jnp.int32), 1).reshape(B, 1)
     fixed = lambda t: tuple(0 for _ in range(2))  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

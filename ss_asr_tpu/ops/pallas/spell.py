@@ -450,7 +450,8 @@ def _spell_core(
     phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb,
 ):
     W = (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb)
-    lens2d = lens_f.astype(jnp.int32).reshape(-1, 1)
+    # clamp: all-masked attention rows would NaN (see las.attention_mask)
+    lens2d = jnp.maximum(lens_f.astype(jnp.int32), 1).reshape(-1, 1)
     logits, a, *_ = _run_fwd(
         enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret
     )
@@ -460,7 +461,7 @@ def _spell_core(
 def _spell_fwd(interpret, enc_h, comp_h, lens_f, tf_draws, gumbel, teacher_emb,
                phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb):
     W = (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb)
-    lens2d = lens_f.astype(jnp.int32).reshape(-1, 1)
+    lens2d = jnp.maximum(lens_f.astype(jnp.int32), 1).reshape(-1, 1)
     logits, a, h1s, c1s, h2s, c2s, fed = _run_fwd(
         enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret
     )
@@ -477,7 +478,7 @@ def _spell_bwd(interpret, res, cts):
     L, B, V = dlogits.shape
     H = whh1.shape[0]
     E = emb.shape[1]
-    lens2d = lens_f.astype(jnp.int32).reshape(-1, 1)
+    lens2d = jnp.maximum(lens_f.astype(jnp.int32), 1).reshape(-1, 1)
 
     z = lambda s: jnp.zeros((1,) + s, jnp.float32)  # noqa: E731
     h1p = jnp.concatenate([z((B, H)), h1s[:-1]], axis=0)
