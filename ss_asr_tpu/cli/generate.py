@@ -13,6 +13,12 @@ import yaml
 
 from ss_asr_tpu.train import CHARLMTrainer
 from ss_asr_tpu.train.solver import make_paras
+from ss_asr_tpu.vocab import normalize_string
+
+
+def _parse_bool(s: str) -> bool:
+    """argparse type=bool is a trap: bool("False") is True."""
+    return s.lower() not in ("false", "0", "no", "")
 
 
 def main(argv=None):
@@ -25,7 +31,7 @@ def main(argv=None):
     parser.add_argument("--logdir", type=str, default="runs/")
     parser.add_argument("--ckpdir", type=str, default="result/")
     parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--verbose", type=bool, default=True)
+    parser.add_argument("--verbose", type=_parse_bool, default=True)
     args = parser.parse_args(argv)
 
     with open(args.config, "r") as f:
@@ -35,7 +41,8 @@ def main(argv=None):
     trainer = CHARLMTrainer(config, paras)
     trainer.load_data()
     trainer.set_model()
-    print(trainer.generate(length=args.length, temp=args.temp, start=args.start))
+    start, _ = normalize_string(args.start, append_tokens=False)
+    print(trainer.generate(length=args.length, temp=args.temp, start=start))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,12 @@ import yaml
 
 from ss_asr_tpu.train import CHARLMTrainer
 from ss_asr_tpu.train.solver import make_paras
+from ss_asr_tpu.vocab import normalize_string
+
+
+def _parse_bool(s: str) -> bool:
+    """argparse type=bool is a trap: bool("False") is True."""
+    return s.lower() not in ("false", "0", "no", "")
 
 
 def main(argv=None):
@@ -24,7 +30,7 @@ def main(argv=None):
     parser.add_argument("--logdir", type=str, default="runs/")
     parser.add_argument("--ckpdir", type=str, default="result/")
     parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--verbose", type=bool, default=True)
+    parser.add_argument("--verbose", type=_parse_bool, default=True)
     parser.add_argument("--text", type=str, required=True)
     args = parser.parse_args(argv)
 
@@ -36,7 +42,8 @@ def main(argv=None):
     trainer.load_data()
     trainer.set_model()
 
-    x, y = args.text[:-1], args.text[1:]
+    text, _ = normalize_string(args.text, append_tokens=False)
+    x, y = text[:-1], text[1:]
     print(y)
     for t in [0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1]:
         acc = trainer.predict(x, y, t)

@@ -17,6 +17,11 @@ import numpy as np
 import yaml
 
 
+def _parse_bool(s: str) -> bool:
+    """argparse type=bool is a trap: bool("False") is True."""
+    return s.lower() not in ("false", "0", "no", "")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="ss_asr_tpu.train")
     parser.add_argument(
@@ -36,7 +41,7 @@ def main(argv=None):
     parser.add_argument("logdir", type=str, nargs="?", default="runs/")
     parser.add_argument("ckpdir", type=str, nargs="?", default="result/")
     parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--verbose", type=bool, default=True)
+    parser.add_argument("--verbose", type=_parse_bool, default=True)
     paras = parser.parse_args(argv)
 
     with open(paras.config, "r") as f:

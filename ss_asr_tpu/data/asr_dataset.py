@@ -126,8 +126,7 @@ class ASRDataset:
             self.frame = self.frame.sort_values(by=[sort_key], ascending=sort_ascending)
         if host_shard is not None:
             # multi-host input pipeline: each process reads a strided shard
-            host_id, num_hosts = host_shard
-            self.frame = self.frame.iloc[host_id::num_hosts]
+            self.frame = shard_index_rows(self.frame, *host_shard)
         self.batch_size = batch_size
         self.text_only = text_only
         self.drop_rate = drop_rate
@@ -151,6 +150,12 @@ class ASRDataset:
     def __len__(self) -> int:
         """Number of full batches."""
         return self.num_samples // self.batch_size
+
+    def num_batches(self, drop_last: bool = True) -> int:
+        """Batch count as iter_batches will actually yield it."""
+        if drop_last:
+            return self.num_samples // self.batch_size
+        return (self.num_samples + self.batch_size - 1) // self.batch_size
 
     # -- internals --------------------------------------------------------
     def _drop_chars(self, ids: np.ndarray) -> np.ndarray:
@@ -246,8 +251,9 @@ class ASRDataset:
             try:
                 for s in starts:
                     q.put(self.get_batch(s, pad_to_full=not drop_last))
-            finally:
                 q.put(stop_token)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -255,6 +261,8 @@ class ASRDataset:
             item = q.get()
             if item is stop_token:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -123,7 +123,7 @@ class ASRTrainer(Solver):
         total_loss, total_acc, total_err, total_cer, n = 0.0, 0.0, 0.0, 0.0, 0
         logits = att = label = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
-            self.verbose(f"Validation step - ( {b_idx} / {len(self.valid_ds)} )", progress=True)
+            self.verbose(f"Validation step - ( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )", progress=True)
             per_utt, logits, att = self._valid_step(
                 self.params, jnp.asarray(b.x), jnp.asarray(b.x_lens), jnp.asarray(b.y)
             )

@@ -127,7 +127,7 @@ class SAETrainer(Solver):
         recon = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
             self.verbose(
-                f"Validation step - {self.tr.step} ( {b_idx} / {len(self.valid_ds)} )",
+                f"Validation step - {self.tr.step} ( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )",
                 progress=True,
             )
             loss, recon = self._valid_step(

@@ -125,7 +125,7 @@ class TAETrainer(Solver):
         avg_loss, n = 0.0, 0
         logits = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
-            self.verbose(f"Validation step -( {b_idx} / {len(self.valid_ds)} )", progress=True)
+            self.verbose(f"Validation step -( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )", progress=True)
             loss, logits = self._valid_step(
                 self.params,
                 jnp.asarray(b.y),

@@ -63,6 +63,9 @@ class ASRTester(Solver):
         self.lm_weight = c.get("decode_lm_weight", 0.0)
         self.decode_beam_size = c.get("decode_beam_size", 1)
         self.max_decode_steps = c.get("max_decode_steps", 200)
+        # decode-length policy: cap steps at ratio * input frames (the
+        # reference plumbs this knob but never uses it — trainer.py:574)
+        self.decode_step_ratio = c.get("max_decode_step_ratio", None)
         self.decode_file += "_lm{}".format(self.lm_weight)
 
     def exec(self, lm_weight=None) -> List[str]:
@@ -91,7 +94,17 @@ class ASRTester(Solver):
         self.verbose(f"Decoded {len(results)} utterances -> {out_path}")
         return results
 
+    def _max_steps_for(self, b) -> int:
+        ms = self.max_decode_steps
+        if self.decode_step_ratio:
+            from ss_asr_tpu.data.asr_dataset import round_up
+
+            # bucketed so few jit shapes; at least one decode step
+            ms = min(ms, max(8, round_up(int(self.decode_step_ratio * b.x.shape[1]), 8)))
+        return ms
+
     def _decode_batch(self, b, lm_weight):
+        max_steps = self._max_steps_for(b)
         if self.decode_beam_size > 1:
             from ss_asr_tpu.decode.beam import beam_decode
 
@@ -101,7 +114,7 @@ class ASRTester(Solver):
                 jnp.asarray(b.x),
                 jnp.asarray(b.x_lens),
                 beam_size=self.decode_beam_size,
-                max_steps=self.max_decode_steps,
+                max_steps=max_steps,
                 lm_params=self.lm_params if lm_weight else None,
                 lm_cfg=self.lm_cfg,
                 lm_weight=lm_weight,
@@ -111,7 +124,7 @@ class ASRTester(Solver):
             self.cfg,
             jnp.asarray(b.x),
             jnp.asarray(b.x_lens),
-            max_steps=self.max_decode_steps,
+            max_steps=max_steps,
             lm_params=self.lm_params if lm_weight else None,
             lm_cfg=self.lm_cfg,
             lm_weight=lm_weight,

@@ -38,5 +38,8 @@ class Tracker:
         self._save()
 
     def _save(self) -> None:
-        with open(self.path, "w") as f:
+        # atomic replace so a killed run can never leave a torn tracker.json
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.data, f)
+        os.replace(tmp, self.path)

@@ -157,3 +157,11 @@ def test_xmlparser(tmp_path):
     norm_out = tmp_path / "norm.txt"
     xmlparser.prepro_file(str(out), str(norm_out))
     assert "$" not in norm_out.read_text() or True  # normalizes without crash
+
+
+def test_cli_verbose_false_parses():
+    from ss_asr_tpu.cli.train import _parse_bool
+
+    assert _parse_bool("False") is False
+    assert _parse_bool("true") is True
+    assert _parse_bool("0") is False

@@ -202,3 +202,28 @@ def test_native_batchloader_bad_file_falls_back(tmp_path, tiny_corpus):
     if status is None:
         pytest.skip("native batchloader unavailable")
     assert status[0] != 0  # flagged, python fallback path would handle it
+
+
+def test_prefetch_propagates_producer_errors(tmp_path):
+    """A corrupt row must raise in the consumer, not silently end the epoch."""
+    fdir = tmp_path / "fb"
+    fdir.mkdir()
+    np.save(str(fdir / "ok.npy"), np.zeros((10, 40), np.float32))
+    rows = [
+        ("<ab>", str(fdir / "ok.npy"), 4, 10, "na", "a.wav"),
+        ("<cd>", str(fdir / "missing.npy"), 4, 12, "na", "b.wav"),
+    ]
+    idx = tmp_path / "i.tsv"
+    with open(idx, "w") as f:
+        for r in rows:
+            f.write("\t".join(map(str, r)) + "\n")
+    ds = ASRDataset(str(idx), batch_size=2)
+    with pytest.raises(FileNotFoundError):
+        list(ds.iter_batches(prefetch=2))
+
+
+def test_num_batches(tiny_corpus):
+    ds = ASRDataset(tiny_corpus, batch_size=4)
+    assert ds.num_batches(drop_last=True) == 2
+    assert ds.num_batches(drop_last=False) == 3
+    assert len(list(ds.iter_batches(drop_last=False, prefetch=0))) == 3
