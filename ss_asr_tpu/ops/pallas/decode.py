@@ -189,3 +189,233 @@ def greedy_decode_pallas(
     )
     toks = _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret)
     return _finalize(toks, max_steps)
+
+
+# ---------------------------------------------------------------------------
+# LM-fused variant: char-LM (2x GRU) stepped in-kernel, shallow fusion
+# ---------------------------------------------------------------------------
+
+def _gru_step_ref(x, h, wih_ref, whh_ref, bih_ref, bhh_ref):
+    H = h.shape[-1]
+    gi = jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32) + bih_ref[0]
+    gh = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32) + bhh_ref[0]
+    r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+    n = jnp.tanh(gi[:, 2 * H :] + r * gh[:, 2 * H :])
+    return (1.0 - z) * n + z * h
+
+
+def _log_softmax(v):
+    m = jnp.max(v, axis=-1, keepdims=True)
+    e = jnp.exp(v - m)
+    return (v - m) - jnp.log(jnp.sum(e, axis=-1, keepdims=True))
+
+
+def _decode_lm_kernel(
+    enc_ref, comp_ref, len_ref, lmw_ref,
+    phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref,
+    ct_w_ref, ct_b_ref, emb_ref,
+    lm_emb_ref, g1_wih_ref, g1_whh_ref, g1_bih_ref, g1_bhh_ref,
+    g2_wih_ref, g2_whh_ref, g2_bih_ref, g2_bhh_ref, lm_w_ref, lm_b_ref,
+    out_ref,
+    h1_ref, c1_ref, h2_ref, c2_ref, last_ref, done_ref, lmh1_ref, lmh2_ref,
+    lastoh_ref,
+):
+    t = pl.program_id(0)
+    B, S, F = enc_ref.shape
+    H = h1_ref.shape[-1]
+    V = ct_w_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        c1_ref[:] = jnp.zeros_like(c1_ref)
+        h2_ref[:] = jnp.zeros_like(h2_ref)
+        c2_ref[:] = jnp.zeros_like(c2_ref)
+        lmh1_ref[:] = jnp.zeros_like(lmh1_ref)
+        lmh2_ref[:] = jnp.zeros_like(lmh2_ref)
+        done_ref[:] = jnp.zeros_like(done_ref)  # scratch arrives uninitialized
+        last_ref[:] = jnp.broadcast_to(emb_ref[SOS_ID, :][None, :], last_ref.shape)
+        oh0 = (jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == SOS_ID).astype(
+            jnp.float32
+        )
+        lastoh_ref[:] = oh0
+
+    h1 = h1_ref[:]
+    q = jnp.tanh(jnp.dot(h1, phi_ref[:], preferred_element_type=jnp.float32))
+    energy = jnp.sum(comp_ref[:] * q[:, None, :], axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    energy = jnp.where(pos < len_ref[:, 0][:, None], energy, -jnp.inf)
+    energy = energy - jnp.max(energy, axis=-1, keepdims=True)
+    w = jnp.exp(energy)
+    score = w / jnp.sum(w, axis=-1, keepdims=True)
+    context = jnp.sum(enc_ref[:] * score[:, :, None], axis=1)
+
+    dec_in = jnp.concatenate([last_ref[:], context], axis=-1)
+    gates1 = (
+        jnp.dot(dec_in, wih1_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h1, whh1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0]
+    )
+    i1 = jax.nn.sigmoid(gates1[:, :H])
+    f1 = jax.nn.sigmoid(gates1[:, H : 2 * H])
+    g1 = jnp.tanh(gates1[:, 2 * H : 3 * H])
+    o1 = jax.nn.sigmoid(gates1[:, 3 * H :])
+    c1 = f1 * c1_ref[:] + i1 * g1
+    h1n = o1 * jnp.tanh(c1)
+    gates2 = (
+        jnp.dot(h1n, wih2_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h2_ref[:], whh2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0]
+    )
+    i2 = jax.nn.sigmoid(gates2[:, :H])
+    f2 = jax.nn.sigmoid(gates2[:, H : 2 * H])
+    g2 = jnp.tanh(gates2[:, 2 * H : 3 * H])
+    o2 = jax.nn.sigmoid(gates2[:, 3 * H :])
+    c2 = f2 * c2_ref[:] + i2 * g2
+    h2n = o2 * jnp.tanh(c2)
+    asr_logits = (
+        jnp.dot(h2n, ct_w_ref[:], preferred_element_type=jnp.float32) + ct_b_ref[0]
+    )
+
+    # char-LM step on the previous fused ids (one-hot held in scratch)
+    lm_x = jnp.dot(lastoh_ref[:], lm_emb_ref[:], preferred_element_type=jnp.float32)
+    lmh1 = _gru_step_ref(lm_x, lmh1_ref[:], g1_wih_ref, g1_whh_ref, g1_bih_ref, g1_bhh_ref)
+    lmh2 = _gru_step_ref(lmh1, lmh2_ref[:], g2_wih_ref, g2_whh_ref, g2_bih_ref, g2_bhh_ref)
+    lm_logits = jnp.dot(lmh2, lm_w_ref[:], preferred_element_type=jnp.float32) + lm_b_ref[0]
+
+    fused = _log_softmax(asr_logits) + lmw_ref[0, 0] * _log_softmax(lm_logits)
+    ids = jnp.argmax(fused, axis=-1).astype(jnp.int32)
+
+    done = done_ref[:, 0] != 0
+    emit = jnp.where(done, jnp.int32(SOS_ID), ids)
+    done_new = jnp.logical_or(done, ids == EOS_ID)
+
+    T_out = out_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
+    out_ref[:] = jnp.where(row == t, emit[None, :], out_ref[:])
+
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == ids[:, None]).astype(
+        jnp.float32
+    )
+    last_ref[:] = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+    lastoh_ref[:] = onehot
+    h1_ref[:] = h1n
+    c1_ref[:] = c1
+    h2_ref[:] = h2n
+    c2_ref[:] = c2
+    lmh1_ref[:] = lmh1
+    lmh2_ref[:] = lmh2
+    done_ref[:] = done_new[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "interpret"))
+def _decode_lm_pallas(enc_h, comp_h, enc_lens, weights, lm_weights, lm_weight,
+                      max_steps, interpret):
+    B, S, F = enc_h.shape
+    (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = weights
+    (lm_emb, g1_wih, g1_whh, g1_bih, g1_bhh, g2_wih, g2_whh, g2_bih, g2_bhh,
+     lm_w, lm_b) = lm_weights
+    H = whh1.shape[0]
+    Hl = g1_whh.shape[0]
+    V = ct_w.shape[1]
+    lengths2d = jnp.maximum(enc_lens.astype(jnp.int32), 1).reshape(B, 1)
+    lmw2d = jnp.full((1, 1), lm_weight, dtype=jnp.float32)
+    fixed = lambda t: (0, 0)  # noqa: E731
+    specs = [
+        pl.BlockSpec((B, S, F), lambda t: (0, 0, 0)),
+        pl.BlockSpec((B, S, phi.shape[1]), lambda t: (0, 0, 0)),
+        pl.BlockSpec((B, 1), fixed),
+        pl.BlockSpec((1, 1), fixed),
+        pl.BlockSpec(phi.shape, fixed),
+        pl.BlockSpec(wih1.shape, fixed),
+        pl.BlockSpec(whh1.shape, fixed),
+        pl.BlockSpec((1, 4 * H), fixed),
+        pl.BlockSpec(wih2.shape, fixed),
+        pl.BlockSpec(whh2.shape, fixed),
+        pl.BlockSpec((1, 4 * H), fixed),
+        pl.BlockSpec(ct_w.shape, fixed),
+        pl.BlockSpec((1, V), fixed),
+        pl.BlockSpec(emb.shape, fixed),
+        pl.BlockSpec(lm_emb.shape, fixed),
+        pl.BlockSpec(g1_wih.shape, fixed),
+        pl.BlockSpec(g1_whh.shape, fixed),
+        pl.BlockSpec((1, 3 * Hl), fixed),
+        pl.BlockSpec((1, 3 * Hl), fixed),
+        pl.BlockSpec(g2_wih.shape, fixed),
+        pl.BlockSpec(g2_whh.shape, fixed),
+        pl.BlockSpec((1, 3 * Hl), fixed),
+        pl.BlockSpec((1, 3 * Hl), fixed),
+        pl.BlockSpec(lm_w.shape, fixed),
+        pl.BlockSpec((1, V), fixed),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(max_steps,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((max_steps, B), lambda t: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, Hl), jnp.float32),
+            pltpu.VMEM((B, Hl), jnp.float32),
+            pltpu.VMEM((B, V), jnp.float32),
+        ],
+    )
+    toks = pl.pallas_call(
+        _decode_lm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((max_steps, B), jnp.int32),
+        interpret=interpret,
+    )(
+        enc_h, comp_h, lengths2d, lmw2d,
+        phi, wih1, whh1, b1.reshape(1, -1), wih2, whh2, b2.reshape(1, -1),
+        ct_w, ct_b.reshape(1, -1), emb,
+        lm_emb, g1_wih, g1_whh, g1_bih.reshape(1, -1), g1_bhh.reshape(1, -1),
+        g2_wih, g2_whh, g2_bih.reshape(1, -1), g2_bhh.reshape(1, -1),
+        lm_w, lm_b.reshape(1, -1),
+    )
+    return jnp.swapaxes(toks, 0, 1)
+
+
+def greedy_decode_lm_pallas(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    lm_params: Dict,
+    lm_weight: float,
+    max_steps: int = 200,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel greedy decode WITH char-LM shallow fusion — the
+    reference's default serving configuration, one kernel per utterance
+    batch (parity: decode.greedy.greedy_decode with lm_params)."""
+    from ss_asr_tpu.decode.greedy import _finalize
+
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    comp_h = las.attention_precompute(params["attention"], enc_h)
+    d = params["decoder"]
+    weights = (
+        params["attention"]["phi"]["w"],
+        d["layer1"]["w_ih"], d["layer1"]["w_hh"], d["layer1"]["b"],
+        d["layer2"]["w_ih"], d["layer2"]["w_hh"], d["layer2"]["b"],
+        params["char_trans"]["w"], params["char_trans"]["b"],
+        params["embed"]["table"],
+    )
+    lm_weights = (
+        lm_params["emb"]["table"],
+        lm_params["gru1"]["w_ih"], lm_params["gru1"]["w_hh"],
+        lm_params["gru1"]["b_ih"], lm_params["gru1"]["b_hh"],
+        lm_params["gru2"]["w_ih"], lm_params["gru2"]["w_hh"],
+        lm_params["gru2"]["b_ih"], lm_params["gru2"]["b_hh"],
+        lm_params["out"]["w"], lm_params["out"]["b"],
+    )
+    toks = _decode_lm_pallas(
+        enc_h, comp_h, enc_lens, weights, lm_weights, lm_weight, max_steps, interpret
+    )
+    return _finalize(toks, max_steps)

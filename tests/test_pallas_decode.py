@@ -26,3 +26,23 @@ def test_pallas_decode_masked_lengths(rng):
     t1, l1 = greedy_decode(params, CFG, x, lens, max_steps=10)
     t2, l2 = greedy_decode_pallas(params, CFG, x, lens, max_steps=10, interpret=True)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_pallas_decode_with_lm_matches_scan(rng):
+    from ss_asr_tpu.models import charlm
+    from ss_asr_tpu.ops.pallas.decode import greedy_decode_lm_pallas
+
+    lm_cfg = charlm.CharLMConfig(hidden_size=8)
+    params = las.init_asr(jax.random.key(2), CFG)
+    lm_params = charlm.init_charlm(jax.random.key(3), lm_cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    lens = jnp.asarray([16, 10])
+    t1, l1 = greedy_decode(
+        params, CFG, x, lens, max_steps=10,
+        lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=0.7,
+    )
+    t2, l2 = greedy_decode_lm_pallas(
+        params, CFG, x, lens, lm_params, 0.7, max_steps=10, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
