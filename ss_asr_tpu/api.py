@@ -98,7 +98,14 @@ class Transcriber:
                 lm_params=self.lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
-        elif self.use_pallas_kernel and not use_lm:
+        elif self.use_pallas_kernel and use_lm:
+            from ss_asr_tpu.ops.pallas.decode import greedy_decode_lm_pallas
+
+            toks, _ = greedy_decode_lm_pallas(
+                self.params, self.cfg, x, lens,
+                self.lm_params, self.lm_weight, max_steps=self.max_steps,
+            )
+        elif self.use_pallas_kernel:
             from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
 
             toks, _ = greedy_decode_pallas(
