@@ -211,17 +211,20 @@ def attend_and_spell(
     B, S, _ = enc_h.shape
     tf = cfg.tf_rate if tf_rate is None else tf_rate
 
-    # TPU fast path: the fused Pallas attend-and-spell kernels (fwd+bwd);
-    # the TAE's tf_cutoff_last quirk and no-teacher eval stay on the scan.
-    if (
-        teacher is not None
-        and not tf_cutoff_last
-        and rnn._use_pallas_lstm()
-    ):
-        from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas
+    # TPU fast path: the fused Pallas attend-and-spell kernels (fwd+bwd for
+    # teacher mode, greedy-feedback fwd for eval); the TAE's tf_cutoff_last
+    # quirk stays on the scan.
+    if rnn._use_pallas_lstm() and not tf_cutoff_last:
+        if teacher is not None:
+            from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas
 
-        return attend_and_spell_pallas(
-            params, cfg, enc_h, enc_lens, decode_step, teacher, key, tf_rate=tf
+            return attend_and_spell_pallas(
+                params, cfg, enc_h, enc_lens, decode_step, teacher, key, tf_rate=tf
+            )
+        from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas_greedy
+
+        return attend_and_spell_pallas_greedy(
+            params, cfg, enc_h, enc_lens, decode_step
         )
 
     comp_h = attention_precompute(params["attention"], enc_h)

@@ -563,6 +563,35 @@ def attend_and_spell_pallas(
         jnp.take(params["embed"]["table"], teacher[:, 1 : decode_step + 1], axis=0),
         0, 1,
     )  # [L, B, E]
+    return _spell_call(params, cfg, enc_h, comp_h, enc_lens, tf_draws, gumbel,
+                       teacher_emb, interpret)
+
+
+def attend_and_spell_pallas_greedy(
+    params: Dict,
+    cfg,
+    enc_h: jax.Array,
+    enc_lens: jax.Array,
+    decode_step: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """No-teacher (free-running) forward through the fused kernel: with zero
+    tf draws and zero Gumbel noise, the in-kernel sampler reduces to greedy
+    argmax feedback — exactly ``las.attend_and_spell(teacher=None)``.  Used
+    by the validation forward (logits + attention maps)."""
+    from ss_asr_tpu.models import las
+
+    B = enc_h.shape[0]
+    comp_h = las.attention_precompute(params["attention"], enc_h)
+    tf_draws = jnp.zeros((decode_step,), jnp.float32)
+    gumbel = jnp.zeros((decode_step, B, cfg.vocab_size), jnp.float32)
+    teacher_emb = jnp.zeros((decode_step, B, cfg.decoder_state_size), jnp.float32)
+    return _spell_call(params, cfg, enc_h, comp_h, enc_lens, tf_draws, gumbel,
+                       teacher_emb, interpret)
+
+
+def _spell_call(params, cfg, enc_h, comp_h, enc_lens, tf_draws, gumbel,
+                teacher_emb, interpret):
     d = params["decoder"]
     logits, a = _spell_core(
         interpret,

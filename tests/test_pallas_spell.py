@@ -75,3 +75,17 @@ def test_grads_match_scan(rng, tf_rate):
         )
     # encoder subtree gets no grad from the decoder loop in either impl
     assert float(jnp.abs(gp_p["encoder"]["pblstm1"]["fwd"]["w_ih"]).sum()) == 0.0
+
+
+def test_greedy_forward_matches_scan(rng):
+    """No-teacher eval forward: kernel with zero draws == scan greedy path."""
+    from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas_greedy
+
+    params, enc_h, enc_lens, y = _setup(rng)
+    L = 8
+    want_logits, want_a = las.attend_and_spell(params, CFG, enc_h, enc_lens, L)
+    got_logits, got_a = attend_and_spell_pallas_greedy(
+        params, CFG, enc_h, enc_lens, L, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), atol=2e-5)
