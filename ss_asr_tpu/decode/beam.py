@@ -44,14 +44,22 @@ def beam_decode(
     lm_params: Optional[Dict] = None,
     lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
     lm_weight: float = 0.0,
+    length_norm: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (tokens [B, max_steps] int32 pad-filled, lengths [B])."""
+    """Returns (tokens [B, max_steps] int32 pad-filled, lengths [B]).
+
+    ``length_norm`` selects the final hypothesis by score / length instead of
+    raw log-prob sum — counters the short-hypothesis bias of un-normalized
+    beam scores (the Google-NMT-style simple normalization)."""
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
-    toks, parents, final_scores, final_done = _beam_scan(
+    toks, parents, final_scores, final_done, hyp_lens = _beam_scan(
         params, cfg, enc_h, enc_lens, beam_size, max_steps, lm_params, lm_cfg, lm_weight
     )
+    scores = np.asarray(final_scores)
+    if length_norm:
+        scores = scores / np.maximum(np.asarray(hyp_lens), 1)
     return _backtrack(
-        np.asarray(toks), np.asarray(parents), np.asarray(final_scores),
+        np.asarray(toks), np.asarray(parents), scores,
         np.asarray(final_done), max_steps,
     )
 
@@ -84,8 +92,10 @@ def _beam_scan(
         flat_idx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)  # [B*K]
         return jax.tree.map(lambda a: a[flat_idx], tree)
 
+    hyplen0 = jnp.zeros((B, K), dtype=jnp.int32)
+
     def body(carry, _):
-        state, lm_state, last_ids, scores, done = carry
+        state, lm_state, last_ids, scores, done, hyp_len = carry
         _, context = las.attention_step(
             params["attention"], comp_hK, enc_hK, state[0][0], validK
         )
@@ -109,19 +119,24 @@ def _beam_scan(
 
         state_new = gather_beams(state_new, parent)
         lm_state_new = gather_beams(lm_state_new, parent) if use_lm else lm_state_new
-        done_new = jnp.take_along_axis(done, parent, axis=1) | (token == EOS_ID)
+        parent_done = jnp.take_along_axis(done, parent, axis=1)
+        done_new = parent_done | (token == EOS_ID)
+        # hypothesis length: steps taken while the parent beam was alive
+        hyp_new = jnp.take_along_axis(hyp_len, parent, axis=1) + jnp.where(
+            parent_done, 0, 1
+        )
         last_new = token.reshape(-1)
 
         return (
-            (state_new, lm_state_new, last_new, top_scores, done_new),
+            (state_new, lm_state_new, last_new, top_scores, done_new, hyp_new),
             (token, parent),
         )
 
-    init = (spell0, lm0, last0, scores0, done0)
-    (_, _, _, scores, done), (toks, parents) = jax.lax.scan(
+    init = (spell0, lm0, last0, scores0, done0, hyplen0)
+    (_, _, _, scores, done, hyp_len), (toks, parents) = jax.lax.scan(
         body, init, None, length=max_steps
     )
-    return toks, parents, scores, done  # toks/parents: [T, B, K]
+    return toks, parents, scores, done, hyp_len  # toks/parents: [T, B, K]
 
 
 def _backtrack(toks, parents, final_scores, final_done, max_steps):

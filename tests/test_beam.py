@@ -36,7 +36,7 @@ def test_beam_matches_exhaustive_reference(rng):
     x, lens = _inputs(rng, B=1)
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, lens)
     K, T = 3, 4
-    toks, parents, fs, fd = BM._beam_scan(
+    toks, parents, fs, fd, _hl = BM._beam_scan(
         params, CFG, enc_h, enc_lens, K, T, None, None, 0.0
     )
     got_scores = np.sort(np.asarray(fs)[0])[::-1]
@@ -81,3 +81,29 @@ def test_beam_with_lm_runs(rng):
     for b in range(2):
         assert np.all(toks[b, lengths[b]:] == SOS_ID)
         assert not np.any(toks[b, : lengths[b]] == EOS_ID)
+
+
+def test_length_norm_beam_contract(rng):
+    params = las.init_asr(jax.random.key(4), CFG)
+    x, lens = _inputs(rng)
+    t_raw, l_raw = beam_decode(params, CFG, x, lens, beam_size=4, max_steps=10)
+    t_ln, l_ln = beam_decode(
+        params, CFG, x, lens, beam_size=4, max_steps=10, length_norm=True
+    )
+    # same output contract; selection may differ
+    assert t_ln.shape == t_raw.shape
+    for b in range(2):
+        assert np.all(t_ln[b, l_ln[b]:] == SOS_ID)
+
+
+def test_length_norm_beam1_matches_greedy(rng):
+    """K=1: normalization is monotonic on a single beam -> greedy unchanged."""
+    from ss_asr_tpu.decode.greedy import greedy_decode
+
+    params = las.init_asr(jax.random.key(5), CFG)
+    x, lens = _inputs(rng)
+    g_toks, g_lens = greedy_decode(params, CFG, x, lens, max_steps=12)
+    b_toks, b_lens = beam_decode(
+        params, CFG, x, lens, beam_size=1, max_steps=12, length_norm=True
+    )
+    np.testing.assert_array_equal(np.asarray(g_toks), b_toks)
