@@ -17,18 +17,25 @@ from ss_asr_tpu.vocab import normalize_string
 TEI_NS = "{http://www.tei-c.org/ns/1.0}"
 
 
+def _flatten_sentence(sentence) -> str:
+    """Join a TEI ``<s>`` element's tokens into running text.
+
+    Word tokens (``<w>``) get a separating space; anything else (``<c>``
+    punctuation) attaches directly to the preceding token, so
+    ``[w:halló, c:,, w:heimur]`` becomes ``"halló, heimur"``.
+    """
+    parts = []
+    for token in sentence:
+        needs_space = parts and token.tag == TEI_NS + "w"
+        parts.append((" " if needs_space else "") + str(token.text))
+    return "".join(parts)
+
+
 def parse_document(file_path: str) -> str:
     root = ET.parse(str(file_path)).getroot()
-    sentences = ""
-    for i, sentence in enumerate(root.iter(TEI_NS + "s")):
-        s = "" if i == 0 else " "
-        for j, p in enumerate(sentence):
-            if j != 0 and p.tag == TEI_NS + "w":
-                s += " {}".format(p.text)
-            else:
-                s += "{}".format(p.text)
-        sentences += s
-    return sentences
+    return " ".join(
+        _flatten_sentence(s) for s in root.iter(TEI_NS + "s")
+    )
 
 
 def parse(parent_dir: str, out_path: str, reset_file: bool = False) -> int:

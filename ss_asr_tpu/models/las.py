@@ -219,12 +219,13 @@ def attend_and_spell(
             from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas
 
             return attend_and_spell_pallas(
-                params, cfg, enc_h, enc_lens, decode_step, teacher, key, tf_rate=tf
+                params, cfg, enc_h, enc_lens, decode_step, teacher, key,
+                tf_rate=tf, interpret=rnn.PALLAS_INTERPRET,
             )
         from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas_greedy
 
         return attend_and_spell_pallas_greedy(
-            params, cfg, enc_h, enc_lens, decode_step
+            params, cfg, enc_h, enc_lens, decode_step, interpret=rnn.PALLAS_INTERPRET
         )
 
     comp_h = attention_precompute(params["attention"], enc_h)

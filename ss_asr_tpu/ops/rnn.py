@@ -37,10 +37,36 @@ SCAN_REMAT = True
 
 #: LSTM sequence implementation: "auto" uses the fused Pallas kernels
 #: (ops/pallas/lstm.py — measured ~2x faster fwd+bwd than lax.scan on v5e)
-#: whenever the backend is TPU, and lax.scan elsewhere. Set to "scan" to
-#: force the XLA path (e.g. for model-axis-sharded multi-chip runs until the
-#: kernel grows a GSPMD partitioning rule) or "pallas" to force the kernel.
+#: whenever the backend is TPU *and* GSPMD would not need to partition the
+#: kernel (see ``_use_pallas_lstm``), and lax.scan elsewhere. Set to "scan"
+#: to force the XLA path or "pallas" to force the kernel.
 LSTM_IMPL = "auto"
+
+#: Run the Pallas kernels in interpreter mode (CPU tests / dryruns). Threaded
+#: into every kernel call site so multi-chip shard_map tests can exercise the
+#: kernel path without TPU hardware.
+PALLAS_INTERPRET = False
+
+
+def _gspmd_axes_live() -> bool:
+    """True when tracing under a >1-device mesh whose axes GSPMD partitions.
+
+    Inside ``shard_map`` all mesh axes are Manual — the kernel sees plain
+    per-device arrays, so fused Pallas kernels compose fine.  Under
+    ``jax.set_mesh`` + jit (GSPMD auto-sharding), Auto/Explicit axes would
+    require a partitioning rule the kernels don't have; fall back to scan.
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return False
+    if am is None or am.empty:
+        return False
+    n = 1
+    for size, kind in zip(am.shape.values(), am.axis_types):
+        if "manual" not in str(kind).lower():
+            n *= size
+    return n > 1
 
 
 def _use_pallas_lstm() -> bool:
@@ -48,7 +74,7 @@ def _use_pallas_lstm() -> bool:
         return True
     if LSTM_IMPL == "scan":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and not _gspmd_axes_live()
 
 
 # ---------------------------------------------------------------------------
@@ -269,12 +295,13 @@ def bilstm_scan(
     if _use_pallas_lstm():
         from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable as plstm
 
-        fwd = plstm(p["fwd"], xs, lengths)
+        itp = PALLAS_INTERPRET
+        fwd = plstm(p["fwd"], xs, lengths, interpret=itp)
         if lengths is None:
-            bwd = plstm(p["bwd"], xs[:, ::-1])[:, ::-1]
+            bwd = plstm(p["bwd"], xs[:, ::-1], interpret=itp)[:, ::-1]
         else:
             xr = reverse_sequence(xs, lengths)
-            bwd = reverse_sequence(plstm(p["bwd"], xr, lengths), lengths)
+            bwd = reverse_sequence(plstm(p["bwd"], xr, lengths, interpret=itp), lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
     fwd, _ = lstm_scan(p["fwd"], xs, lengths, reverse=False)
     bwd, _ = lstm_scan(p["bwd"], xs, lengths, reverse=True)

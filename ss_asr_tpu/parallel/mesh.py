@@ -121,6 +121,76 @@ def shard_map_grads(grads_fn, mesh: Mesh, n_batch_args: int):
     )
 
 
+def dp_train_step(mesh: Mesh, local_grads, optim, n_batch_args: int,
+                  aux_specs=None, fold_key: bool = True):
+    """Build a full data-parallel train step: one ``shard_map`` inside ``jit``.
+
+    ``local_grads(params, *batch_args, key) -> (loss, grads, aux)`` runs per
+    device on its local batch shard (params/opt state replicated); loss and
+    grads are pmean-ed over DATA_AXIS, then the optimizer update runs
+    replicated on every device — so params stay replicated with zero extra
+    collectives.  ``aux`` is a pytree of batch-leading arrays (or ``None``)
+    returned still sharded over DATA_AXIS.
+
+    This is the multi-chip path that composes with the Pallas kernels: inside
+    shard_map every op sees plain local arrays (mesh axes are Manual), so the
+    fused LSTM / attend-and-spell kernels run unmodified per chip.
+
+    Returns ``step(params, opt_state, *batch_args, key) ->
+    (params, opt_state, loss, aux)`` — jitted, params/opt_state donated.
+    """
+    import functools
+
+    from jax import lax, shard_map
+
+    def local_fn(params, opt_state, key, *batch):
+        if fold_key:
+            key = jax.random.fold_in(key, lax.axis_index(DATA_AXIS))
+        loss, grads, aux = local_grads(params, *batch, key)
+        loss = lax.pmean(loss, DATA_AXIS)
+        grads = jax.tree.map(lambda g: lax.pmean(g, DATA_AXIS), grads)
+        updates, opt_state = optim.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, aux
+
+    if aux_specs is None:
+        aux_specs = P(DATA_AXIS)
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()) + tuple(P(DATA_AXIS) for _ in range(n_batch_args)),
+        out_specs=(P(), P(), P(), aux_specs),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, *args):
+        *batch, key = args
+        return sharded(params, opt_state, key, *batch)
+
+    return step
+
+
+def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, out_specs=None):
+    """Data-parallel eval: ``local_fn(params, *batch_args)`` per shard.
+
+    Outputs are batch-leading arrays returned sharded over DATA_AXIS (default)
+    — gather on host with ``np.asarray``.
+    """
+    from jax import shard_map
+
+    if out_specs is None:
+        out_specs = P(DATA_AXIS)
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in range(n_batch_args)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def pad_batch_to(tree, batch: int):
     """Pad every array's leading dim up to ``batch`` (repeat-last) so the
     global batch divides the data axis; returns (tree, n_valid)."""

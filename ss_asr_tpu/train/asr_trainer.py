@@ -39,30 +39,26 @@ class ASRTrainer(Solver):
         self.cfg = las.ASRConfig.from_dict(c["mdl"])
         self.params = self.setup_params(lambda k: las.init_asr(k, self.cfg), self.ckppath)
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"])
-        self.opt_state = self.optim.init(self.params)
+        self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         cfg = self.cfg
         optim = self.optim
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, x, x_lens, y, key):
+        def local_grads(params, x, x_lens, y, key):
+            """Per-device (or whole-batch) loss+grads; logits as aux."""
             decode_step = y.shape[1] - 1
 
             def loss_fn(p):
-                _, logits, att = las.asr_forward(
+                _, logits, _ = las.asr_forward(
                     p, cfg, x, x_lens, decode_step, teacher=y, key=key
                 )
-                label = y[:, 1:]
-                return losses.masked_ce_per_utt(logits, label, y), (logits, att)
+                return losses.masked_ce_per_utt(logits, y[:, 1:], y), logits
 
-            (loss, (logits, att)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss, logits
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, grads, logits
 
-        @functools.partial(jax.jit, static_argnames=("extra_steps",))
-        def valid_step(params, x, x_lens, y, extra_steps=30):
-            decode_step = y.shape[1] - 1 + extra_steps
+        def local_valid(params, x, x_lens, y):
+            decode_step = y.shape[1] - 1 + 30  # reference's +30 free-run steps
             _, logits, att = las.asr_forward(params, cfg, x, x_lens, decode_step)
             label = y[:, 1:]
             ans_len = y.shape[1] - 1
@@ -74,8 +70,34 @@ class ASRTrainer(Solver):
             )
             return per_utt, logits, att
 
-        self._train_step = train_step
-        self._valid_step = valid_step
+        if self.mesh is not None:
+            # data-parallel over ICI: one shard_map(train step) inside jit;
+            # grads pmean-ed, optimizer replicated (parallel/mesh.py)
+            from ss_asr_tpu.parallel import mesh as pmesh
+
+            n_data = self.mesh.shape[pmesh.DATA_AXIS]
+            assert self.train_batch_size % n_data == 0, (
+                f"train_batch_size {self.train_batch_size} must divide over "
+                f"the {n_data}-device data axis"
+            )
+            assert self.valid_batch_size % n_data == 0
+            self._train_step = pmesh.dp_train_step(
+                self.mesh, local_grads, optim, n_batch_args=3
+            )
+            self._valid_step = pmesh.dp_eval_step(self.mesh, local_valid, 3)
+            self.params = self.place_replicated(self.params)
+            self.opt_state = self.place_replicated(self.opt_state)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, x, x_lens, y, key):
+                loss, grads, logits = local_grads(params, x, x_lens, y, key)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss, logits
+
+            self._train_step = train_step
+            self._valid_step = jax.jit(local_valid)
 
     # ------------------------------------------------------------------
     def exec(self):
@@ -88,13 +110,14 @@ class ASRTrainer(Solver):
                     f"Batch: {b_ind}/{len(self.train_ds)}, global step: {self.tr.step}",
                     progress=True,
                 )
+                placed = self.place_batch({"x": b.x, "x_lens": b.x_lens, "y": b.y})
                 self.params, self.opt_state, loss, logits = self._train_step(
                     self.params,
                     self.opt_state,
-                    jnp.asarray(b.x),
-                    jnp.asarray(b.x_lens),
-                    jnp.asarray(b.y),
-                    self.next_key(),
+                    placed["x"],
+                    placed["x_lens"],
+                    placed["y"],
+                    self.place_replicated(self.next_key()),
                 )
                 timer.tick()
                 if self.tr.step % self.logging_step == 0:
@@ -113,29 +136,34 @@ class ASRTrainer(Solver):
                     )
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
-                    ckpt.save_pytree(self.ckppath, self.params)
+                    self.save_state(self.params, self.opt_state)
                 if self.tr.step % self.valid_step == 0:
                     self.valid()
                 self.tr.do_step()
 
     # ------------------------------------------------------------------
     def valid(self):
+        # per-utterance accumulation: every utterance weighs the same
+        # regardless of batch fill (the reference normalizes by utterance
+        # count too, src/trainer.py:460-537)
         total_loss, total_acc, total_err, total_cer, n = 0.0, 0.0, 0.0, 0.0, 0
         logits = att = label = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
             self.verbose(f"Validation step - ( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )", progress=True)
+            placed = self.place_batch({"x": b.x, "x_lens": b.x_lens, "y": b.y})
             per_utt, logits, att = self._valid_step(
-                self.params, jnp.asarray(b.x), jnp.asarray(b.x_lens), jnp.asarray(b.y)
+                self.params, placed["x"], placed["x_lens"], placed["y"]
             )
             label = b.y[:, 1:]
             valid = b.valid if b.valid is not None else np.ones(b.y.shape[0], bool)
+            n_b = int(valid.sum())
             pu = np.asarray(per_utt)[valid]
-            total_loss += float(pu.mean())
+            total_loss += float(pu.sum())
             lg = np.asarray(logits)[valid]
-            total_acc += calc_acc(lg[:, : label.shape[1]], label[valid])
-            total_err += calc_err(lg, label[valid], mapper=self.mapper)
-            total_cer += calc_cer(lg, label[valid], mapper=self.mapper)
-            n += 1
+            total_acc += calc_acc(lg[:, : label.shape[1]], label[valid]) * n_b
+            total_err += calc_err(lg, label[valid], mapper=self.mapper) * n_b
+            total_cer += calc_cer(lg, label[valid], mapper=self.mapper) * n_b
+            n += n_b
 
         avg_loss = total_loss / max(n, 1)
         avg_acc = total_acc / max(n, 1)
@@ -176,5 +204,5 @@ class ASRTrainer(Solver):
 
     def close(self):
         self.verbose(f"Finished training! Saving most recent model at step {self.tr.step}")
-        ckpt.save_pytree(self.ckppath, self.params)
+        self.save_state(self.params, self.opt_state)
         self.lg.close()

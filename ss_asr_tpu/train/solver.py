@@ -21,6 +21,26 @@ from ss_asr_tpu.utils.logging import MetricLogger
 from ss_asr_tpu.utils.tracker import Tracker
 
 
+def make_solver_mesh(config: dict):
+    """Build the data-parallel mesh from the ``parallel`` config section.
+
+    ``n_data: auto`` uses every visible device; ``n_data: 1`` (default) keeps
+    the single-device jit path. Returns None when no mesh is needed, so the
+    degenerate case has zero sharding machinery in it (SURVEY §2.3: single
+    device is the 1-chip case of the mesh design).
+    """
+    par = config.get("parallel") or {}
+    n_data = par.get("n_data", 1)
+    if n_data in ("auto", -1):
+        n_data = len(jax.devices())
+    n_data = int(n_data)
+    if n_data <= 1:
+        return None
+    from ss_asr_tpu.parallel import mesh as pmesh
+
+    return pmesh.make_mesh(n_data=n_data, n_model=1)
+
+
 def make_paras(
     name: str = "experiment_1",
     logdir: str = "runs/",
@@ -47,6 +67,12 @@ class Solver:
 
         self.ckppath = os.path.join(self.ckpdir, module_id + ".npz")
         self.best_ckppath = os.path.join(self.ckpdir, module_id + "_best.npz")
+        self.opt_ckppath = os.path.join(self.ckpdir, module_id + "_opt.npz")
+
+        # multi-chip: a 1-axis data-parallel mesh over all (or `n_data`)
+        # devices; None = single-device jit (the degenerate case). Config:
+        #   parallel: {n_data: auto | <int>}
+        self.mesh = make_solver_mesh(config)
 
         self.valid_step = self.set_if_exists("valid_step", 500)
         self.logging_step = self.set_if_exists("logging_step", 250)
@@ -103,9 +129,48 @@ class Solver:
             self.verbose(f"Loading a pretrained model from {ckp_path}")
             import jax.numpy as jnp
 
+            self.loaded_ckpt = True
             return jax.tree.map(jnp.asarray, ckpt.load_pytree(ckp_path))
         self.verbose(f"No model found at {ckp_path}. A new model will be created")
+        self.loaded_ckpt = False
         return init_fn(self.next_key())
+
+    def place_batch(self, tree):
+        """Device-place one batch: sharded over the data axis under a mesh,
+        plain transfer otherwise."""
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, tree)
+        from ss_asr_tpu.parallel import mesh as pmesh
+
+        return pmesh.shard_batch(tree, self.mesh)
+
+    def place_replicated(self, tree):
+        """Replicate params/opt-state/keys across the mesh (no-op unmeshed)."""
+        if self.mesh is None:
+            return tree
+        from ss_asr_tpu.parallel import mesh as pmesh
+
+        return jax.device_put(tree, pmesh.replicated(self.mesh))
+
+    def setup_opt_state(self, optim, params):
+        """Init optimizer state, restoring saved accumulators on resume.
+
+        Beats the reference, which always reinitializes the optimizer when
+        resuming from a checkpoint (src/trainer.py:150-168).
+        """
+        state = optim.init(params)
+        if getattr(self, "loaded_ckpt", False) and ckpt.exists(self.opt_ckppath):
+            self.verbose(f"Restoring optimizer state from {self.opt_ckppath}")
+            state = ckpt.load_opt_state(self.opt_ckppath, state)
+        return state
+
+    def save_state(self, params, opt_state=None, path: Optional[str] = None) -> None:
+        """Save params (and optimizer accumulators) atomically."""
+        ckpt.save_pytree(path or self.ckppath, params)
+        if opt_state is not None and path is None:
+            ckpt.save_opt_state(self.opt_ckppath, opt_state)
 
     def genpath(self, p, module_id: str) -> Tuple[str, str]:
         """In/out checkpoint path pair for parameter relays (trainer.py:170-191)."""

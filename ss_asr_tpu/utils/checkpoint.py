@@ -53,3 +53,42 @@ def load_pytree(path: str) -> Dict:
 
 def exists(path: str) -> bool:
     return os.path.isfile(path)
+
+
+def save_opt_state(path: str, opt_state: Any) -> None:
+    """Persist an optimizer-state pytree (optax NamedTuples) as flat leaves.
+
+    The reference silently reinitializes optimizer accumulators on resume
+    (src/trainer.py:150-168); saving them avoids that quality regression on
+    long Adadelta/Adam runs.  Leaves are stored in ``jax.tree`` flatten order;
+    the treedef is reconstructed from a freshly initialized state at load.
+    """
+    import jax
+
+    leaves = jax.tree.leaves(opt_state)
+    flat = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_opt_state(path: str, like: Any) -> Any:
+    """Restore an optimizer state saved by ``save_opt_state``.
+
+    ``like`` is a freshly initialized state providing the treedef. If the
+    leaf count mismatches (optimizer config changed), returns ``like``.
+    """
+    import jax
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    leaves = [flat[k] for k in sorted(flat)]
+    treedef = jax.tree.structure(like)
+    if treedef.num_leaves != len(leaves):
+        return like
+    import jax.numpy as jnp
+
+    ref_leaves = jax.tree.leaves(like)
+    cast = [jnp.asarray(l, dtype=r.dtype) for l, r in zip(leaves, ref_leaves)]
+    return jax.tree.unflatten(treedef, cast)

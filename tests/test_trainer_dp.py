@@ -1,0 +1,183 @@
+"""Data-parallel trainer path: end-to-end parity vs single-device training,
+and optimizer-state resume (kill/restart == uninterrupted run).
+
+These tests drive the REAL ``ASRTrainer.exec`` loop — not just loss/grad
+wrappers — over the virtual 8-device CPU mesh from conftest.
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from ss_asr_tpu.train import ASRTrainer, make_paras
+from ss_asr_tpu.vocab import normalize_string
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dp_corpus")
+    rng = np.random.default_rng(0)
+    fdir = tmp / "fbanks"
+    fdir.mkdir()
+    texts = ["já", "nei", "halló", "takk", "gott", "daginn", "kvöld", "morgunn"]
+    rows = []
+    for i, t in enumerate(texts):
+        T = 24 + 2 * i
+        fb = (0.1 * rng.standard_normal((T, 8))).astype(np.float32)
+        p = str(fdir / f"u{i}.npy")
+        np.save(p, fb)
+        norm, s_len = normalize_string(t)
+        rows.append((norm, p, s_len, T, "na", f"u{i}.wav"))
+    rows.sort(key=lambda r: r[3])
+    idx = str(tmp / "index.tsv")
+    with open(idx, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("\t".join(str(a) for a in r) + "\n")
+
+    return {
+        "asr": {
+            "opt": {"type": "Adadelta", "learning_rate": 1.0},
+            # tf_rate=1.0: teacher forcing always on, so per-device RNG
+            # folding cannot change the math -> exact DP/single parity
+            "mdl": {
+                "encoder_state_size": 8,
+                "mlp_out_size": 8,
+                "decoder_state_size": 8,
+                "tf_rate": 1.0,
+                "feature_dim": 8,
+            },
+            "train_index": idx,
+            "valid_index": idx,
+            "test_index": idx,
+            "wer_step": 1000,
+            "t_bucket": 8,
+            "l_bucket": 8,
+            "train_batch_size": 4,
+            "valid_batch_size": 4,
+            "n_epochs": 4,
+            "valid_step": 1000,
+            "logging_step": 2,
+            "save_step": 1000,
+        },
+    }
+
+
+def _paras(tmp_path, name):
+    return make_paras(
+        name=name,
+        logdir=str(tmp_path / "runs"),
+        ckpdir=str(tmp_path / "result"),
+        seed=1,
+        verbose=False,
+    )
+
+
+def _run(config, paras, record=None):
+    t = ASRTrainer(config, paras)
+    t.load_data()
+    t.set_model()
+    if record is not None:
+        t.lg.scalar = lambda k, v, s: record.append((k, v, s))
+    t.exec()
+    t.close()
+    return t
+
+
+def test_dp_training_matches_single_device(corpus, tmp_path):
+    """N real exec() steps over a 4x1 mesh == the same steps single-device."""
+    logs_1, logs_dp = [], []
+    t1 = _run(copy.deepcopy(corpus), _paras(tmp_path, "single"), logs_1)
+
+    cfg_dp = copy.deepcopy(corpus)
+    cfg_dp["parallel"] = {"n_data": 4}
+    tdp = _run(cfg_dp, _paras(tmp_path, "dp"), logs_dp)
+    assert tdp.mesh is not None and tdp.mesh.shape["data"] == 4
+
+    l1 = [v for k, v, s in logs_1 if k == "train_loss"]
+    ldp = [v for k, v, s in logs_dp if k == "train_loss"]
+    assert len(l1) == len(ldp) >= 2
+    np.testing.assert_allclose(l1, ldp, rtol=1e-4)
+
+    for path in (("char_trans", "w"), ("encoder", "pblstm1", "fwd", "w_ih")):
+        a = np.asarray(_get(t1.params, path))
+        b = np.asarray(_get(tdp.params, path))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_dp_valid_matches_single_device(corpus, tmp_path):
+    """Sharded valid() produces the same eval metrics as single-device."""
+    logs_1, logs_dp = [], []
+    t1 = ASRTrainer(copy.deepcopy(corpus), _paras(tmp_path, "v_single"))
+    t1.load_data()
+    t1.set_model()
+    t1.lg.scalar = lambda k, v, s: logs_1.append((k, v))
+    t1.valid()
+
+    cfg_dp = copy.deepcopy(corpus)
+    cfg_dp["parallel"] = {"n_data": 4}
+    tdp = ASRTrainer(cfg_dp, _paras(tmp_path, "v_dp"))
+    tdp.load_data()
+    tdp.set_model()
+    tdp.lg.scalar = lambda k, v, s: logs_dp.append((k, v))
+    tdp.valid()
+
+    m1 = dict(logs_1)
+    mdp = dict(logs_dp)
+    for k in ("eval_loss", "eval_acc", "eval_cer"):
+        np.testing.assert_allclose(m1[k], mdp[k], rtol=1e-4, err_msg=k)
+
+
+def test_resume_restores_optimizer_state(corpus, tmp_path):
+    """2+2 epochs with a kill/restart == 4 uninterrupted epochs, exactly.
+
+    Only holds because Adadelta accumulators are checkpointed and restored
+    (the reference reinitializes them on resume, src/trainer.py:150-168)."""
+    cfg_full = copy.deepcopy(corpus)
+    logs_full = []
+    t_full = _run(cfg_full, _paras(tmp_path, "uninterrupted"), logs_full)
+
+    cfg_half = copy.deepcopy(corpus)
+    cfg_half["asr"]["n_epochs"] = 2
+    paras = _paras(tmp_path, "resumed")
+    _run(copy.deepcopy(cfg_half), paras)  # first half, killed after close()
+    assert os.path.exists(os.path.join(paras.ckpdir, paras.name, "asr_opt.npz"))
+    logs_resume = []
+    t_res = _run(copy.deepcopy(cfg_half), paras, logs_resume)  # second half
+
+    # the resumed second half must continue the uninterrupted trajectory
+    full_losses = [v for k, v, s in logs_full if k == "train_loss"]
+    res_losses = [v for k, v, s in logs_resume if k == "train_loss"]
+    np.testing.assert_allclose(full_losses[-len(res_losses):], res_losses, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t_full.params["char_trans"]["w"]),
+        np.asarray(t_res.params["char_trans"]["w"]),
+        rtol=1e-5,
+    )
+
+
+def test_resume_without_opt_state_diverges(corpus, tmp_path):
+    """Control: dropping the optimizer state (the reference's behavior)
+    changes the trajectory — proving the restore above is load-bearing."""
+    cfg_half = copy.deepcopy(corpus)
+    cfg_half["asr"]["n_epochs"] = 2
+
+    paras_a = _paras(tmp_path, "with_opt")
+    _run(copy.deepcopy(cfg_half), paras_a)
+    t_a = _run(copy.deepcopy(cfg_half), paras_a)
+
+    paras_b = _paras(tmp_path, "without_opt")
+    _run(copy.deepcopy(cfg_half), paras_b)
+    os.remove(os.path.join(paras_b.ckpdir, paras_b.name, "asr_opt.npz"))
+    t_b = _run(copy.deepcopy(cfg_half), paras_b)
+
+    a = np.asarray(t_a.params["char_trans"]["w"])
+    b = np.asarray(t_b.params["char_trans"]["w"])
+    assert not np.allclose(a, b)
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
