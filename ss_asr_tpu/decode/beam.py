@@ -121,9 +121,11 @@ def _beam_scan(
         lm_state_new = gather_beams(lm_state_new, parent) if use_lm else lm_state_new
         parent_done = jnp.take_along_axis(done, parent, axis=1)
         done_new = parent_done | (token == EOS_ID)
-        # hypothesis length: steps taken while the parent beam was alive
+        # hypothesis length: emitted chars, EOS excluded (it terminates the
+        # hypothesis, it isn't part of it) — keeps length normalization from
+        # counting the stop symbol
         hyp_new = jnp.take_along_axis(hyp_len, parent, axis=1) + jnp.where(
-            parent_done, 0, 1
+            parent_done | (token == EOS_ID), 0, 1
         )
         last_new = token.reshape(-1)
 
@@ -133,9 +135,25 @@ def _beam_scan(
         )
 
     init = (spell0, lm0, last0, scores0, done0, hyplen0)
-    (_, _, _, scores, done, hyp_len), (toks, parents) = jax.lax.scan(
+    (state, lm_state, last_ids, scores, done, hyp_len), (toks, parents) = jax.lax.scan(
         body, init, None, length=max_steps
     )
+
+    # Force-terminate still-open beams: charge them the real cost of emitting
+    # EOS from their final state, so un-finished hypotheses compete fairly
+    # with finished ones instead of dodging the stop penalty.
+    _, context = las.attention_step(
+        params["attention"], comp_hK, enc_hK, state[0][0], validK
+    )
+    dec_in = jnp.concatenate([rnn.embed(params["embed"], last_ids), context], axis=-1)
+    _, dec_out = las.speller_step(params["decoder"], dec_in, state)
+    logp = jax.nn.log_softmax(rnn.linear(params["char_trans"], dec_out))
+    if use_lm:
+        lm_logits, _ = charlm_mod.step(lm_params, last_ids, lm_state)
+        logp = logp + lm_weight * jax.nn.log_softmax(lm_logits)
+    eos_lp = logp.reshape(B, K, V)[:, :, EOS_ID]
+    scores = jnp.where(done, scores, scores + eos_lp)
+
     return toks, parents, scores, done, hyp_len  # toks/parents: [T, B, K]
 
 

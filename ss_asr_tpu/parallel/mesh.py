@@ -171,11 +171,15 @@ def dp_train_step(mesh: Mesh, local_grads, optim, n_batch_args: int,
     return step
 
 
-def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, out_specs=None):
-    """Data-parallel eval: ``local_fn(params, *batch_args)`` per shard.
+def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, n_rep_args: int = 0,
+                 out_specs=None):
+    """Data-parallel eval: ``local_fn(params, *batch_args, *rep_args)``.
 
-    Outputs are batch-leading arrays returned sharded over DATA_AXIS (default)
-    — gather on host with ``np.asarray``.
+    ``batch_args`` are sharded over DATA_AXIS; ``rep_args`` (e.g. PRNG keys)
+    are replicated. Outputs are batch-leading arrays returned sharded over
+    DATA_AXIS by default — gather on host with ``np.asarray``; local_fn may
+    ``lax.pmean(..., DATA_AXIS)`` scalars itself and declare ``P()`` for them
+    via ``out_specs``.
     """
     from jax import shard_map
 
@@ -184,7 +188,9 @@ def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, out_specs=None):
     sharded = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in range(n_batch_args)),
+        in_specs=(P(),)
+        + tuple(P(DATA_AXIS) for _ in range(n_batch_args))
+        + tuple(P() for _ in range(n_rep_args)),
         out_specs=out_specs,
         check_vma=False,
     )

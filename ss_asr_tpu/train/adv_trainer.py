@@ -72,6 +72,13 @@ class ADVTrainer(Solver):
         )
         self.G_state = self.G_optim.init(self.params)
         self.D_state = self.D_optim.init(self.params)
+        self.g_opt_ckppath = self.opt_ckppath.replace("_opt", "_G_opt")
+        self.d_opt_ckppath = self.opt_ckppath.replace("_opt", "_D_opt")
+        if getattr(self, "loaded_ckpt", False):
+            if ckpt.exists(self.g_opt_ckppath):
+                self.G_state = ckpt.load_opt_state(self.g_opt_ckppath, self.G_state)
+            if ckpt.exists(self.d_opt_ckppath):
+                self.D_state = ckpt.load_opt_state(self.d_opt_ckppath, self.D_state)
 
         tae_cfg, smoothing = self.tae_cfg, self.label_smoothing
         G_optim, D_optim = self.G_optim, self.D_optim
@@ -87,35 +94,91 @@ class ADVTrainer(Solver):
             fake_loss = losses.bce(d_fake, jnp.zeros_like(d_fake))
             return real_loss, fake_loss, real, fake
 
-        @jax.jit
-        def d_step(params, d_state, x, x_lens, y, y_lens):
+        def d_local(params, d_state, x, x_lens, y, y_lens):
             def loss_fn(p):
                 rl, fl, _, _ = d_losses(p, x, x_lens, y, y_lens, smoothing)
                 return rl + fl, (rl, fl)
 
             (loss, (rl, fl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, d_state = D_optim.update(grads, d_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, d_state, rl, fl
+            return grads, d_state, rl, fl
 
-        @jax.jit
-        def g_step(params, g_state, x, x_lens):
+        def g_local(params, g_state, x, x_lens):
             def loss_fn(p):
                 fake, _ = las.listener_apply(p["asr"]["encoder"], x, x_lens)
                 d_out = disc_mod.discriminate(p["disc"], fake)
                 return losses.bce(d_out, jnp.ones_like(d_out))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, g_state = G_optim.update(grads, g_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, g_state, loss
+            return grads, g_state, loss
 
-        @jax.jit
-        def valid_step(params, x, x_lens, y, y_lens):
-            rl, fl, real, fake = d_losses(params, x, x_lens, y, y_lens, 0.0)
-            return rl, fl, real, fake
+        if self.mesh is not None:
+            from jax import lax, shard_map
+            from jax.sharding import PartitionSpec as P
 
-        self._d_step, self._g_step, self._valid_step = d_step, g_step, valid_step
+            from ss_asr_tpu.parallel import mesh as pmesh
+
+            D = pmesh.DATA_AXIS
+
+            def d_step_local(params, d_state, x, x_lens, y, y_lens):
+                grads, d_state, rl, fl = d_local(params, d_state, x, x_lens, y, y_lens)
+                grads = jax.tree.map(lambda g: lax.pmean(g, D), grads)
+                rl, fl = lax.pmean(rl, D), lax.pmean(fl, D)
+                updates, d_state = D_optim.update(grads, d_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, d_state, rl, fl
+
+            def g_step_local(params, g_state, x, x_lens):
+                grads, g_state, loss = g_local(params, g_state, x, x_lens)
+                grads = jax.tree.map(lambda g: lax.pmean(g, D), grads)
+                loss = lax.pmean(loss, D)
+                updates, g_state = G_optim.update(grads, g_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, g_state, loss
+
+            def valid_local(params, x, x_lens, y, y_lens):
+                rl, fl, real, fake = d_losses(params, x, x_lens, y, y_lens, 0.0)
+                return lax.pmean(rl, D), lax.pmean(fl, D), real, fake
+
+            self._d_step = jax.jit(shard_map(
+                d_step_local, mesh=self.mesh,
+                in_specs=(P(), P(), P(D), P(D), P(D), P(D)),
+                out_specs=(P(), P(), P(), P()), check_vma=False,
+            ), donate_argnums=(1,))
+            self._g_step = jax.jit(shard_map(
+                g_step_local, mesh=self.mesh,
+                in_specs=(P(), P(), P(D), P(D)),
+                out_specs=(P(), P(), P()), check_vma=False,
+            ), donate_argnums=(1,))
+            self._valid_step = jax.jit(shard_map(
+                valid_local, mesh=self.mesh,
+                in_specs=(P(), P(D), P(D), P(D), P(D)),
+                out_specs=(P(), P(), P(D), P(D)), check_vma=False,
+            ))
+            self.params = self.place_replicated(self.params)
+            self.G_state = self.place_replicated(self.G_state)
+            self.D_state = self.place_replicated(self.D_state)
+        else:
+
+            @jax.jit
+            def d_step(params, d_state, x, x_lens, y, y_lens):
+                grads, d_state, rl, fl = d_local(params, d_state, x, x_lens, y, y_lens)
+                updates, d_state = D_optim.update(grads, d_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, d_state, rl, fl
+
+            @jax.jit
+            def g_step(params, g_state, x, x_lens):
+                grads, g_state, loss = g_local(params, g_state, x, x_lens)
+                updates, g_state = G_optim.update(grads, g_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, g_state, loss
+
+            @jax.jit
+            def valid_step(params, x, x_lens, y, y_lens):
+                rl, fl, real, fake = d_losses(params, x, x_lens, y, y_lens, 0.0)
+                return rl, fl, real, fake
+
+            self._d_step, self._g_step, self._valid_step = d_step, g_step, valid_step
 
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches")
@@ -126,8 +189,10 @@ class ADVTrainer(Solver):
                     f"Global step - {self.tr.step} ( {b_idx} / {len(self.train_ds)} )",
                     progress=True,
                 )
-                x, xl = jnp.asarray(b.x), jnp.asarray(b.x_lens)
-                y, yl = jnp.asarray(b.y), jnp.asarray(b.y_lens)
+                placed = self.place_batch(
+                    {"x": b.x, "xl": b.x_lens, "y": b.y, "yl": b.y_lens}
+                )
+                x, xl, y, yl = placed["x"], placed["xl"], placed["y"], placed["yl"]
                 self.params, self.D_state, rl, fl = self._d_step(
                     self.params, self.D_state, x, xl, y, yl
                 )
@@ -142,8 +207,7 @@ class ADVTrainer(Solver):
                     self.valid()
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
-                    ckpt.save_pytree(self.ckppath, self.params["disc"])
-                    ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+                    self._save_all()
                 self.tr.do_step()
 
     def valid(self):
@@ -154,12 +218,11 @@ class ADVTrainer(Solver):
                 f"Validation step - {self.tr.step} ( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )",
                 progress=True,
             )
+            placed = self.place_batch(
+                {"x": b.x, "xl": b.x_lens, "y": b.y, "yl": b.y_lens}
+            )
             rl, fl, real, fake = self._valid_step(
-                self.params,
-                jnp.asarray(b.x),
-                jnp.asarray(b.x_lens),
-                jnp.asarray(b.y),
-                jnp.asarray(b.y_lens),
+                self.params, placed["x"], placed["xl"], placed["y"], placed["yl"]
             )
             avg_real += float(rl)
             avg_fake += float(fl)
@@ -183,10 +246,15 @@ class ADVTrainer(Solver):
             ckpt.save_pytree(self.best_ckppath, self.params["disc"])
             self.verbose("Both the discriminator and ASR have been saved")
 
+    def _save_all(self):
+        ckpt.save_pytree(self.ckppath, self.params["disc"])
+        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+        ckpt.save_opt_state(self.g_opt_ckppath, self.G_state)
+        ckpt.save_opt_state(self.d_opt_ckppath, self.D_state)
+
     def close(self):
         self.verbose(
             f"Finished training! Saving most recent model at step {self.tr.step} plus the ASR"
         )
-        ckpt.save_pytree(self.ckppath, self.params["disc"])
-        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+        self._save_all()
         self.lg.close()

@@ -34,7 +34,7 @@ class CHARLMTrainer(Solver):
             lambda k: charlm.init_charlm(k, self.cfg), self.ckppath
         )
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"])
-        self.opt_state = self.optim.init(self.params)
+        self.opt_state = self.setup_opt_state(self.optim, self.params)
         cfg, optim = self.cfg, self.optim
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -81,7 +81,7 @@ class CHARLMTrainer(Solver):
 
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
-                    ckpt.save_pytree(self.ckppath, self.params)
+                    self.save_state(self.params, self.opt_state)
 
                 self.tr.do_step()
             self.verbose(f"Epoch {epoch} finished")
@@ -107,5 +107,5 @@ class CHARLMTrainer(Solver):
 
     def close(self):
         self.verbose(f"Finished training! Saving most recent model at step {self.tr.step}")
-        ckpt.save_pytree(self.ckppath, self.params)
+        self.save_state(self.params, self.opt_state)
         self.lg.close()

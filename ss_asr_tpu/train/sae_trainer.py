@@ -58,7 +58,7 @@ class SAETrainer(Solver):
         mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))
         c = self.config["sae"]["opt"]
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask)
-        self.opt_state = self.optim.init(self.params)
+        self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim
 
@@ -76,22 +76,65 @@ class SAETrainer(Solver):
             t_valid = jnp.max(x_lens)
             return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(params, opt_state, bn_state, x, x_lens):
-            (loss, (_, new_bn)), grads = jax.value_and_grad(
-                lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
-            )(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, opt_state, new_bn, loss
+        if self.mesh is not None:
+            # DP: grads and fresh BN statistics pmean-ed over the data axis
+            # (sync-BN semantics), optimizer replicated
+            from jax import lax, shard_map
+            from jax.sharding import PartitionSpec as P
 
-        @jax.jit
-        def valid_step(params, bn_state, x, x_lens):
-            loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
-            return loss, recon
+            from ss_asr_tpu.parallel import mesh as pmesh
 
-        self._train_step = train_step
-        self._valid_step = valid_step
+            D = pmesh.DATA_AXIS
+
+            def local_train(params, opt_state, bn_state, x, x_lens):
+                (loss, (_, new_bn)), grads = jax.value_and_grad(
+                    lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
+                )(params)
+                loss = lax.pmean(loss, D)
+                grads = jax.tree.map(lambda g: lax.pmean(g, D), grads)
+                new_bn = jax.tree.map(lambda s: lax.pmean(s, D), new_bn)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, opt_state, new_bn, loss
+
+            def local_valid(params, bn_state, x, x_lens):
+                loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
+                return lax.pmean(loss, D), recon
+
+            train_sharded = shard_map(
+                local_train, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(D), P(D)),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+            self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
+            self._valid_step = jax.jit(shard_map(
+                local_valid, mesh=self.mesh,
+                in_specs=(P(), P(), P(D), P(D)),
+                out_specs=(P(), P(D)),
+                check_vma=False,
+            ))
+            self.params = self.place_replicated(self.params)
+            self.opt_state = self.place_replicated(self.opt_state)
+            self.bn_state = self.place_replicated(self.bn_state)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            def train_step(params, opt_state, bn_state, x, x_lens):
+                (loss, (_, new_bn)), grads = jax.value_and_grad(
+                    lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
+                )(params)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, opt_state, new_bn, loss
+
+            @jax.jit
+            def valid_step(params, bn_state, x, x_lens):
+                loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
+                return loss, recon
+
+            self._train_step = train_step
+            self._valid_step = valid_step
 
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches.")
@@ -102,12 +145,13 @@ class SAETrainer(Solver):
                     f"Batch: {b_ind}/{len(self.train_ds)}, global step: {self.tr.step}",
                     progress=True,
                 )
+                placed = self.place_batch({"x": b.x, "x_lens": b.x_lens})
                 self.params, self.opt_state, self.bn_state, loss = self._train_step(
                     self.params,
                     self.opt_state,
                     self.bn_state,
-                    jnp.asarray(b.x),
-                    jnp.asarray(b.x_lens),
+                    placed["x"],
+                    placed["x_lens"],
                 )
                 if self.tr.step % self.logging_step == 0:
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
@@ -117,6 +161,7 @@ class SAETrainer(Solver):
                     self.verbose(f"Model saved at step {self.tr.step}")
                     self._save_sae(self.ckppath)
                     ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+                    ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
 
     def _save_sae(self, path):
@@ -130,8 +175,9 @@ class SAETrainer(Solver):
                 f"Validation step - {self.tr.step} ( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )",
                 progress=True,
             )
+            placed = self.place_batch({"x": b.x, "x_lens": b.x_lens})
             loss, recon = self._valid_step(
-                self.params, self.bn_state, jnp.asarray(b.x), jnp.asarray(b.x_lens)
+                self.params, self.bn_state, placed["x"], placed["x_lens"]
             )
             avg_loss += float(loss)
             n += 1
@@ -161,4 +207,5 @@ class SAETrainer(Solver):
         )
         self._save_sae(self.ckppath)
         ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+        ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
         self.lg.close()

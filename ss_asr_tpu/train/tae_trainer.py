@@ -64,7 +64,7 @@ class TAETrainer(Solver):
         mask = prefix_mask(self.params, (("tae",),) + SHARED_ASR_SUBTREES)
         c = self.config["tae"]["opt"]
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask)
-        self.opt_state = self.optim.init(self.params)
+        self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, tae_cfg, optim = self.asr_cfg, self.tae_cfg, self.optim
 
@@ -77,22 +77,45 @@ class TAETrainer(Solver):
             )
             return losses.masked_ce_per_utt(logits, y, y), logits
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, y, y_noised, noise_lens, key):
+        def local_grads(params, y, y_noised, noise_lens, key):
             (loss, logits), grads = jax.value_and_grad(
                 lambda p: loss_of(p, y, y_noised, noise_lens, key), has_aux=True
             )(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, opt_state, loss, logits
+            return loss, grads, logits
 
-        @jax.jit
-        def valid_step(params, y, y_noised, noise_lens, key):
-            loss, logits = loss_of(params, y, y_noised, noise_lens, key)
-            return loss, logits
+        if self.mesh is not None:
+            from ss_asr_tpu.parallel import mesh as pmesh
+            from jax import lax
+            from jax.sharding import PartitionSpec as P
 
-        self._train_step = train_step
-        self._valid_step = valid_step
+            def local_valid(params, y, y_noised, noise_lens, key):
+                loss, logits = loss_of(params, y, y_noised, noise_lens, key)
+                return lax.pmean(loss, pmesh.DATA_AXIS), logits
+
+            self._train_step = pmesh.dp_train_step(
+                self.mesh, local_grads, optim, n_batch_args=3
+            )
+            self._valid_step = pmesh.dp_eval_step(
+                self.mesh, local_valid, n_batch_args=3, n_rep_args=1,
+                out_specs=(P(), P(pmesh.DATA_AXIS)),
+            )
+            self.params = self.place_replicated(self.params)
+            self.opt_state = self.place_replicated(self.opt_state)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, y, y_noised, noise_lens, key):
+                loss, grads, logits = local_grads(params, y, y_noised, noise_lens, key)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, opt_state, loss, logits
+
+            @jax.jit
+            def valid_step(params, y, y_noised, noise_lens, key):
+                return loss_of(params, y, y_noised, noise_lens, key)
+
+            self._train_step = train_step
+            self._valid_step = valid_step
 
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches")
@@ -103,13 +126,16 @@ class TAETrainer(Solver):
                     f"Batch: {b_ind}/{len(self.train_ds)}, global step: {self.tr.step}",
                     progress=True,
                 )
+                placed = self.place_batch(
+                    {"y": b.y, "yn": b.y_noised, "nl": b.y_noised_lens}
+                )
                 self.params, self.opt_state, loss, _ = self._train_step(
                     self.params,
                     self.opt_state,
-                    jnp.asarray(b.y),
-                    jnp.asarray(b.y_noised),
-                    jnp.asarray(b.y_noised_lens),
-                    self.next_key(),
+                    placed["y"],
+                    placed["yn"],
+                    placed["nl"],
+                    self.place_replicated(self.next_key()),
                 )
                 if self.tr.step % self.logging_step == 0:
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
@@ -119,6 +145,7 @@ class TAETrainer(Solver):
                     self.verbose(f"Model saved at step {self.tr.step}")
                     ckpt.save_pytree(self.ckppath, self.params["tae"])
                     ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+                    ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
 
     def valid(self):
@@ -126,12 +153,15 @@ class TAETrainer(Solver):
         logits = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
             self.verbose(f"Validation step -( {b_idx} / {self.valid_ds.num_batches(drop_last=False)} )", progress=True)
+            placed = self.place_batch(
+                {"y": b.y, "yn": b.y_noised, "nl": b.y_noised_lens}
+            )
             loss, logits = self._valid_step(
                 self.params,
-                jnp.asarray(b.y),
-                jnp.asarray(b.y_noised),
-                jnp.asarray(b.y_noised_lens),
-                self.next_key(),
+                placed["y"],
+                placed["yn"],
+                placed["nl"],
+                self.place_replicated(self.next_key()),
             )
             avg_loss += float(loss)
             n += 1
@@ -160,4 +190,5 @@ class TAETrainer(Solver):
         )
         ckpt.save_pytree(self.ckppath, self.params["tae"])
         ckpt.save_pytree(self.asrpath_out, self.params["asr"])
+        ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
         self.lg.close()

@@ -60,6 +60,16 @@ def test_beam_matches_exhaustive_reference(rng):
             for v in range(CFG.vocab_size):
                 cands.append((sc + float(logp[v]), seq + [v], st2, v))
         beams = sorted(cands, key=lambda c: -c[0])[:K]
+    # force-termination semantics: every still-open hypothesis pays the cost
+    # of emitting EOS from its final state
+    terminated = []
+    for sc, seq, st, last in beams:
+        if seq and seq[-1] == EOS_ID:
+            terminated.append((sc, seq, st, last))
+        else:
+            _, logp = step(st, last)
+            terminated.append((sc + float(logp[EOS_ID]), seq, st, last))
+    beams = sorted(terminated, key=lambda c: -c[0])
     want_scores = np.array([b[0] for b in beams])
     np.testing.assert_allclose(got_scores, want_scores, atol=1e-4)
 

@@ -177,6 +177,62 @@ def test_resume_without_opt_state_diverges(corpus, tmp_path):
     assert not np.allclose(a, b)
 
 
+def test_aux_trainers_run_data_parallel(corpus, tmp_path):
+    """TAE/SAE/ADV train steps run over the mesh and update the right
+    subtrees (smoke — exact parity is covered by the ASR tests above)."""
+    from ss_asr_tpu.train import ADVTrainer, SAETrainer, TAETrainer
+
+    idx = corpus["asr"]["train_index"]
+    cfg = copy.deepcopy(corpus)
+    cfg["parallel"] = {"n_data": 4}
+    common = {
+        "train_index": idx, "valid_index": idx, "t_bucket": 8, "l_bucket": 8,
+        "train_batch_size": 4, "valid_batch_size": 4, "n_epochs": 1,
+        "valid_step": 1000, "save_step": 1000, "logging_step": 2,
+    }
+    cfg["tae"] = {
+        "opt": {"type": "Adam", "learning_rate": 0.001},
+        "mdl": {"state_size": 8, "emb_dim": 8, "num_layers": 2},
+        "drop_rate": 0.1, **common,
+    }
+    cfg["sae"] = {
+        "opt": {"type": "Adam", "learning_rate": 0.001},
+        "mdl": {
+            "kernel_sizes": [[1, 4], [2, 1], [2, 1]],
+            "num_filters": [4, 8, 16],
+            "pool_kernel_sizes": [[2, 1], [2, 1], [2000, 40]],
+        }, **common,
+    }
+    cfg["adv"] = {
+        "G_opt": {"type": "Adadelta", "learning_rate": 1.0},
+        "D_opt": {"type": "Adadelta", "learning_rate": 1.0},
+        "mdl": {"hidden_dim": 8}, "label_smoothing": 0.1, **common,
+    }
+
+    paras = _paras(tmp_path, "aux_dp")
+    t = TAETrainer(cfg, paras)
+    t.load_data(); t.set_model()
+    enc0 = np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]).copy()
+    dec0 = np.asarray(t.params["asr"]["decoder"]["layer1"]["w_ih"]).copy()
+    t.exec(); t.valid(); t.close()
+    np.testing.assert_array_equal(enc0, np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]))
+    assert not np.allclose(dec0, np.asarray(t.params["asr"]["decoder"]["layer1"]["w_ih"]))
+
+    t = SAETrainer(cfg, _paras(tmp_path, "sae_dp"))
+    t.load_data(); t.set_model()
+    enc0 = np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]).copy()
+    t.exec(); t.valid(); t.close()
+    assert not np.allclose(enc0, np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]))
+
+    t = ADVTrainer(cfg, _paras(tmp_path, "adv_dp"))
+    t.load_data(); t.set_model()
+    enc0 = np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]).copy()
+    disc0 = np.asarray(t.params["disc"]["fc1"]["w"]).copy()
+    t.exec(); t.valid(); t.close()
+    assert not np.allclose(enc0, np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]))
+    assert not np.allclose(disc0, np.asarray(t.params["disc"]["fc1"]["w"]))
+
+
 def _get(tree, path):
     for p in path:
         tree = tree[p]
