@@ -1,19 +1,32 @@
-"""Headline benchmark: LAS train-step throughput (utterances/sec/chip).
+"""Headline benchmark: the north-star metric from BASELINE.json —
+utterances/sec/chip for the END-TO-END fbank + LAS train step.
 
 Prints exactly ONE JSON line:
     {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
 
-* ``value`` — utterances/sec for the full jitted train step (forward with
-  scheduled sampling, masked CE, backward, clip+Adadelta update) on the
-  flagship model (listener 4x256 BiLSTM, speller 2x256) at B=32, T=512
-  frames, L=48 chars — a typical length-sorted Málrómur batch.
-* ``vs_baseline`` — speedup over a from-scratch PyTorch implementation of
-  the same architecture/step running on this host's CPU
-  (benchmarks/torch_reference.py; the reference repo publishes no
-  throughput numbers, SURVEY.md §6). The torch number is cached in
-  bench_baseline.json so later rounds compare against the same denominator.
+The default run measures, and records in docs/BENCH_DETAILS.json:
 
-Flags: --quick (small shapes, CPU-friendly), --no-baseline (reuse/skip torch).
+* ``e2e_train`` — raw 16 kHz waveform buffers -> batched log-mel frontend
+  (ops/frontend.py, two MXU matmuls) -> full jitted train step (forward with
+  scheduled sampling, masked CE, backward, Adadelta update), ONE XLA program.
+  This is the headline value.
+* ``train_only`` — the same step on pre-extracted features (round-1 metric,
+  kept for comparability).
+* ``frontend_only`` — the batched fbank alone, to show its share.
+* ``decode_latency`` — p50 single-utterance latency for greedy (fixed-step
+  scan), greedy early-exit, and the beam-8 frontier scan. Measured with the
+  in-jit chained methodology (K decodes of distinct inputs inside one jitted
+  program, total/K) — host-side timing through the axon relay measures
+  transfers, not compute (docs/PERF.md).
+
+``vs_baseline`` divides e2e throughput by a from-scratch PyTorch
+implementation of the train step on this host's CPU
+(benchmarks/torch_reference.py, cached in bench_baseline.json). The torch
+number excludes fbank extraction, so the ratio is *conservative* — our
+numerator does strictly more work. The reference repo publishes no throughput
+numbers (SURVEY.md §6).
+
+Flags: --quick (small shapes, CPU-friendly), --no-baseline, --metric.
 Diagnostics go to stderr; stdout carries only the JSON line.
 """
 
@@ -25,16 +38,61 @@ import os
 import sys
 import time
 
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+DETAILS_PATH = os.path.join(REPO, "docs", "BENCH_DETAILS.json")
+
+SR = 16000  # bench sample rate: 25ms/10ms -> n_fft 400, hop 160
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -> float:
-    import functools
+def _flagship():
+    import jax
 
+    from ss_asr_tpu.models import las
+
+    cfg = las.ASRConfig()
+    params = las.init_asr(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _time_chained(chain_fn, make_args, K, reps=3):
+    """Time one jitted program that runs K dependent steps internally.
+
+    ``make_args(rep)`` must build FRESH device buffers per rep (re-init the
+    params — it runs outside the timed region). Two relay behaviors force
+    this methodology (PERF.md): host-side step loops get pipelined/replayed
+    (a round-1 sequence re-ran 8x faster than physically possible), and
+    re-invoking even a chained program on the same buffers is served from a
+    cache (measured 0.5 ms/"step" for an 8-step chain). K dependent steps
+    inside one program on fresh buffers must all execute — verified by
+    K-linearity (K=8 and K=16 measure the same per-step time).
+    Returns (per-step seconds, last output).
+    """
+    import jax
+
+    args = make_args(0)
+    jax.block_until_ready(args)
+    t0 = time.perf_counter()
+    out = chain_fn(*args)
+    jax.block_until_ready(out)
+    log(f"  compile+first run in {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for rep in range(1, reps + 1):
+        args = make_args(rep)
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        out = chain_fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best, out
+
+
+def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -> float:
+    """Train-step throughput on pre-extracted features (round-1 metric)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,8 +101,7 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     from ss_asr_tpu.train import losses
     from ss_asr_tpu.train.optim import make_optimizer
 
-    cfg = las.ASRConfig()
-    params = las.init_asr(jax.random.key(0), cfg)
+    cfg, params = _flagship()
     optim = make_optimizer("Adadelta", 1.0)
     opt_state = optim.init(params)
     rng = np.random.default_rng(0)
@@ -52,36 +109,189 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     x_lens = jnp.asarray(np.full((B,), T, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, x, x_lens, y, key):
-        def loss_fn(p):
-            _, logits, _ = las.asr_forward(
-                p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=key
-            )
-            return losses.masked_ce_per_utt(logits, y[:, 1:], y)
+    K = min(max(iters, 4), 16)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optim.update(grads, opt_state, params)
-        params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return params, opt_state, loss
+    # no donation: _time_chained re-invokes with the same buffers
+    @jax.jit
+    def train_chain(params, opt_state, x, x_lens, y, key):
+        def one(carry, k):
+            params, opt_state = carry
 
-    key = jax.random.key(1)
-    log(f"compiling train step (B={B}, T={T}, L={L}) on {jax.devices()[0]} ...")
-    t0 = time.perf_counter()
-    for i in range(warmup):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, x, x_lens, y, k)
-    jax.block_until_ready(loss)
-    log(f"warmup done in {time.perf_counter() - t0:.1f}s; loss={float(loss):.4f}")
+            def loss_fn(p):
+                _, logits, _ = las.asr_forward(
+                    p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=k
+                )
+                return losses.masked_ce_per_utt(logits, y[:, 1:], y)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, x, x_lens, y, k)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
-    log(f"step time {dt * 1e3:.1f} ms -> {B / dt:.1f} utt/s")
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optim.update(grads, opt_state, params)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), ls = jax.lax.scan(
+            one, (params, opt_state), jax.random.split(key, K)
+        )
+        return params, opt_state, ls[-1]
+
+    def make_args(rep):
+        p = las.init_asr(jax.random.key(100 + rep), cfg)
+        return p, optim.init(p), jax.random.fold_in(jax.random.key(1), rep)
+
+    log(f"train_only: compiling x{K} chained (B={B}, T={T}, L={L}) on {jax.devices()[0]} ...")
+    dt, out = _time_chained(
+        lambda p, o, k: train_chain(p, o, x, x_lens, y, k), make_args, K
+    )
+    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[2]):.3f})")
     return B / dt
+
+
+def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
+    """North-star: waveform -> fused-in fbank -> train step, one XLA program.
+
+    T is the frame count; the waveform buffer is sized so the frontend
+    produces exactly T frames ((T-1)*hop samples at 16 kHz).
+    Returns (e2e utt/s, frontend-only ms)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ss_asr_tpu.models import las
+    from ss_asr_tpu.ops import frontend
+    from ss_asr_tpu.train import losses
+    from ss_asr_tpu.train.optim import make_optimizer
+
+    cfg, params = _flagship()
+    optim = make_optimizer("Adadelta", 1.0)
+    opt_state = optim.init(params)
+    n_fft, hop = frontend.frame_params(SR)
+    N = (T - 1) * hop
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray((0.1 * rng.standard_normal((B, N))).astype(np.float32))
+    n_samples = jnp.asarray(np.full((B,), N, dtype=np.int32))
+    y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
+
+    K = min(max(iters, 4), 16)
+
+    @jax.jit
+    def e2e_chain(params, opt_state, wav, n_samples, y, key):
+        def one(carry, k):
+            params, opt_state, prev = carry
+            # tie the waveform to the carry so XLA cannot hoist the frontend
+            # out of the scan as loop-invariant (each step must re-run it,
+            # as a real input pipeline would)
+            x, x_lens = frontend.log_mel_fbank_batch(
+                wav * (1.0 + 1e-12 * prev), n_samples, SR
+            )
+
+            def loss_fn(p):
+                _, logits, _ = las.asr_forward(
+                    p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=k
+                )
+                return losses.masked_ce_per_utt(logits, y[:, 1:], y)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optim.update(grads, opt_state, params)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return (params, opt_state, loss), loss
+
+        (params, opt_state, _), ls = jax.lax.scan(
+            one, (params, opt_state, jnp.float32(0)), jax.random.split(key, K)
+        )
+        return params, opt_state, ls[-1]
+
+    log(f"e2e (fbank+train): compiling x{K} chained (B={B}, N={N} samples -> T={T}, L={L}) ...")
+    def make_args(rep):
+        p = las.init_asr(jax.random.key(100 + rep), cfg)
+        return p, optim.init(p), jax.random.fold_in(jax.random.key(1), rep)
+
+    dt, out = _time_chained(
+        lambda p, o, k: e2e_chain(p, o, wav, n_samples, y, k), make_args, K
+    )
+    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[2]):.3f})")
+
+    # frontend share: K batches chained inside one jitted program
+    Kf = 8
+
+    @jax.jit
+    def fe_chain(wav, n_samples, seed):
+        def body(c, _):
+            fb, fl = frontend.log_mel_fbank_batch(wav + c, n_samples, SR)
+            return c + fb.mean(), None
+        s, _ = jax.lax.scan(body, seed, None, length=Kf)
+        return s
+
+    fe_ms, _ = _time_chained(
+        lambda w, seed: fe_chain(w, n_samples, seed),
+        lambda rep: (wav * (1.0 + 1e-6 * rep), jnp.float32(rep)), Kf
+    )
+    fe_ms *= 1e3
+    log(f"  frontend alone: {fe_ms:.2f} ms/batch")
+    return B / dt, fe_ms
+
+
+def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8, iters: int = 3):
+    """p50 single-utterance decode latency via in-jit chaining.
+
+    K decodes of K distinct on-device-generated inputs run inside ONE jitted
+    program; per-decode latency = program time / K. This is the only
+    methodology that survives the axon relay (host-side timing of single
+    calls measures transfers and the relay's identical-call cache —
+    docs/PERF.md). Returns {variant: p50_ms}. (Reference decode loop:
+    src/asr.py:112-173, serial python.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ss_asr_tpu.decode import beam as beam_mod
+    from ss_asr_tpu.decode.greedy import greedy_decode, greedy_decode_early_exit
+    from ss_asr_tpu.models import las
+
+    cfg, params = _flagship()
+    xl = jnp.asarray([T], dtype=jnp.int32)
+
+    def chain(decode_fn):
+        @jax.jit
+        def run(key):
+            xs = jax.random.normal(key, (K, 1, T, cfg.feature_dim), jnp.float32)
+
+            def body(c, x):
+                toks, lens = decode_fn(x)
+                return c + lens.sum(), None
+
+            s, _ = jax.lax.scan(body, jnp.int32(0), xs)
+            return s
+
+        return run
+
+    def beam_scan_only(x):
+        enc_h, enc_lens = las.listener_apply(params["encoder"], x, xl)
+        toks, parents, scores, done, hyp_lens = beam_mod._beam_scan(
+            params, cfg, enc_h, enc_lens, 8, max_steps, None, None, 0.0
+        )
+        return toks, hyp_lens.reshape(-1)
+
+    variants = {
+        "greedy_scan": chain(lambda x: greedy_decode(params, cfg, x, xl, max_steps)),
+        "greedy_early_exit": chain(
+            lambda x: greedy_decode_early_exit(params, cfg, x, xl, max_steps)
+        ),
+        "beam8_scan": chain(beam_scan_only),
+    }
+    out = {}
+    for name, run in variants.items():
+        log(f"decode[{name}]: compiling ...")
+        key = jax.random.key(0)
+        jax.block_until_ready(run(key))  # compile
+        lat = []
+        for i in range(iters):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(k))
+            lat.append((time.perf_counter() - t0) / K * 1e3)
+        lat.sort()
+        out[name] = lat[len(lat) // 2]
+        log(f"  p50 {out[name]:.2f} ms/utterance (x{K} chained, {iters} reps)")
+    return out
 
 
 def get_torch_baseline(B: int, T: int, L: int, allow_measure: bool) -> float | None:
@@ -105,37 +315,6 @@ def get_torch_baseline(B: int, T: int, L: int, allow_measure: bool) -> float | N
     return val
 
 
-def bench_decode_latency(T: int = 512, max_steps: int = 200, iters: int = 30) -> float:
-    """p50 single-utterance greedy decode latency (early-exit path), ms."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
-    from ss_asr_tpu.models import las
-
-    cfg = las.ASRConfig()
-    params = las.init_asr(jax.random.key(0), cfg)
-    rng = np.random.default_rng(0)
-    dec = jax.jit(
-        lambda x, xl: greedy_decode_early_exit(params, cfg, x, xl, max_steps=max_steps)
-    )
-    lat = []
-    x = jnp.asarray(rng.standard_normal((1, T, cfg.feature_dim)).astype(np.float32))
-    xl = jnp.asarray(np.array([T], dtype=np.int32))
-    jax.block_until_ready(dec(x, xl))  # compile
-    for i in range(iters):
-        # fresh input each call (the relay caches identical invocations)
-        x = jnp.asarray(rng.standard_normal((1, T, cfg.feature_dim)).astype(np.float32))
-        t0 = time.perf_counter()
-        jax.block_until_ready(dec(x, xl))
-        lat.append((time.perf_counter() - t0) * 1e3)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    log(f"decode latency p50 {p50:.1f} ms (min {lat[0]:.1f}, max {lat[-1]:.1f})")
-    return p50
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI/CPU)")
@@ -143,44 +322,70 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(
         "--metric",
-        choices=["train_throughput", "decode_latency"],
-        default="train_throughput",
+        choices=["e2e", "train_throughput", "decode_latency"],
+        default="e2e",
     )
     args = ap.parse_args()
-
-    if args.metric == "decode_latency":
-        p50 = bench_decode_latency(iters=max(args.iters, 20))
-        print(
-            json.dumps(
-                {
-                    "metric": "greedy_decode_latency_p50",
-                    "value": round(p50, 2),
-                    "unit": "ms",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
-        return
 
     if args.quick:
         B, T, L = 8, 64, 16
     else:
         B, T, L = 32, 512, 48
 
-    value = bench_train_step(B, T, L, iters=args.iters)
-    baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
-    vs = (value / baseline) if baseline else 0.0
+    if args.metric == "decode_latency":
+        lats = bench_decode_latency(T=T if not args.quick else 64,
+                                    max_steps=200 if not args.quick else 20,
+                                    iters=max(args.iters // 3, 2))
+        print(json.dumps({
+            "metric": "greedy_decode_latency_p50",
+            "value": round(lats["greedy_early_exit"], 2),
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }))
+        return
 
-    print(
-        json.dumps(
-            {
-                "metric": "las_train_step_throughput",
-                "value": round(value, 2),
-                "unit": "utt/s/chip",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+    if args.metric == "train_throughput":
+        value = bench_train_step(B, T, L, iters=args.iters)
+        baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
+        print(json.dumps({
+            "metric": "las_train_step_throughput",
+            "value": round(value, 2),
+            "unit": "utt/s/chip",
+            "vs_baseline": round(value / baseline, 2) if baseline else 0.0,
+        }))
+        return
+
+    # default: the full suite -> headline e2e line + details artifact
+    train_only = bench_train_step(B, T, L, iters=args.iters)
+    e2e, fe_ms = bench_e2e_step(B, T, L, iters=args.iters)
+    if args.quick:
+        decode = bench_decode_latency(T=64, max_steps=20, K=4, iters=2)
+    else:
+        decode = bench_decode_latency(T=T, max_steps=200, K=8, iters=3)
+    baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
+
+    details = {
+        "shapes": {"B": B, "T_frames": T, "L": L, "sr": SR},
+        "e2e_fbank_train_utt_per_s": round(e2e, 2),
+        "train_only_utt_per_s": round(train_only, 2),
+        "frontend_ms_per_batch": round(fe_ms, 3),
+        "decode_latency_p50_ms": {k: round(v, 3) for k, v in decode.items()},
+        "torch_cpu_baseline_utt_per_s": baseline,
+        "note": "vs_baseline divides e2e (which includes fbank) by the torch "
+                "train-only number — conservative. Decode p50 uses in-jit "
+                "chained timing (see bench.py docstring).",
+    }
+    os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
+    with open(DETAILS_PATH, "w") as f:
+        json.dump(details, f, indent=1)
+    log(f"details written to {DETAILS_PATH}")
+
+    print(json.dumps({
+        "metric": "e2e_fbank_train_throughput",
+        "value": round(e2e, 2),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(e2e / baseline, 2) if baseline else 0.0,
+    }))
 
 
 if __name__ == "__main__":

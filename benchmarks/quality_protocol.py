@@ -1,0 +1,203 @@
+"""Re-runnable quality protocol: synthetic corpus -> train -> CER table.
+
+Scripts the thesis' decode-quality methodology (Table 6.12: direct vs beam-8
+vs beam-8 + LM fusion; BASELINE.md "CER on Málrómur eval") against the
+synthetic tone corpus, so quality claims are a checked-in artifact instead of
+prose. No real corpus ships in this environment; the tone corpus is exactly
+learnable, and the --epochs knob moves the operating point between the
+high-error regime (where beam/LM fusion matters, few epochs) and convergence.
+
+Usage:
+    python benchmarks/quality_protocol.py --work /tmp/qp --size small \
+        --n-utts 96 --epochs 12 --out docs/QUALITY_PROTOCOL.json
+
+Emits one JSON object: eval CER for greedy, beam-8, beam-8+LM (and the raw
+per-mode error counts), plus the config that produced them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIZES = {
+    "tiny": {"encoder_state_size": 8, "mlp_out_size": 8, "decoder_state_size": 8},
+    "small": {"encoder_state_size": 32, "mlp_out_size": 16, "decoder_state_size": 32},
+    "flagship": {"encoder_state_size": 256, "mlp_out_size": 128, "decoder_state_size": 256},
+}
+
+
+def build_corpus(work: str, n_utts: int, seed: int,
+                 homophones: bool = False) -> dict:
+    """Synthesize, preprocess, split; returns index/corpus paths."""
+    from ss_asr_tpu.cli.mkdata import make_corpus
+    from ss_asr_tpu.cli.preprocess import preprocess_generic
+    from ss_asr_tpu.data.index import make_split
+
+    corpus = os.path.join(work, "corpus")
+    processed = os.path.join(work, "processed")
+    make_corpus(corpus, n=n_utts, seed=seed, homophones=homophones)
+    preprocess_generic(os.path.join(corpus, "txt"), os.path.join(corpus, "wav"),
+                       processed_dir=processed, sr=8000)
+    make_split(os.path.join(processed, "index.tsv"), seed=seed)
+
+    # char-LM corpus: the training transcripts as one text stream
+    lm_corpus = os.path.join(work, "lm.txt")
+    texts = []
+    txt_dir = os.path.join(corpus, "txt")
+    for f in sorted(os.listdir(txt_dir)):
+        with open(os.path.join(txt_dir, f), encoding="utf-8") as fh:
+            texts.append(fh.read().strip())
+    with open(lm_corpus, "w", encoding="utf-8") as fh:
+        fh.write(" ".join(texts * 4))
+    return {
+        "train_index": os.path.join(processed, "train.tsv"),
+        "eval_index": os.path.join(processed, "eval.tsv"),
+        "lm_corpus": lm_corpus,
+    }
+
+
+def make_config(paths: dict, size: str, epochs: int, batch: int) -> dict:
+    mdl = {**SIZES[size], "tf_rate": 0.9, "feature_dim": 40}
+    return {
+        "asr": {
+            "opt": {"type": "Adam", "learning_rate": 0.002},
+            "mdl": mdl,
+            "train_index": paths["train_index"],
+            "valid_index": paths["eval_index"],
+            "test_index": paths["eval_index"],
+            "t_bucket": 32, "l_bucket": 16,
+            "train_batch_size": batch, "valid_batch_size": batch,
+            "n_epochs": epochs, "valid_step": 10**9, "logging_step": 50,
+            "save_step": 10**9, "wer_step": 10**9,
+        },
+        "char_lm": {
+            "opt": {"type": "Adam", "learning_rate": 0.002},
+            "mdl": {"hidden_size": 64, "tf_rate": 0.9},
+            "train_index": paths["lm_corpus"],
+            "chunk_size": 50, "train_batch_size": 8,
+            "n_epochs": max(epochs, 8), "valid_step": 10**9,
+            "logging_step": 50, "save_step": 10**9,
+        },
+    }
+
+
+def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
+                      max_steps: int = 60) -> dict:
+    """Decode the eval set three ways; per-utterance CER accumulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ss_asr_tpu.data.asr_dataset import ASRDataset
+    from ss_asr_tpu.decode.beam import beam_decode
+    from ss_asr_tpu.decode.greedy import greedy_decode
+    from ss_asr_tpu.models import charlm, las
+    from ss_asr_tpu.utils import checkpoint as ckpt
+    from ss_asr_tpu.utils.editdistance import edit_distance
+
+    c = config["asr"]
+    ckpdir = os.path.join(paras.ckpdir, paras.name)
+    cfg = las.ASRConfig.from_dict(c["mdl"])
+    params = jax.tree.map(jnp.asarray, ckpt.load_pytree(os.path.join(ckpdir, "asr.npz")))
+    lm_cfg = charlm.CharLMConfig.from_dict(config["char_lm"]["mdl"])
+    lm_params = jax.tree.map(
+        jnp.asarray, ckpt.load_pytree(os.path.join(ckpdir, "char_lm.npz"))
+    )
+
+    # one big bucket -> one padded shape -> exactly one XLA compile per
+    # decode mode (remote compiles are the dominant cost of this protocol)
+    ds = ASRDataset(c["test_index"], batch_size=c["valid_batch_size"],
+                    t_bucket=512, l_bucket=64)
+    mapper = ds.mapper
+
+    modes = {
+        "greedy": lambda x, xl: greedy_decode(params, cfg, x, xl, max_steps),
+        f"beam{beam}": lambda x, xl: beam_decode(
+            params, cfg, x, xl, beam_size=beam, max_steps=max_steps
+        ),
+        f"beam{beam}_lm": lambda x, xl: beam_decode(
+            params, cfg, x, xl, beam_size=beam, max_steps=max_steps,
+            lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=lm_weight,
+        ),
+    }
+    errs = {m: 0 for m in modes}
+    chars = 0
+    n_utts = 0
+    hyp_samples = {m: [] for m in modes}
+    for b in ds.iter_batches(drop_last=False, prefetch=0):
+        valid = b.valid if b.valid is not None else np.ones(b.y.shape[0], bool)
+        x, xl = jnp.asarray(b.x), jnp.asarray(b.x_lens)
+        labels = [mapper.translate(r) for r in b.y[:, 1:]]
+        for m, fn in modes.items():
+            toks, lens = fn(x, xl)
+            toks = np.asarray(toks)
+            for i in np.nonzero(valid)[0]:
+                hyp = mapper.translate(toks[i])
+                errs[m] += edit_distance(list(hyp), list(labels[i]))
+                if len(hyp_samples[m]) < 3:
+                    hyp_samples[m].append({"hyp": hyp, "ref": labels[i]})
+        chars += sum(max(len(labels[i]), 1) for i in np.nonzero(valid)[0])
+        n_utts += int(valid.sum())
+    out = {f"{m}_cer": round(errs[m] / max(chars, 1), 4) for m in modes}
+    out.update({f"{m}_char_errors": int(errs[m]) for m in modes})
+    out["n_eval_utts"] = n_utts
+    out["n_label_chars"] = chars
+    out["samples"] = hyp_samples
+    return out
+
+
+def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
+        lm_weight: float, batch: int = 8, homophones: bool = False) -> dict:
+    from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
+
+    os.makedirs(work, exist_ok=True)
+    paths = build_corpus(work, n_utts, seed, homophones=homophones)
+    config = make_config(paths, size, epochs, batch)
+    paras = make_paras(name="qp", logdir=os.path.join(work, "runs"),
+                       ckpdir=os.path.join(work, "result"), seed=seed, verbose=False)
+
+    t = ASRTrainer(config, paras)
+    t.load_data(); t.set_model(); t.exec(); t.close()
+
+    lm = CHARLMTrainer(config, paras)
+    lm.load_data(); lm.set_model(); lm.exec(); lm.close()
+
+    result = eval_decode_modes(config, paras, lm_weight)
+    result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
+                        "seed": seed, "lm_weight": lm_weight,
+                        "homophones": homophones}
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/ss_asr_quality_protocol")
+    ap.add_argument("--size", choices=sorted(SIZES), default="small")
+    ap.add_argument("--n-utts", type=int, default=96)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lm-weight", type=float, default=0.3)
+    ap.add_argument("--out", default=None, help="write the JSON table here too")
+    ap.add_argument("--homophones", action="store_true",
+                    help="acoustically ambiguous corpus: only the LM can pick "
+                         "the right spelling (high-error-regime beam/LM test)")
+    args = ap.parse_args()
+
+    result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
+                 args.lm_weight, homophones=args.homophones)
+    line = json.dumps(result, indent=1)
+    print(line)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

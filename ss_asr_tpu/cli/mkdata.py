@@ -23,10 +23,18 @@ CHAR_MS = 160
 FREQS = {c: 300.0 + 150.0 * i for i, c in enumerate("abcdefghij ")}
 WORDS = ["aba", "bead", "cafe", "dig", "echo", "fig", "gab", "hide", "ice", "jade"]
 
+#: acoustic homophones: these characters render as ANOTHER character's tone,
+#: making them indistinguishable from audio alone — only a language model can
+#: pick the right spelling (the thesis' beam+LM selling point, Table 6.12,
+#: reproduced synthetically)
+HOMOPHONES = {"i": "e", "g": "c"}
 
-def render(text: str, rng) -> np.ndarray:
+
+def render(text: str, rng, homophones: bool = False) -> np.ndarray:
     n = int(SR * CHAR_MS / 1000)
     t = np.arange(n) / SR
+    if homophones:
+        text = "".join(HOMOPHONES.get(ch, ch) for ch in text)
     sig = [np.sin(2 * np.pi * FREQS.get(ch, 2000.0) * t) for ch in text]
     y = np.concatenate(sig).astype(np.float32)
     return y + 0.01 * rng.standard_normal(len(y)).astype(np.float32)
@@ -40,7 +48,8 @@ def write_wav(path: str, y: np.ndarray, sr: int = SR) -> None:
         w.writeframes((np.clip(y, -1, 1) * 32767).astype(np.int16).tobytes())
 
 
-def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3) -> None:
+def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3,
+                homophones: bool = False) -> None:
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(out_dir, "wav")
     txt_dir = os.path.join(out_dir, "txt")
@@ -49,7 +58,10 @@ def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3) ->
     for i in range(n):
         k = int(rng.integers(1, max_words + 1))
         text = " ".join(rng.choice(WORDS) for _ in range(k))
-        write_wav(os.path.join(wav_dir, f"u{i:04d}.wav"), render(text, rng))
+        write_wav(
+            os.path.join(wav_dir, f"u{i:04d}.wav"),
+            render(text, rng, homophones=homophones),
+        )
         with open(os.path.join(txt_dir, f"u{i:04d}.txt"), "w", encoding="utf-8") as f:
             f.write(text)
     print(f"wrote {n} synthetic utterances under {out_dir}/(wav|txt)")
@@ -61,8 +73,10 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=3)
+    ap.add_argument("--homophones", action="store_true",
+                    help="render i/g as e/c tones (LM-only disambiguation)")
     args = ap.parse_args(argv)
-    make_corpus(args.out_dir, args.n, args.seed, args.max_words)
+    make_corpus(args.out_dir, args.n, args.seed, args.max_words, args.homophones)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,14 @@ def main(argv=None):
     random.seed(paras.seed)
     np.random.seed(paras.seed)
 
+    # multi-host (DCN) runs: parallel: {distributed: true} brings up
+    # jax.distributed before any backend query, so process_index/count drive
+    # the per-host input shards and the global device mesh
+    if (config.get("parallel") or {}).get("distributed"):
+        import jax
+
+        jax.distributed.initialize()
+
     from ss_asr_tpu.train import TRAINERS, asr_seed_train
 
     if paras.type == "Seed":

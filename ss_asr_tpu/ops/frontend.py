@@ -153,6 +153,36 @@ def log_mel_fbank(
     return jnp.log(fb + LOG_EPS)
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_basis(n_fft: int) -> np.ndarray:
+    """Window·DFT fused into one ``[n_fft, 2*n_bins]`` projection matrix."""
+    window = _hann_periodic(n_fft)  # [n_fft]
+    basis = _dft_basis(n_fft)  # [n_fft, 2*n_bins]
+    return (window[:, None] * basis).astype(np.float32)
+
+
+def _frame_by_slices(yp: jax.Array, nf: int, n_fft: int, hop: int) -> jax.Array:
+    """Overlapping frames via k hop-strided slices — NO gather, NO conv.
+
+    ``frames[t] = yp[t*hop : t*hop + n_fft]``. Each slice
+    ``yp[:, j*hop : j*hop + nf*hop]`` reshaped to ``[B, nf, hop]`` contributes
+    the j-th hop-block of every frame; concatenating k = ceil(n_fft/hop)
+    slices gives ``[B, nf, k*hop]`` whose first ``n_fft`` columns are exactly
+    the frames. Slices + reshapes lower to cheap linear copies on TPU —
+    measured faster than both the index-gather and the strided-conv
+    formulations of the same framing (docs/PERF.md round 2).
+    """
+    B = yp.shape[0]
+    k = -(-n_fft // hop)  # ceil
+    need = (nf + k - 1) * hop
+    if yp.shape[1] < need:
+        yp = jnp.pad(yp, ((0, 0), (0, need - yp.shape[1])))
+    blocks = [
+        yp[:, j * hop : (j + nf) * hop].reshape(B, nf, hop) for j in range(k)
+    ]
+    return jnp.concatenate(blocks, axis=-1)[..., :n_fft]  # [B, nf, n_fft]
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "n_mels", "win_ms", "stride_ms"))
 def log_mel_fbank_batch(
     y: jax.Array,
@@ -172,12 +202,25 @@ def log_mel_fbank_batch(
     frame count for the full buffer and frames past ``frame_lens[b]`` are
     zeroed (so downstream can recover lengths, as the reference's global
     zero-padding contract does — src/ASRDataset.py:311-317).
+
+    Implementation: reflect pad, slice-based framing (``_frame_by_slices``),
+    then ONE fused window·DFT matmul and the mel matmul — both MXU —
+    numerically identical to ``log_mel_fbank`` per row.
     """
     n_fft, hop = frame_params(sr, win_ms, stride_ms)
-    fb = jax.vmap(lambda s: log_mel_fbank(s, sr, n_mels, win_ms, stride_ms))(y)
+    pad = n_fft // 2
+    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    nf = int(num_frames(y.shape[1], n_fft, hop))
+    frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
+    wbasis = jnp.asarray(_windowed_dft_basis(n_fft))  # [n_fft, 2*n_bins]
+    spec = jnp.dot(frames, wbasis, precision=jax.lax.Precision.HIGHEST)
+    n_bins = 1 + n_fft // 2
+    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, nf, n_bins]
+    mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))  # [n_bins, n_mels]
+    fb = jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST)
+    fb = jnp.log(fb + LOG_EPS)
     frame_lens = num_frames(n_samples, n_fft, hop).astype(jnp.int32)
-    t = fb.shape[1]
-    mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+    mask = jnp.arange(nf)[None, :] < frame_lens[:, None]
     fb = jnp.where(mask[:, :, None], fb, 0.0)
     return fb, frame_lens
 

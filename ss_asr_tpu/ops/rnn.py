@@ -47,6 +47,12 @@ LSTM_IMPL = "auto"
 #: kernel path without TPU hardware.
 PALLAS_INTERPRET = False
 
+#: Fuse both BiLSTM directions into ONE Pallas kernel (ops/pallas/bilstm.py):
+#: both recurrences advance per grid step, overlapping one direction's MXU
+#: matmul with the other's VPU gate math. Grad-exact vs two scans
+#: (tests/test_pallas_bilstm.py).
+BILSTM_FUSED = False
+
 
 def _gspmd_axes_live() -> bool:
     """True when tracing under a >1-device mesh whose axes GSPMD partitions.
@@ -293,9 +299,13 @@ def bilstm_scan(
     (see ``LSTM_IMPL``).
     """
     if _use_pallas_lstm():
+        itp = PALLAS_INTERPRET
+        if BILSTM_FUSED:
+            from ss_asr_tpu.ops.pallas.bilstm import bilstm_pallas_trainable
+
+            return bilstm_pallas_trainable(p, xs, lengths, interpret=itp)
         from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable as plstm
 
-        itp = PALLAS_INTERPRET
         fwd = plstm(p["fwd"], xs, lengths, interpret=itp)
         if lengths is None:
             bwd = plstm(p["bwd"], xs[:, ::-1], interpret=itp)[:, ::-1]

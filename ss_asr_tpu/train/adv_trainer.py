@@ -36,7 +36,8 @@ class ADVTrainer(Solver):
     def load_data(self):
         c = self.config["adv"]
         tb, lb = c.get("t_bucket", 128), c.get("l_bucket", 16)
-        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size, t_bucket=tb, l_bucket=lb)
+        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size,
+                                   t_bucket=tb, l_bucket=lb, host_shard=self.host_shard)
         # defect #4 fix: the reference reads adv.eval_index which is absent
         # from its own config; accept either key
         eval_index = c.get("eval_index", c.get("valid_index"))
@@ -243,11 +244,11 @@ class ADVTrainer(Solver):
         if avg_loss < self.tr.get_best():
             self.tr.set_best(avg_loss)
             self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")
-            ckpt.save_pytree(self.best_ckppath, self.params["disc"])
+            ckpt.save_auto(self.best_ckppath, self.params["disc"])
             self.verbose("Both the discriminator and ASR have been saved")
 
     def _save_all(self):
-        ckpt.save_pytree(self.ckppath, self.params["disc"])
+        ckpt.save_auto(self.ckppath, self.params["disc"])
         ckpt.save_pytree(self.asrpath_out, self.params["asr"])
         ckpt.save_opt_state(self.g_opt_ckppath, self.G_state)
         ckpt.save_opt_state(self.d_opt_ckppath, self.D_state)

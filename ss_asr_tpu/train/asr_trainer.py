@@ -28,7 +28,10 @@ class ASRTrainer(Solver):
     def load_data(self):
         c = self.config["asr"]
         tb, lb = c.get("t_bucket", 128), c.get("l_bucket", 16)
-        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size, t_bucket=tb, l_bucket=lb)
+        # training shards per host; validation stays whole-corpus on every
+        # host so eval metrics agree across processes
+        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size,
+                                   t_bucket=tb, l_bucket=lb, host_shard=self.host_shard)
         self.valid_ds = ASRDataset(c["valid_index"], batch_size=self.valid_batch_size, t_bucket=tb, l_bucket=lb)
         self.mapper = self.train_ds.mapper
         self.wer_step = c.get("wer_step", 50)
@@ -192,7 +195,7 @@ class ASRTrainer(Solver):
             self.verbose(
                 f"Best validation loss for ASR : {avg_loss:.4f} @ global step {self.tr.step}"
             )
-            ckpt.save_pytree(self.best_ckppath, self.params)
+            ckpt.save_auto(self.best_ckppath, self.params)
             if logits is not None:
                 with open(os.path.join(self.ckpdir, "best_hyp.txt"), "w") as f:
                     for t1, t2 in zip(val_hyp, val_txt):

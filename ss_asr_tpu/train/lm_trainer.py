@@ -77,7 +77,7 @@ class CHARLMTrainer(Solver):
                     self.lg.text("text_generate", generated, self.tr.step)
                     if loss_by_char < self.tr.get_best():
                         self.tr.set_best(loss_by_char)
-                        ckpt.save_pytree(self.best_ckppath, self.params)
+                        ckpt.save_auto(self.best_ckppath, self.params)
 
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")

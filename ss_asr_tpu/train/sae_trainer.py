@@ -29,7 +29,8 @@ class SAETrainer(Solver):
     def load_data(self):
         c = self.config["sae"]
         tb, lb = c.get("t_bucket", 128), c.get("l_bucket", 16)
-        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size, t_bucket=tb, l_bucket=lb)
+        self.train_ds = ASRDataset(c["train_index"], batch_size=self.train_batch_size,
+                                   t_bucket=tb, l_bucket=lb, host_shard=self.host_shard)
         self.valid_ds = ASRDataset(c["valid_index"], batch_size=self.valid_batch_size, t_bucket=tb, l_bucket=lb)
         self.mapper = self.train_ds.mapper
 
@@ -45,9 +46,9 @@ class SAETrainer(Solver):
         )
 
         asr_params = self.setup_params(lambda k: las.init_asr(k, self.asr_cfg), self.asrpath_in)
-        if ckpt.exists(self.ckppath):
+        if ckpt.exists_auto(self.ckppath):
             self.verbose(f"Loading a pretrained model from {self.ckppath}")
-            loaded = ckpt.load_pytree(self.ckppath)
+            loaded = ckpt.load_auto(self.ckppath)
             sae_params = jax.tree.map(jnp.asarray, loaded["params"])
             self.bn_state = jax.tree.map(jnp.asarray, loaded["bn_state"])
         else:
@@ -165,7 +166,7 @@ class SAETrainer(Solver):
                 self.tr.do_step()
 
     def _save_sae(self, path):
-        ckpt.save_pytree(path, {"params": self.params["sae"], "bn_state": self.bn_state})
+        ckpt.save_auto(path, {"params": self.params["sae"], "bn_state": self.bn_state})
 
     def valid(self):
         avg_loss, n = 0.0, 0

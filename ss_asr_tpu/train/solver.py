@@ -65,14 +65,35 @@ class Solver:
             os.path.join(paras.logdir, paras.name, module_id), module_id
         )
 
-        self.ckppath = os.path.join(self.ckpdir, module_id + ".npz")
-        self.best_ckppath = os.path.join(self.ckpdir, module_id + "_best.npz")
+        # checkpoint backend: flat .npz per module (reference layout parity,
+        # src/trainer.py:58-71) or orbax directories (sharded/multi-host
+        # safe) via a top-level `checkpoint_backend: orbax` config key.
+        # Optimizer state stays npz: its NamedTuple treedef is rebuilt from a
+        # fresh init at load (see checkpoint.load_opt_state).
+        backend = config.get("checkpoint_backend", "npz")
+        self.ckpt_ext = ckpt.ORBAX_SUFFIX if backend == "orbax" else ".npz"
+        self.ckppath = os.path.join(self.ckpdir, module_id + self.ckpt_ext)
+        self.best_ckppath = os.path.join(self.ckpdir, module_id + "_best" + self.ckpt_ext)
         self.opt_ckppath = os.path.join(self.ckpdir, module_id + "_opt.npz")
 
         # multi-chip: a 1-axis data-parallel mesh over all (or `n_data`)
         # devices; None = single-device jit (the degenerate case). Config:
         #   parallel: {n_data: auto | <int>}
         self.mesh = make_solver_mesh(config)
+
+        # multi-host input pipeline (SURVEY §2.3: "host data loading sharded
+        # per-process"): each process reads a strided shard of the training
+        # index. Auto-derived from jax.distributed when multiple processes
+        # exist; overridable as parallel: {host_shard: [host_id, num_hosts]}
+        # (also how single-process tests exercise the path).
+        par = config.get("parallel") or {}
+        hs = par.get("host_shard")
+        if hs is not None:
+            self.host_shard: Optional[Tuple[int, int]] = (int(hs[0]), int(hs[1]))
+        elif jax.process_count() > 1:
+            self.host_shard = (jax.process_index(), jax.process_count())
+        else:
+            self.host_shard = None
 
         self.valid_step = self.set_if_exists("valid_step", 500)
         self.logging_step = self.set_if_exists("logging_step", 250)
@@ -125,12 +146,12 @@ class Solver:
     # ------------------------------------------------------------------
     def setup_params(self, init_fn: Callable[[jax.Array], dict], ckp_path: str) -> dict:
         """Init a param tree, loading the checkpoint at ckp_path if present."""
-        if ckpt.exists(ckp_path):
+        if ckpt.exists_auto(ckp_path):
             self.verbose(f"Loading a pretrained model from {ckp_path}")
             import jax.numpy as jnp
 
             self.loaded_ckpt = True
-            return jax.tree.map(jnp.asarray, ckpt.load_pytree(ckp_path))
+            return jax.tree.map(jnp.asarray, ckpt.load_auto(ckp_path))
         self.verbose(f"No model found at {ckp_path}. A new model will be created")
         self.loaded_ckpt = False
         return init_fn(self.next_key())
@@ -168,7 +189,7 @@ class Solver:
 
     def save_state(self, params, opt_state=None, path: Optional[str] = None) -> None:
         """Save params (and optimizer accumulators) atomically."""
-        ckpt.save_pytree(path or self.ckppath, params)
+        ckpt.save_auto(path or self.ckppath, params)
         if opt_state is not None and path is None:
             ckpt.save_opt_state(self.opt_ckppath, opt_state)
 

@@ -42,6 +42,7 @@ class TAETrainer(Solver):
             text_only=True,
             drop_rate=c["drop_rate"],
             l_bucket=lb,
+            host_shard=self.host_shard,
         )
         self.valid_ds = ASRDataset(
             c["valid_index"],
@@ -143,7 +144,7 @@ class TAETrainer(Solver):
                     self.valid()
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
-                    ckpt.save_pytree(self.ckppath, self.params["tae"])
+                    ckpt.save_auto(self.ckppath, self.params["tae"])
                     ckpt.save_pytree(self.asrpath_out, self.params["asr"])
                     ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
@@ -177,7 +178,7 @@ class TAETrainer(Solver):
         if avg_loss < self.tr.get_best():
             self.tr.set_best(avg_loss)
             self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")
-            ckpt.save_pytree(self.best_ckppath, self.params["tae"])
+            ckpt.save_auto(self.best_ckppath, self.params["tae"])
             self.verbose("Both the text autoencoder and ASR have been saved")
         else:
             self.verbose(
@@ -188,7 +189,7 @@ class TAETrainer(Solver):
         self.verbose(
             f"Finished training! Saving most recent model at step {self.tr.step} plus the ASR"
         )
-        ckpt.save_pytree(self.ckppath, self.params["tae"])
+        ckpt.save_auto(self.ckppath, self.params["tae"])
         ckpt.save_pytree(self.asrpath_out, self.params["asr"])
         ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
         self.lg.close()

@@ -55,6 +55,55 @@ def exists(path: str) -> bool:
     return os.path.isfile(path)
 
 
+def save_pytree_orbax(path: str, tree: Dict) -> None:
+    """Orbax-backed checkpoint (directory at ``path``): sharded-array and
+    multi-host safe, for large multi-chip runs where one flat .npz on a
+    single host is the wrong tool. Selected via the Solver's
+    ``checkpoint_backend: orbax`` config knob; npz stays the default for
+    reference-layout parity (one file per module, relay-compatible)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_pytree_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def orbax_exists(path: str) -> bool:
+    return os.path.isdir(path)
+
+
+ORBAX_SUFFIX = ".orbax"
+
+
+def save_auto(path: str, tree: Dict) -> None:
+    """Dispatch on the path suffix: ``.orbax`` directory or flat ``.npz``."""
+    if path.endswith(ORBAX_SUFFIX):
+        save_pytree_orbax(path, tree)
+    else:
+        save_pytree(path, tree)
+
+
+def load_auto(path: str) -> Dict:
+    if path.endswith(ORBAX_SUFFIX):
+        return load_pytree_orbax(path)
+    return load_pytree(path)
+
+
+def exists_auto(path: str) -> bool:
+    if path.endswith(ORBAX_SUFFIX):
+        return orbax_exists(path)
+    return exists(path)
+
+
 def save_opt_state(path: str, opt_state: Any) -> None:
     """Persist an optimizer-state pytree (optax NamedTuples) as flat leaves.
 

@@ -80,3 +80,23 @@ def test_batch_matches_single(rng):
     for i in range(3):
         fb_s = frontend.log_mel_fbank(y[i], sr)
         np.testing.assert_allclose(np.asarray(fb_b)[i], np.asarray(fb_s), rtol=1e-5, atol=1e-5)
+
+
+def test_batch_conv_frontend_matches_per_signal_path():
+    """The strided-conv batched frontend must equal the per-signal
+    gather+matmul formulation row by row (incl. ragged lengths + zeroing)."""
+    import jax.numpy as jnp
+
+    from ss_asr_tpu.ops import frontend
+
+    rng = np.random.default_rng(0)
+    B, N, SR = 4, 16000, 16000
+    y = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+    ns = jnp.asarray(np.array([16000, 12000, 8000, 4001], dtype=np.int32))
+    fb_batch, fl = frontend.log_mel_fbank_batch(y, ns, SR)
+    for b in range(B):
+        ref = np.asarray(frontend.log_mel_fbank(y[b], SR))
+        got = np.asarray(fb_batch[b])
+        t_valid = int(fl[b])
+        np.testing.assert_allclose(got[:t_valid], ref[:t_valid], rtol=2e-4, atol=2e-4)
+        assert np.all(got[t_valid:] == 0.0)

@@ -233,6 +233,50 @@ def test_aux_trainers_run_data_parallel(corpus, tmp_path):
     assert not np.allclose(disc0, np.asarray(t.params["disc"]["fc1"]["w"]))
 
 
+def test_orbax_checkpoint_backend(corpus, tmp_path):
+    """checkpoint_backend: orbax — train, save, resume from the directory."""
+    cfg = copy.deepcopy(corpus)
+    cfg["checkpoint_backend"] = "orbax"
+    cfg["asr"]["n_epochs"] = 1
+    paras = _paras(tmp_path, "orbax")
+    t = _run(cfg, paras)
+    assert t.ckppath.endswith(".orbax") and os.path.isdir(t.ckppath)
+
+    t2 = ASRTrainer(copy.deepcopy(cfg), paras)
+    t2.load_data()
+    t2.set_model()
+    assert t2.loaded_ckpt
+    np.testing.assert_allclose(
+        np.asarray(t.params["char_trans"]["w"]),
+        np.asarray(t2.params["char_trans"]["w"]),
+    )
+
+
+def test_multihost_input_sharding_via_solver(corpus, tmp_path):
+    """parallel.host_shard routes each (simulated) host to a disjoint,
+    covering, length-sorted shard of the training index; validation stays
+    whole-corpus so metrics agree across hosts."""
+    trainers = []
+    for host in range(2):
+        cfg = copy.deepcopy(corpus)
+        cfg["parallel"] = {"host_shard": [host, 2]}
+        cfg["asr"]["train_batch_size"] = 2
+        t = ASRTrainer(cfg, _paras(tmp_path, f"host{host}"))
+        t.load_data()
+        trainers.append(t)
+
+    f0, f1 = trainers[0].train_ds.frame, trainers[1].train_ds.frame
+    p0, p1 = set(f0["path_to_fbank"]), set(f1["path_to_fbank"])
+    assert not (p0 & p1)  # disjoint
+    full = set(trainers[0].valid_ds.frame["path_to_fbank"])
+    assert (p0 | p1) == full  # covering
+    for f in (f0, f1):  # strided shards stay length-sorted
+        lens = list(f["unpadded_num_frames"])
+        assert lens == sorted(lens)
+    # validation is NOT sharded
+    assert len(trainers[0].valid_ds.frame) == len(full)
+
+
 def _get(tree, path):
     for p in path:
         tree = tree[p]
