@@ -32,22 +32,62 @@ SIZES = {
 }
 
 
+#: held out of ASR *audio* training in --heldout mode; the char LM still
+#: sees their spellings. With --homophones their i/g chars are acoustically
+#: e/c, so greedy has neither acoustics nor lexical memory to spell them —
+#: exactly the thesis' low-resource-ASR + big-text-LM condition (Table 6.12)
+HELD_OUT_WORDS = ("fig", "dig", "hide")
+
+
+def _lm_text(words, reps: int, seed: int) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 77)
+    toks = [str(rng.choice(list(words))) for _ in range(reps)]
+    return " ".join(toks)
+
+
 def build_corpus(work: str, n_utts: int, seed: int,
-                 homophones: bool = False) -> dict:
+                 homophones: bool = False, heldout: bool = False) -> dict:
     """Synthesize, preprocess, split; returns index/corpus paths."""
-    from ss_asr_tpu.cli.mkdata import make_corpus
+    from ss_asr_tpu.cli.mkdata import WORDS, make_corpus
     from ss_asr_tpu.cli.preprocess import preprocess_generic
     from ss_asr_tpu.data.index import make_split
 
     corpus = os.path.join(work, "corpus")
     processed = os.path.join(work, "processed")
+    lm_corpus = os.path.join(work, "lm.txt")
+
+    if heldout:
+        train_words = [w for w in WORDS if w not in HELD_OUT_WORDS]
+        eval_corpus = os.path.join(work, "corpus_eval")
+        eval_processed = os.path.join(work, "processed_eval")
+        make_corpus(corpus, n=n_utts, seed=seed, homophones=homophones,
+                    words=train_words)
+        make_corpus(eval_corpus, n=max(n_utts // 4, 24), seed=seed + 1,
+                    homophones=homophones, words=HELD_OUT_WORDS, max_words=2)
+        preprocess_generic(os.path.join(corpus, "txt"),
+                           os.path.join(corpus, "wav"),
+                           processed_dir=processed, sr=8000)
+        preprocess_generic(os.path.join(eval_corpus, "txt"),
+                           os.path.join(eval_corpus, "wav"),
+                           processed_dir=eval_processed, sr=8000)
+        # LM sees ALL spellings, weighted toward the held-out words
+        with open(lm_corpus, "w", encoding="utf-8") as fh:
+            fh.write(_lm_text(list(WORDS) + 3 * list(HELD_OUT_WORDS),
+                              reps=2000, seed=seed))
+        return {
+            "train_index": os.path.join(processed, "index.tsv"),
+            "eval_index": os.path.join(eval_processed, "index.tsv"),
+            "lm_corpus": lm_corpus,
+        }
+
     make_corpus(corpus, n=n_utts, seed=seed, homophones=homophones)
     preprocess_generic(os.path.join(corpus, "txt"), os.path.join(corpus, "wav"),
                        processed_dir=processed, sr=8000)
     make_split(os.path.join(processed, "index.tsv"), seed=seed)
 
     # char-LM corpus: the training transcripts as one text stream
-    lm_corpus = os.path.join(work, "lm.txt")
     texts = []
     txt_dir = os.path.join(corpus, "txt")
     for f in sorted(os.listdir(txt_dir)):
@@ -62,16 +102,19 @@ def build_corpus(work: str, n_utts: int, seed: int,
     }
 
 
-def make_config(paths: dict, size: str, epochs: int, batch: int) -> dict:
+def make_config(paths: dict, size: str, epochs: int, batch: int,
+                opt: str = "Adadelta", lr: float = 1.0) -> dict:
     mdl = {**SIZES[size], "tf_rate": 0.9, "feature_dim": 40}
     return {
         "asr": {
-            "opt": {"type": "Adam", "learning_rate": 0.002},
+            # reference default: Adadelta lr=1.0 (conf/default.yaml asr.opt)
+            "opt": {"type": opt, "learning_rate": lr},
             "mdl": mdl,
             "train_index": paths["train_index"],
             "valid_index": paths["eval_index"],
             "test_index": paths["eval_index"],
-            "t_bucket": 32, "l_bucket": 16,
+            # coarse buckets: fewer padded shapes -> fewer (remote) compiles
+            "t_bucket": 128, "l_bucket": 16,
             "train_batch_size": batch, "valid_batch_size": batch,
             "n_epochs": epochs, "valid_step": 10**9, "logging_step": 50,
             "save_step": 10**9, "wer_step": 10**9,
@@ -153,12 +196,14 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
 
 
 def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
-        lm_weight: float, batch: int = 8, homophones: bool = False) -> dict:
+        lm_weight: float, batch: int = 8, homophones: bool = False,
+        opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
-    paths = build_corpus(work, n_utts, seed, homophones=homophones)
-    config = make_config(paths, size, epochs, batch)
+    paths = build_corpus(work, n_utts, seed, homophones=homophones,
+                         heldout=heldout)
+    config = make_config(paths, size, epochs, batch, opt=opt, lr=lr)
     paras = make_paras(name="qp", logdir=os.path.join(work, "runs"),
                        ckpdir=os.path.join(work, "result"), seed=seed, verbose=False)
 
@@ -171,7 +216,8 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     result = eval_decode_modes(config, paras, lm_weight)
     result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
                         "seed": seed, "lm_weight": lm_weight,
-                        "homophones": homophones}
+                        "homophones": homophones, "opt": opt, "lr": lr,
+                        "heldout": heldout}
     return result
 
 
@@ -187,10 +233,17 @@ def main():
     ap.add_argument("--homophones", action="store_true",
                     help="acoustically ambiguous corpus: only the LM can pick "
                          "the right spelling (high-error-regime beam/LM test)")
+    ap.add_argument("--opt", default="Adadelta")
+    ap.add_argument("--lr", type=float, default=1.0)
+    ap.add_argument("--heldout", action="store_true",
+                    help="hold fig/dig/hide out of ASR audio training; the "
+                         "LM still sees their spellings (thesis low-resource "
+                         "condition — beam+LM must beat greedy here)")
     args = ap.parse_args()
 
     result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
-                 args.lm_weight, homophones=args.homophones)
+                 args.lm_weight, homophones=args.homophones,
+                 opt=args.opt, lr=args.lr, heldout=args.heldout)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:

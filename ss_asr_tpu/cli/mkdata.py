@@ -49,15 +49,16 @@ def write_wav(path: str, y: np.ndarray, sr: int = SR) -> None:
 
 
 def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3,
-                homophones: bool = False) -> None:
+                homophones: bool = False, words=None) -> None:
     rng = np.random.default_rng(seed)
+    vocab = list(words) if words is not None else WORDS
     wav_dir = os.path.join(out_dir, "wav")
     txt_dir = os.path.join(out_dir, "txt")
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(txt_dir, exist_ok=True)
     for i in range(n):
         k = int(rng.integers(1, max_words + 1))
-        text = " ".join(rng.choice(WORDS) for _ in range(k))
+        text = " ".join(rng.choice(vocab) for _ in range(k))
         write_wav(
             os.path.join(wav_dir, f"u{i:04d}.wav"),
             render(text, rng, homophones=homophones),
