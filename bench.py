@@ -80,15 +80,19 @@ def _time_chained(chain_fn, make_args, K, reps=3):
     out = chain_fn(*args)
     jax.block_until_ready(out)
     log(f"  compile+first run in {time.perf_counter() - t0:.1f}s")
-    best = float("inf")
+    times = []
     for rep in range(1, reps + 1):
         args = make_args(rep)
         jax.block_until_ready(args)
         t0 = time.perf_counter()
         out = chain_fn(*args)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best, out
+        times.append((time.perf_counter() - t0) / K)
+    # MEDIAN, not min: previously-seen executables occasionally get one
+    # replayed (near-zero) invocation even on fresh inputs; the median of
+    # >=3 reps rejects that outlier (see PERF.md round-2 methodology)
+    times.sort()
+    return times[len(times) // 2], out
 
 
 def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -> float:
@@ -110,16 +114,24 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
     K = min(max(iters, 4), 16)
+    # trace-time epsilon -> a never-seen-before executable every bench run;
+    # the relay replays programs it has seen before (PERF.md round 2)
+    eps = float((time.time_ns() % 997) * 1e-12)
 
-    # no donation: _time_chained re-invokes with the same buffers
+    # NOTE the construction: x/x_lens/y are CLOSED OVER (baked as program
+    # constants), only params/opt_state/key are arguments, and the chain
+    # returns every per-step loss. This exact shape has measured honestly in
+    # independent sessions, while arg-passed variants of the same math kept
+    # being served replayed results by the relay; main() cross-checks the
+    # result against the e2e chain and flags it if it is implausibly fast.
     @jax.jit
-    def train_chain(params, opt_state, x, x_lens, y, key):
+    def train_chain(params, opt_state, key):
         def one(carry, k):
             params, opt_state = carry
 
             def loss_fn(p):
                 _, logits, _ = las.asr_forward(
-                    p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=k
+                    p, cfg, x + eps, x_lens, y.shape[1] - 1, teacher=y, key=k
                 )
                 return losses.masked_ce_per_utt(logits, y[:, 1:], y)
 
@@ -131,17 +143,19 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
         (params, opt_state), ls = jax.lax.scan(
             one, (params, opt_state), jax.random.split(key, K)
         )
-        return params, opt_state, ls[-1]
+        return ls
+
+    base = int(time.time_ns() % (2**31))
 
     def make_args(rep):
-        p = las.init_asr(jax.random.key(100 + rep), cfg)
-        return p, optim.init(p), jax.random.fold_in(jax.random.key(1), rep)
+        p = las.init_asr(jax.random.key(base + rep), cfg)
+        return p, optim.init(p), jax.random.fold_in(jax.random.key(base), rep)
 
     log(f"train_only: compiling x{K} chained (B={B}, T={T}, L={L}) on {jax.devices()[0]} ...")
     dt, out = _time_chained(
-        lambda p, o, k: train_chain(p, o, x, x_lens, y, k), make_args, K
+        lambda p, o, k: train_chain(p, o, k), make_args, K
     )
-    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[2]):.3f})")
+    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[-1]):.3f})")
     return B / dt
 
 
@@ -171,6 +185,7 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
     K = min(max(iters, 4), 16)
+    eps = float((time.time_ns() % 997) * 1e-12)  # fresh executable per run
 
     @jax.jit
     def e2e_chain(params, opt_state, wav, n_samples, y, key):
@@ -180,7 +195,7 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
             # out of the scan as loop-invariant (each step must re-run it,
             # as a real input pipeline would)
             x, x_lens = frontend.log_mel_fbank_batch(
-                wav * (1.0 + 1e-12 * prev), n_samples, SR
+                wav * (1.0 + eps + 1e-12 * prev), n_samples, SR
             )
 
             def loss_fn(p):
@@ -200,9 +215,11 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
         return params, opt_state, ls[-1]
 
     log(f"e2e (fbank+train): compiling x{K} chained (B={B}, N={N} samples -> T={T}, L={L}) ...")
+    base = int(time.time_ns() % (2**31))  # see bench_train_step
+
     def make_args(rep):
-        p = las.init_asr(jax.random.key(100 + rep), cfg)
-        return p, optim.init(p), jax.random.fold_in(jax.random.key(1), rep)
+        p = las.init_asr(jax.random.key(base + rep), cfg)
+        return p, optim.init(p), jax.random.fold_in(jax.random.key(base), rep)
 
     dt, out = _time_chained(
         lambda p, o, k: e2e_chain(p, o, wav, n_samples, y, k), make_args, K
@@ -215,14 +232,15 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
     @jax.jit
     def fe_chain(wav, n_samples, seed):
         def body(c, _):
-            fb, fl = frontend.log_mel_fbank_batch(wav + c, n_samples, SR)
+            fb, fl = frontend.log_mel_fbank_batch(wav + c + eps, n_samples, SR)
             return c + fb.mean(), None
         s, _ = jax.lax.scan(body, seed, None, length=Kf)
         return s
 
+    fe_base = (time.time_ns() % 10**6) * 1e-9
     fe_ms, _ = _time_chained(
         lambda w, seed: fe_chain(w, n_samples, seed),
-        lambda rep: (wav * (1.0 + 1e-6 * rep), jnp.float32(rep)), Kf
+        lambda rep: (wav * (1.0 + 1e-6 * rep + fe_base), jnp.float32(rep)), Kf
     )
     fe_ms *= 1e3
     log(f"  frontend alone: {fe_ms:.2f} ms/batch")
@@ -249,10 +267,12 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8, iters: 
     cfg, params = _flagship()
     xl = jnp.asarray([T], dtype=jnp.int32)
 
+    eps = float((time.time_ns() % 997) * 1e-12)  # fresh executable per run
+
     def chain(decode_fn):
         @jax.jit
         def run(key):
-            xs = jax.random.normal(key, (K, 1, T, cfg.feature_dim), jnp.float32)
+            xs = eps + jax.random.normal(key, (K, 1, T, cfg.feature_dim), jnp.float32)
 
             def body(c, x):
                 toks, lens = decode_fn(x)
@@ -278,9 +298,10 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8, iters: 
         "beam8_scan": chain(beam_scan_only),
     }
     out = {}
+    base = int(time.time_ns() % (2**31))
     for name, run in variants.items():
         log(f"decode[{name}]: compiling ...")
-        key = jax.random.key(0)
+        key = jax.random.key(base)
         jax.block_until_ready(run(key))  # compile
         lat = []
         for i in range(iters):
@@ -364,10 +385,21 @@ def main():
         decode = bench_decode_latency(T=T, max_steps=200, K=8, iters=3)
     baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
 
+    # self-validation: a train step cannot be faster than the e2e step minus
+    # the standalone frontend (it is a strict subset of the e2e work). If it
+    # is, the relay served a replay — flag it rather than record a lie.
+    t_e2e_ms = B / e2e * 1e3
+    t_train_ms = B / train_only * 1e3
+    train_suspect = t_train_ms < 0.8 * (t_e2e_ms - fe_ms)
+    if train_suspect:
+        log(f"WARNING: train_only {t_train_ms:.2f} ms is implausible vs "
+            f"e2e {t_e2e_ms:.2f} - frontend {fe_ms:.2f}; flagged as replayed")
+
     details = {
         "shapes": {"B": B, "T_frames": T, "L": L, "sr": SR},
         "e2e_fbank_train_utt_per_s": round(e2e, 2),
         "train_only_utt_per_s": round(train_only, 2),
+        "train_only_replay_suspect": bool(train_suspect),
         "frontend_ms_per_batch": round(fe_ms, 3),
         "decode_latency_p50_ms": {k: round(v, 3) for k, v in decode.items()},
         "torch_cpu_baseline_utt_per_s": baseline,
