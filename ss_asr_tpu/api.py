@@ -62,12 +62,12 @@ class Transcriber:
     ) -> "Transcriber":
         config = config or {}
         cfg = las.ASRConfig.from_dict(config.get("asr", {}).get("mdl", {}))
-        params = jax.tree.map(jnp.asarray, ckpt.load_pytree(asr_path))
+        params = jax.tree.map(jnp.asarray, ckpt.load_auto(asr_path))
         lm_params = lm_cfg = None
         if lm_path is not None:
             lm_c = config.get("char_lm", {})
             lm_cfg = charlm_mod.CharLMConfig.from_dict(lm_c.get("mdl", lm_c))
-            lm_params = jax.tree.map(jnp.asarray, ckpt.load_pytree(lm_path))
+            lm_params = jax.tree.map(jnp.asarray, ckpt.load_auto(lm_path))
             kw.setdefault(
                 "lm_weight", config.get("asr", {}).get("decode_lm_weight", 0.5)
             )

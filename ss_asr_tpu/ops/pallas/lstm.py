@@ -229,14 +229,110 @@ def _pad_time(a, Tp):
     )
 
 
-def _fwd_pallas(gates_x, whh, lengths, interpret):
-    gates_x = gates_x.astype(_kdt())
-    whh = whh.astype(_kdt())
-    T, B, G = gates_x.shape
+# ---------------------------------------------------------------------------
+# GSPMD partitioning: under jit + auto sharding (jax.set_mesh) the kernels
+# declare themselves batch-parallel via custom_partitioning, so multi-chip
+# data-parallel jit keeps the fused kernels instead of falling back to scan.
+# The time axis stays unsharded (the recurrence is sequential); weights are
+# replicated. shard_map paths never reach this (mesh axes are Manual there).
+# ---------------------------------------------------------------------------
+
+def _batch_axis_of(arg_info, dim: int):
+    """The mesh axis name sharding `dim` of an operand, or None."""
+    sh = getattr(arg_info, "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if spec is None or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+@functools.lru_cache(maxsize=4)
+def _cp_fwd(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def cp(lengths2d, gates_x, whh):
+        return _fwd_core(lengths2d, gates_x, whh, interpret)
+
+    def shardings(mesh, arg_infos):
+        b = _batch_axis_of(arg_infos[1], 1) or _batch_axis_of(arg_infos[0], 0)
+        args = (
+            NamedSharding(mesh, P(b, None)),
+            NamedSharding(mesh, P(None, b, None)),
+            NamedSharding(mesh, P()),
+        )
+        outs = (
+            NamedSharding(mesh, P(None, b, None)),
+            NamedSharding(mesh, P(None, b, None)),
+        )
+        return args, outs
+
+    def infer(mesh, arg_infos, result_infos):
+        _, outs = shardings(mesh, arg_infos)
+        return outs
+
+    def partition(mesh, arg_infos, result_infos):
+        args, outs = shardings(mesh, arg_infos)
+
+        def lower(lengths2d, gates_x, whh):
+            return _fwd_core(lengths2d, gates_x, whh, interpret)
+
+        return mesh, lower, outs, args
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b u, t b g, h g -> t b h1, t b h1",
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=4)
+def _cp_bwd(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def cp(lengths2d, gates_x, res, whh):
+        return _bwd_core(lengths2d, gates_x, res, whh, interpret)
+
+    def shardings(mesh, arg_infos):
+        b = _batch_axis_of(arg_infos[1], 1) or _batch_axis_of(arg_infos[0], 0)
+        args = (
+            NamedSharding(mesh, P(b, None)),
+            NamedSharding(mesh, P(None, b, None)),
+            NamedSharding(mesh, P(None, b, None)),
+            NamedSharding(mesh, P()),
+        )
+        outs = NamedSharding(mesh, P(None, b, None))
+        return args, outs
+
+    def infer(mesh, arg_infos, result_infos):
+        _, outs = shardings(mesh, arg_infos)
+        return outs
+
+    def partition(mesh, arg_infos, result_infos):
+        args, outs = shardings(mesh, arg_infos)
+
+        def lower(lengths2d, gates_x, res, whh):
+            return _bwd_core(lengths2d, gates_x, res, whh, interpret)
+
+        return mesh, lower, outs, args
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b u, t b g, t b r, h g -> t b g",
+    )
+    return cp
+
+
+def _fwd_core(lengths2d, gates_x, whh, interpret):
+    """The raw forward pallas_call; shapes read from the (possibly local,
+    under custom_partitioning) operands. gates_x must be CHUNK-padded."""
+    Tp, B, G = gates_x.shape
     H = G // 4
-    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
-    gates_x = _pad_time(gates_x, Tp)  # padded steps are masked by lengths
-    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Tp // CHUNK,),
@@ -254,7 +350,7 @@ def _fwd_pallas(gates_x, whh, lengths, interpret):
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    y, cs = pl.pallas_call(
+    return pl.pallas_call(
         _lstm_fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -263,29 +359,28 @@ def _fwd_pallas(gates_x, whh, lengths, interpret):
         ],
         interpret=interpret,
     )(lengths2d, gates_x, whh)
-    return y[:T], cs[:T]
 
 
-def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
+def _fwd_pallas(gates_x, whh, lengths, interpret):
     gates_x = gates_x.astype(_kdt())
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
-    H = G // 4
     Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    gates_x = _pad_time(gates_x, Tp)  # padded steps are masked by lengths
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
-    # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream)
-    zrow = jnp.zeros((1, B, H), jnp.float32)
-    res = jnp.concatenate(
-        [
-            jnp.concatenate([zrow, y[:-1]], axis=0),
-            jnp.concatenate([zrow, cs[:-1]], axis=0),
-            cs,
-            dy.astype(jnp.float32),
-        ],
-        axis=-1,
-    )
-    gates_x = _pad_time(gates_x, Tp)
-    res = _pad_time(res, Tp)
+    from ss_asr_tpu.ops import rnn as _rnn
+
+    if _rnn._gspmd_axes_live():
+        y, cs = _cp_fwd(interpret)(lengths2d, gates_x, whh)
+    else:
+        y, cs = _fwd_core(lengths2d, gates_x, whh, interpret)
+    return y[:T], cs[:T]
+
+
+def _bwd_core(lengths2d, gates_x, res, whh, interpret):
+    """The raw backward pallas_call; gates_x/res must be CHUNK-padded."""
+    Tp, B, G = gates_x.shape
+    H = G // 4
     Tc = Tp // CHUNK
     rev = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest chunk first
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -313,8 +408,38 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
         ],
         interpret=interpret,
     )(lengths2d, gates_x, res, whh)
+    return dgx
+
+
+def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
+    gates_x = gates_x.astype(_kdt())
+    whh = whh.astype(_kdt())
+    T, B, G = gates_x.shape
+    H = G // 4
+    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream)
+    zrow = jnp.zeros((1, B, H), jnp.float32)
+    res = jnp.concatenate(
+        [
+            jnp.concatenate([zrow, y[:-1]], axis=0),
+            jnp.concatenate([zrow, cs[:-1]], axis=0),
+            cs,
+            dy.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    gates_x = _pad_time(gates_x, Tp)
+    res_p = _pad_time(res, Tp)
+    from ss_asr_tpu.ops import rnn as _rnn
+
+    if _rnn._gspmd_axes_live():
+        dgx = _cp_bwd(interpret)(lengths2d, gates_x, res_p, whh)
+    else:
+        dgx = _bwd_core(lengths2d, gates_x, res_p, whh, interpret)
     dgx = dgx[:T]
-    # dWhh = sum_t h_{t-1}^T dgates_t as ONE batched MXU matmul
+    # dWhh = sum_t h_{t-1}^T dgates_t as ONE batched MXU matmul (GSPMD
+    # all-reduces the batch contraction when dgx is batch-sharded)
     h_prev = res[:T, :, :H]
     dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dgx)
     return dgx, dwhh

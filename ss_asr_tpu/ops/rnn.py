@@ -75,7 +75,25 @@ def _gspmd_axes_live() -> bool:
     return n > 1
 
 
+#: Allow the fused LSTM kernels under jit+GSPMD auto sharding: they carry a
+#: custom_partitioning rule (batch-parallel, ops/pallas/lstm.py), so sharded
+#: jit keeps them. The attend-and-spell kernel has no such rule and always
+#: falls back to the scan under live GSPMD axes.
+GSPMD_PARTITION = True
+
+
 def _use_pallas_lstm() -> bool:
+    if LSTM_IMPL == "pallas":
+        return True
+    if LSTM_IMPL == "scan":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return GSPMD_PARTITION or not _gspmd_axes_live()
+
+
+def _use_pallas_spell() -> bool:
+    """Gate for the fused attend-and-spell kernels (no GSPMD rule)."""
     if LSTM_IMPL == "pallas":
         return True
     if LSTM_IMPL == "scan":

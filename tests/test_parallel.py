@@ -137,3 +137,37 @@ def test_shard_map_grads_matches_single_device(rng):
         np.asarray(ref_grads["char_trans"]["w"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_pallas_lstm_partitions_under_gspmd_jit(rng):
+    """The fused LSTM kernels carry a custom_partitioning rule: under
+    jit+GSPMD auto sharding (jax.set_mesh) with a batch-sharded input, the
+    kernel runs per shard instead of crashing or forcing a scan fallback.
+    Values and grads must match the unsharded run."""
+    from ss_asr_tpu.ops import rnn
+
+    prev_impl, prev_itp = rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET
+    rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET = "pallas", True
+    try:
+        p = rnn.init_bilstm(jax.random.key(0), 8, 16)
+        xs = jnp.asarray(rng.standard_normal((16, 24, 8)).astype(np.float32))
+        lens = jnp.asarray((rng.integers(8, 25, (16,))).astype(np.int32))
+
+        def loss(p, xs, lens):
+            return (rnn.bilstm_scan(p, xs, lens) ** 2).mean()
+
+        ref_l, ref_g = jax.jit(jax.value_and_grad(loss))(p, xs, lens)
+
+        m = pmesh.make_mesh(n_data=8, n_model=1)
+        xs_sh = jax.device_put(xs, pmesh.batch_sharding(m, xs.ndim))
+        lens_sh = jax.device_put(lens, pmesh.batch_sharding(m, 1))
+        p_sh = jax.device_put(p, pmesh.replicated(m))
+        with jax.set_mesh(m):
+            got_l, got_g = jax.jit(jax.value_and_grad(loss))(p_sh, xs_sh, lens_sh)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_g["fwd"]["w_hh"]), np.asarray(ref_g["fwd"]["w_hh"]),
+            rtol=1e-4, atol=1e-6,
+        )
+    finally:
+        rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET = prev_impl, prev_itp
