@@ -228,3 +228,103 @@ def log_mel_fbank_batch(
 def compute_fbank(y: np.ndarray, sr: int, n_mels: int = N_DIMS) -> np.ndarray:
     """Host convenience: one signal -> ``[T, n_mels]`` float32 numpy array."""
     return np.asarray(log_mel_fbank(jnp.asarray(y, dtype=jnp.float32), sr, n_mels), dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_mels", "win_ms", "stride_ms"))
+def _fbank_frames_raw(
+    buf: jax.Array, sr: int, n_mels: int, win_ms: int, stride_ms: int
+) -> jax.Array:
+    """Frames for an already-padded buffer: every full window position."""
+    n_fft, hop = frame_params(sr, win_ms, stride_ms)
+    nf = (buf.shape[0] - n_fft) // hop + 1
+    frames = _frame_by_slices(buf[None, :], nf, n_fft, hop)[0]
+    wbasis = jnp.asarray(_windowed_dft_basis(n_fft))
+    spec = jnp.dot(frames, wbasis, precision=jax.lax.Precision.HIGHEST)
+    n_bins = 1 + n_fft // 2
+    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+    mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    return jnp.log(jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST) + LOG_EPS)
+
+
+class StreamingFrontend:
+    """Chunked long-form frontend: push samples, get frames incrementally.
+
+    Emits frames numerically identical to ``log_mel_fbank`` on the
+    concatenated signal (tests/test_frontend.py): ``center=True``'s
+    start/end reflect-padding is synthesized once enough samples arrive /
+    at ``close()``, and overlap context (``n_fft - hop`` samples) carries
+    across chunks. Device shapes are fixed: samples are processed in
+    ``block``-sized windows, so XLA compiles exactly one program regardless
+    of stream length — the long-form answer for a frontend whose batched
+    form requires static utterance buckets.
+
+        fe = StreamingFrontend(sr=16000)
+        for chunk in audio_chunks:
+            frames.append(fe.push(chunk))
+        frames.append(fe.close())
+    """
+
+    def __init__(self, sr: int, n_mels: int = N_DIMS, win_ms: int = WIN_MS,
+                 stride_ms: int = STRIDE_MS, block: int = 16000):
+        self.sr, self.n_mels = sr, n_mels
+        self.win_ms, self.stride_ms = win_ms, stride_ms
+        self.n_fft, self.hop = frame_params(sr, win_ms, stride_ms)
+        self.pad = self.n_fft // 2
+        self.block = max(block, 2 * self.n_fft)
+        self._pre = np.zeros((0,), np.float32)  # samples before left pad done
+        self._buf: Optional[np.ndarray] = None  # padded-stream suffix
+        self._tail = np.zeros((0,), np.float32)  # last pad+1 raw samples
+
+    def _emit(self, final: bool) -> np.ndarray:
+        """Consume full frames from the buffer in fixed-size blocks."""
+        out = []
+        n_fft, hop, block = self.n_fft, self.hop, self.block
+        nf_block = (block - n_fft) // hop + 1
+        while self._buf is not None and len(self._buf) >= (
+            block if not final else n_fft
+        ):
+            take = min(block, len(self._buf))
+            nf = min((take - n_fft) // hop + 1, nf_block)
+            chunk = np.zeros((block,), np.float32)
+            chunk[:take] = self._buf[:take]
+            fb = np.asarray(
+                _fbank_frames_raw(jnp.asarray(chunk), self.sr, self.n_mels,
+                                  self.win_ms, self.stride_ms)
+            )
+            out.append(fb[:nf])
+            self._buf = self._buf[nf * hop:]
+        return (np.concatenate(out, 0) if out
+                else np.zeros((0, self.n_mels), np.float32))
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed samples; returns the frames completed by this chunk."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if self._buf is None:
+            self._pre = np.concatenate([self._pre, samples])
+            if len(self._pre) < self.pad + 1:
+                return np.zeros((0, self.n_mels), np.float32)
+            # left reflect pad: y[pad], ..., y[1] prepended
+            left = self._pre[1 : self.pad + 1][::-1]
+            self._buf = np.concatenate([left, self._pre])
+            samples = self._pre
+            self._pre = np.zeros((0,), np.float32)
+        else:
+            self._buf = np.concatenate([self._buf, samples])
+        k = self.pad + 1
+        self._tail = np.concatenate([self._tail, samples])[-k:]
+        return self._emit(final=False)
+
+    def close(self) -> np.ndarray:
+        """Right-reflect-pad and emit the remaining frames."""
+        if self._buf is None:
+            if len(self._pre) == 0:
+                return np.zeros((0, self.n_mels), np.float32)
+            # short stream: fall back to the one-shot path
+            return np.asarray(log_mel_fbank(
+                jnp.asarray(self._pre), self.sr, self.n_mels,
+                self.win_ms, self.stride_ms,
+            ))
+        # right reflect pad: y[-2], ..., y[-pad-1] appended
+        right = self._tail[:-1][::-1][: self.pad]
+        self._buf = np.concatenate([self._buf, right])
+        return self._emit(final=True)

@@ -100,3 +100,23 @@ def test_batch_conv_frontend_matches_per_signal_path():
         t_valid = int(fl[b])
         np.testing.assert_allclose(got[:t_valid], ref[:t_valid], rtol=2e-4, atol=2e-4)
         assert np.all(got[t_valid:] == 0.0)
+
+
+def test_streaming_frontend_matches_one_shot():
+    """Chunked long-form frontend == one-shot log_mel_fbank, every sample
+    rate / chunk size / odd length combination."""
+    import jax.numpy as jnp
+
+    from ss_asr_tpu.ops import frontend
+
+    rng = np.random.default_rng(0)
+    for sr, n in ((16000, 50000), (8000, 12345)):
+        y = rng.standard_normal(n).astype(np.float32)
+        ref = np.asarray(frontend.log_mel_fbank(jnp.asarray(y), sr))
+        for chunking in (1000, n):
+            fe = frontend.StreamingFrontend(sr)
+            parts = [fe.push(y[i:i + chunking]) for i in range(0, n, chunking)]
+            parts.append(fe.close())
+            got = np.concatenate(parts, 0)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
