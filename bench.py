@@ -108,7 +108,9 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     cfg, params = _flagship()
     optim = make_optimizer("Adadelta", 1.0)
     opt_state = optim.init(params)
-    rng = np.random.default_rng(0)
+    # time-derived DATA values: the relay has also served replays for runs
+    # whose large input tensors matched an earlier run byte-for-byte
+    rng = np.random.default_rng(time.time_ns() % (2**31))
     x = jnp.asarray(rng.standard_normal((B, T, cfg.feature_dim)).astype(np.float32))
     x_lens = jnp.asarray(np.full((B,), T, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
@@ -179,7 +181,7 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
     opt_state = optim.init(params)
     n_fft, hop = frontend.frame_params(SR)
     N = (T - 1) * hop
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns() % (2**31))  # see bench_train_step
     wav = jnp.asarray((0.1 * rng.standard_normal((B, N))).astype(np.float32))
     n_samples = jnp.asarray(np.full((B,), N, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
@@ -340,6 +342,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI/CPU)")
     ap.add_argument("--no-baseline", action="store_true", help="skip torch measurement")
+    ap.add_argument("--full", action="store_true",
+                    help="also re-measure train-only + decode latency "
+                         "(several extra remote compiles)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(
         "--metric",
@@ -376,41 +381,60 @@ def main():
         }))
         return
 
-    # default: the full suite -> headline e2e line + details artifact
-    train_only = bench_train_step(B, T, L, iters=args.iters)
-    e2e, fe_ms = bench_e2e_step(B, T, L, iters=args.iters)
-    if args.quick:
-        decode = bench_decode_latency(T=64, max_steps=20, K=4, iters=2)
-    else:
-        decode = bench_decode_latency(T=T, max_steps=200, K=8, iters=3)
+    # default: the e2e headline (one compile, driver-timeout friendly);
+    # --full additionally re-measures train-only and decode latency.
+    # Physical floor: the flagship step cannot run under ~2 ms on one v5e
+    # (round-1/2 measurements: 7.5-9 ms; speed-of-light >= 3 ms). A faster
+    # reading means the relay replayed the run — retry with fresh values.
+    floor_ms = 2.0 if not args.quick else 0.0
+    for attempt in range(3):
+        e2e, fe_ms = bench_e2e_step(B, T, L, iters=args.iters)
+        if B / e2e * 1e3 >= floor_ms:
+            break
+        log(f"WARNING: e2e {B / e2e * 1e3:.2f} ms/step below the physical "
+            f"floor — relay replay suspected, retrying ({attempt + 1}/3)")
     baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
 
-    # self-validation: a train step cannot be faster than the e2e step minus
-    # the standalone frontend (it is a strict subset of the e2e work). If it
-    # is, the relay served a replay — flag it rather than record a lie.
-    t_e2e_ms = B / e2e * 1e3
-    t_train_ms = B / train_only * 1e3
-    train_suspect = t_train_ms < 0.8 * (t_e2e_ms - fe_ms)
-    if train_suspect:
-        log(f"WARNING: train_only {t_train_ms:.2f} ms is implausible vs "
-            f"e2e {t_e2e_ms:.2f} - frontend {fe_ms:.2f}; flagged as replayed")
-
-    details = {
+    details = {}
+    if os.path.exists(DETAILS_PATH):
+        with open(DETAILS_PATH) as f:
+            details = json.load(f)
+    details.update({
         "shapes": {"B": B, "T_frames": T, "L": L, "sr": SR},
         "e2e_fbank_train_utt_per_s": round(e2e, 2),
-        "train_only_utt_per_s": round(train_only, 2),
-        "train_only_replay_suspect": bool(train_suspect),
         "frontend_ms_per_batch": round(fe_ms, 3),
-        "decode_latency_p50_ms": {k: round(v, 3) for k, v in decode.items()},
         "torch_cpu_baseline_utt_per_s": baseline,
         "note": "vs_baseline divides e2e (which includes fbank) by the torch "
                 "train-only number — conservative. Decode p50 uses in-jit "
                 "chained timing (see bench.py docstring).",
-    }
-    os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
-    with open(DETAILS_PATH, "w") as f:
-        json.dump(details, f, indent=1)
-    log(f"details written to {DETAILS_PATH}")
+    })
+
+    if args.full:
+        train_only = bench_train_step(B, T, L, iters=args.iters)
+        if args.quick:
+            decode = bench_decode_latency(T=64, max_steps=20, K=4, iters=2)
+        else:
+            decode = bench_decode_latency(T=T, max_steps=200, K=8, iters=3)
+        # self-validation: a train step cannot be faster than the e2e step
+        # minus the standalone frontend (it is a strict subset of the e2e
+        # work). If it is, the relay served a replay — flag it.
+        t_e2e_ms = B / e2e * 1e3
+        t_train_ms = B / train_only * 1e3
+        train_suspect = t_train_ms < 0.8 * (t_e2e_ms - fe_ms)
+        if train_suspect:
+            log(f"WARNING: train_only {t_train_ms:.2f} ms is implausible vs "
+                f"e2e {t_e2e_ms:.2f} - frontend {fe_ms:.2f}; flagged as replayed")
+        details.update({
+            "train_only_utt_per_s": round(train_only, 2),
+            "train_only_replay_suspect": bool(train_suspect),
+            "decode_latency_p50_ms": {k: round(v, 3) for k, v in decode.items()},
+        })
+
+    if not args.quick:  # quick (CI) shapes must not clobber the TPU record
+        os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
+        with open(DETAILS_PATH, "w") as f:
+            json.dump(details, f, indent=1)
+        log(f"details written to {DETAILS_PATH}")
 
     print(json.dumps({
         "metric": "e2e_fbank_train_throughput",

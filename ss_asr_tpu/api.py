@@ -125,6 +125,20 @@ class Transcriber:
         fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr)
         return self.transcribe_fbank(fb)[0]
 
+    def transcribe_stream(self, chunks, sr: Optional[int] = None) -> str:
+        """Long-form audio from an iterable of sample chunks.
+
+        The frontend runs incrementally (ops.frontend.StreamingFrontend, one
+        fixed-shape XLA program for any stream length); decoding runs once on
+        the assembled frames. Frames are identical to the one-shot path."""
+        from ss_asr_tpu.ops.frontend import StreamingFrontend
+
+        fe = StreamingFrontend(sr or self.sr, n_mels=self.cfg.feature_dim)
+        parts = [fe.push(c) for c in chunks]
+        parts.append(fe.close())
+        fb = np.concatenate(parts, 0)
+        return self.transcribe_fbank(fb)[0]
+
     def transcribe_wav(self, path: str) -> str:
         sr, y = load_wav(path, target_sr=self.sr)
         return self.transcribe_signal(y, sr)

@@ -48,3 +48,21 @@ def test_transcriber_wav(tmp_path, rng):
                               "mlp_out_size": 8, "feature_dim": 40}}}
     t = Transcriber.from_checkpoint(p, config, sr=8000, t_bucket=16, max_steps=8)
     assert isinstance(t.transcribe_wav(str(wav)), str)
+
+
+def test_transcribe_stream_matches_signal(tmp_path):
+    """Chunked transcription == whole-signal transcription."""
+    import jax
+
+    from ss_asr_tpu.api import Transcriber
+    from ss_asr_tpu.models import las
+
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=40)
+    params = las.init_asr(jax.random.key(0), cfg)
+    t = Transcriber(params, cfg, sr=8000, max_steps=8)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(20000).astype(np.float32)
+    whole = t.transcribe_signal(y)
+    chunked = t.transcribe_stream(y[i:i + 3000] for i in range(0, len(y), 3000))
+    assert chunked == whole
