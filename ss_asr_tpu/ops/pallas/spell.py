@@ -293,17 +293,16 @@ def _pad_L(a, Lp):
     return jnp.concatenate([a, pad], axis=0)
 
 
-def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret):
-    (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
-    L, B, V = gumbel.shape
+def _run_fwd_core(enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
+                  phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, ct_br, emb,
+                  interpret):
+    """Raw forward pallas_call on flat, Lp-padded operands (shapes may be
+    per-shard under custom_partitioning)."""
+    Lp, B, V = gumbel.shape
     S, F = enc_h.shape[1], enc_h.shape[2]
     H = whh1.shape[0]
     E = emb.shape[1]
     m = phi.shape[1]
-    Lp = ((L + CHUNK - 1) // CHUNK) * CHUNK
-    tf_draws = _pad_L(tf_draws, Lp)
-    gumbel = _pad_L(gumbel, Lp)
-    teacher_emb = _pad_L(teacher_emb, Lp)
 
     full2 = lambda k: (0, 0)  # noqa: E731
     full3 = lambda k: (0, 0, 0)  # noqa: E731
@@ -346,7 +345,7 @@ def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret)
             pltpu.VMEM((B, E), jnp.float32),
         ],
     )
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -360,27 +359,41 @@ def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret)
         ],
         interpret=interpret,
     )(
-        enc_h, comp_h, lens2d, tf_draws.reshape(Lp, 1), gumbel, teacher_emb,
+        enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
+        phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, ct_br, emb,
+    )
+
+
+def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret):
+    (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
+    L = gumbel.shape[0]
+    Lp = ((L + CHUNK - 1) // CHUNK) * CHUNK
+    flat = (
+        enc_h, comp_h, lens2d,
+        _pad_L(tf_draws, Lp).reshape(Lp, 1),
+        _pad_L(gumbel, Lp), _pad_L(teacher_emb, Lp),
         phi, wih1, whh1, b1.reshape(1, -1), wih2, whh2, b2.reshape(1, -1),
         ct_w, ct_b.reshape(1, -1), emb,
     )
+    from ss_asr_tpu.ops import rnn as _rnn
+
+    if _rnn._gspmd_axes_live():
+        outs = _spell_cp_fwd(interpret)(*flat)
+    else:
+        outs = _run_fwd_core(*flat, interpret)
     return tuple(o[:L] for o in outs)
 
 
-def _run_bwd(enc_h, comp_h, lens2d, dlogits, streams, W, interpret):
-    (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
-    (a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp) = streams
-    L, B, S = a.shape
+def _run_bwd_core(enc_h, comp_h, lens2d, dlogits,
+                  a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
+                  phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, interpret):
+    """Raw backward pallas_call on flat, Lp-padded operands."""
+    Lp, B, S = a.shape
     F = enc_h.shape[2]
     H = h1s.shape[2]
     E = fedp.shape[2]
     m = phi.shape[1]
     V = ct_w.shape[1]
-    Lp = ((L + CHUNK - 1) // CHUNK) * CHUNK
-    pads = [dlogits, a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp]
-    dlogits, a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp = (
-        _pad_L(x, Lp) for x in pads
-    )
     Lc = Lp // CHUNK
     full2 = lambda k: (0, 0)  # noqa: E731
     full3 = lambda k: (0, 0, 0)  # noqa: E731
@@ -421,7 +434,7 @@ def _run_bwd(enc_h, comp_h, lens2d, dlogits, streams, W, interpret):
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -435,9 +448,53 @@ def _run_bwd(enc_h, comp_h, lens2d, dlogits, streams, W, interpret):
     )(
         enc_h, comp_h, lens2d, dlogits,
         a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
+        phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w,
+    )
+
+
+def _run_bwd(enc_h, comp_h, lens2d, dlogits, streams, W, interpret):
+    (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
+    L = dlogits.shape[0]
+    Lp = ((L + CHUNK - 1) // CHUNK) * CHUNK
+    padded = tuple(_pad_L(x, Lp) for x in (dlogits,) + streams)
+    flat = (enc_h, comp_h, lens2d) + padded + (
         phi, wih1, whh1, b1.reshape(1, -1), wih2, whh2, b2.reshape(1, -1), ct_w,
     )
+    from ss_asr_tpu.ops import rnn as _rnn
+
+    if _rnn._gspmd_axes_live():
+        outs = _spell_cp_bwd(interpret)(*flat)
+    else:
+        outs = _run_bwd_core(*flat, interpret)
     return tuple(o[:L] for o in outs)
+
+
+@functools.lru_cache(maxsize=4)
+def _spell_cp_fwd(interpret: bool):
+    from ss_asr_tpu.ops.pallas.partition import batch_partitioned
+
+    return batch_partitioned(
+        functools.partial(_run_fwd_core, interpret=interpret),
+        in_batch_dims=[0, 0, 0, None, 1, 1] + [None] * 10,
+        out_batch_dims=[1] * 7,
+        rule="b s f, b s m, b u, l u, l b v, l b e, h m, x g, h g, u g, "
+             "h g, h g, u g, h v, u v, v e -> "
+             "l b v, l b s, l b h, l b h, l b h, l b h, l b e",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _spell_cp_bwd(interpret: bool):
+    from ss_asr_tpu.ops.pallas.partition import batch_partitioned
+
+    return batch_partitioned(
+        functools.partial(_run_bwd_core, interpret=interpret),
+        in_batch_dims=[0, 0, 0] + [1] * 11 + [None] * 8,
+        out_batch_dims=[1] * 5,
+        rule="b s f, b s m, b u, l b v, l b s, l b h, l b h, l b h, l b h, "
+             "l b h, l b h, l b h, l b h, l b e, h m, x g, h g, u g, h g, "
+             "h g, u g, h v -> l b g, l b g, l b s, l b m, l b e",
+    )
 
 
 # ---------------------------------------------------------------------------

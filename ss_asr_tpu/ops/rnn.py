@@ -93,12 +93,19 @@ def _use_pallas_lstm() -> bool:
 
 
 def _use_pallas_spell() -> bool:
-    """Gate for the fused attend-and-spell kernels (no GSPMD rule)."""
+    """Gate for the fused attend-and-spell kernels.
+
+    Like the LSTM kernels, these now carry batch-parallel
+    custom_partitioning rules (ops/pallas/spell.py), so jit+GSPMD keeps them
+    too when GSPMD_PARTITION is on.
+    """
     if LSTM_IMPL == "pallas":
         return True
     if LSTM_IMPL == "scan":
         return False
-    return jax.default_backend() == "tpu" and not _gspmd_axes_live()
+    if jax.default_backend() != "tpu":
+        return False
+    return GSPMD_PARTITION or not _gspmd_axes_live()
 
 
 # ---------------------------------------------------------------------------

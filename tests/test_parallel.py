@@ -171,3 +171,49 @@ def test_pallas_lstm_partitions_under_gspmd_jit(rng):
         )
     finally:
         rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET = prev_impl, prev_itp
+
+
+def test_full_model_kernels_partition_under_gspmd_jit(rng):
+    """The WHOLE flagship forward+backward — Pallas LSTM listener AND fused
+    attend-and-spell — runs under jit+GSPMD auto sharding with batch-sharded
+    inputs, matching the unsharded run (both kernel families carry
+    custom_partitioning rules)."""
+    from ss_asr_tpu.ops import rnn
+    from ss_asr_tpu.train import losses as L
+
+    prev_impl, prev_itp = rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET
+    rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET = "pallas", True
+    try:
+        params = las.init_asr(jax.random.key(0), CFG)
+        x, x_lens, y = _batch(rng)
+        key = jax.random.key(1)
+
+        def loss_fn(p, x, xl, yy):
+            # tf_rate=1: deterministic regardless of key handling
+            _, logits, _ = las.asr_forward(
+                p, CFG, x, xl, yy.shape[1] - 1, teacher=yy, key=key, tf_rate=1.0
+            )
+            return L.masked_ce_per_utt(logits, yy[:, 1:], yy)
+
+        ref_l, ref_g = jax.jit(jax.value_and_grad(loss_fn))(params, x, x_lens, y)
+
+        m = pmesh.make_mesh(n_data=8, n_model=1)
+        batch = pmesh.shard_batch({"x": x, "xl": x_lens, "y": y}, m)
+        p_rep = jax.device_put(params, pmesh.replicated(m))
+        with jax.set_mesh(m):
+            got_l, got_g = jax.jit(jax.value_and_grad(loss_fn))(
+                p_rep, batch["x"], batch["xl"], batch["y"]
+            )
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for path in (("char_trans", "w"), ("decoder", "layer1", "w_hh"),
+                     ("encoder", "pblstm1", "fwd", "w_hh")):
+            a = b = None
+            a, b = ref_g, got_g
+            for k in path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+                err_msg="/".join(path),
+            )
+    finally:
+        rnn.LSTM_IMPL, rnn.PALLAS_INTERPRET = prev_impl, prev_itp
