@@ -1,4 +1,6 @@
-"""Metric logging: JSONL always; TensorBoard (tensorboardX) when available.
+"""Metric logging: JSONL always; TensorBoard always (tensorboardX when
+available, else the native zero-dependency tfevents writer for scalars —
+utils/tfevents.py).
 
 Mirrors the reference's ``LogHandler`` surface (src/LogHandler.py:9-30) —
 ``scalar`` / ``text`` / ``image`` / ``figure`` / ``embedding`` with keys
@@ -26,11 +28,17 @@ class MetricLogger:
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
         self._tb = None
+        self._native = None
         if use_tensorboard and SummaryWriter is not None:
             try:
                 self._tb = SummaryWriter(logdir)
             except Exception:  # pragma: no cover
                 self._tb = None
+        if use_tensorboard and self._tb is None:
+            # zero-dependency fallback: native tfevents writer (scalars)
+            from ss_asr_tpu.utils.tfevents import EventWriter
+
+            self._native = EventWriter(logdir)
 
     def _key(self, key: str) -> str:
         return f"{self.module_id}_{key}"
@@ -57,6 +65,8 @@ class MetricLogger:
             self._emit("scalar", key, val, step)
             if self._tb:
                 self._tb.add_scalar(self._key(key), val, step)
+            elif self._native:
+                self._native.scalar(self._key(key), val, step)
 
     def text(self, key: str, val: str, step: int) -> None:
         self._emit("text", key, str(val), step)
@@ -82,3 +92,5 @@ class MetricLogger:
         self._jsonl.close()
         if self._tb:
             self._tb.close()
+        if self._native:
+            self._native.close()
