@@ -95,7 +95,7 @@ def _time_chained(chain_fn, make_args, K, reps=3):
     return times[len(times) // 2], out
 
 
-def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -> float:
+def bench_train_step(B: int, T: int, L: int, iters: int = 10) -> float:
     """Train-step throughput on pre-extracted features (round-1 metric)."""
     import jax
     import jax.numpy as jnp
@@ -161,7 +161,7 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2) -
     return B / dt
 
 
-def bench_e2e_step(B: int, T: int, L: int, iters: int = 10, warmup: int = 2):
+def bench_e2e_step(B: int, T: int, L: int, iters: int = 10):
     """North-star: waveform -> fused-in fbank -> train step, one XLA program.
 
     T is the frame count; the waveform buffer is sized so the frontend
@@ -371,14 +371,23 @@ def main():
         return
 
     if args.metric == "train_throughput":
-        value = bench_train_step(B, T, L, iters=args.iters)
+        floor_ms = 2.0 if not args.quick else 0.0
+        for attempt in range(3):
+            value = bench_train_step(B, T, L, iters=args.iters)
+            if B / value * 1e3 >= floor_ms:
+                break
+            log(f"WARNING: train step below the physical floor — replay "
+                f"suspected, retrying ({attempt + 1}/3)")
         baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
-        print(json.dumps({
+        out = {
             "metric": "las_train_step_throughput",
             "value": round(value, 2),
             "unit": "utt/s/chip",
             "vs_baseline": round(value / baseline, 2) if baseline else 0.0,
-        }))
+        }
+        if B / value * 1e3 < floor_ms:
+            out["replay_suspect"] = True
+        print(json.dumps(out))
         return
 
     # default: the e2e headline (one compile, driver-timeout friendly);
@@ -393,6 +402,7 @@ def main():
             break
         log(f"WARNING: e2e {B / e2e * 1e3:.2f} ms/step below the physical "
             f"floor — relay replay suspected, retrying ({attempt + 1}/3)")
+    e2e_suspect = B / e2e * 1e3 < floor_ms  # all retries exhausted
     baseline = get_torch_baseline(B, T, L, allow_measure=not args.no_baseline)
 
     details = {}
@@ -402,6 +412,7 @@ def main():
     details.update({
         "shapes": {"B": B, "T_frames": T, "L": L, "sr": SR},
         "e2e_fbank_train_utt_per_s": round(e2e, 2),
+        "e2e_replay_suspect": bool(e2e_suspect),
         "frontend_ms_per_batch": round(fe_ms, 3),
         "torch_cpu_baseline_utt_per_s": baseline,
         "note": "vs_baseline divides e2e (which includes fbank) by the torch "
@@ -436,12 +447,15 @@ def main():
             json.dump(details, f, indent=1)
         log(f"details written to {DETAILS_PATH}")
 
-    print(json.dumps({
+    headline = {
         "metric": "e2e_fbank_train_throughput",
         "value": round(e2e, 2),
         "unit": "utt/s/chip",
         "vs_baseline": round(e2e / baseline, 2) if baseline else 0.0,
-    }))
+    }
+    if e2e_suspect:
+        headline["replay_suspect"] = True
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -75,10 +75,11 @@ def _gspmd_axes_live() -> bool:
     return n > 1
 
 
-#: Allow the fused LSTM kernels under jit+GSPMD auto sharding: they carry a
-#: custom_partitioning rule (batch-parallel, ops/pallas/lstm.py), so sharded
-#: jit keeps them. The attend-and-spell kernel has no such rule and always
-#: falls back to the scan under live GSPMD axes.
+#: Allow the fused kernels under jit+GSPMD auto sharding: both the LSTM and
+#: the attend-and-spell kernels carry batch-parallel custom_partitioning
+#: rules (ops/pallas/lstm.py, ops/pallas/spell.py), so sharded jit keeps
+#: them fused. Set False to force the lax.scan fallback under live GSPMD
+#: axes instead.
 GSPMD_PARTITION = True
 
 
@@ -93,19 +94,9 @@ def _use_pallas_lstm() -> bool:
 
 
 def _use_pallas_spell() -> bool:
-    """Gate for the fused attend-and-spell kernels.
-
-    Like the LSTM kernels, these now carry batch-parallel
-    custom_partitioning rules (ops/pallas/spell.py), so jit+GSPMD keeps them
-    too when GSPMD_PARTITION is on.
-    """
-    if LSTM_IMPL == "pallas":
-        return True
-    if LSTM_IMPL == "scan":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    return GSPMD_PARTITION or not _gspmd_axes_live()
+    """Gate for the fused attend-and-spell kernels — same dispatch rule as
+    the LSTM kernels (both families carry GSPMD partition rules)."""
+    return _use_pallas_lstm()
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +316,9 @@ def bilstm_scan(
     """
     if _use_pallas_lstm():
         itp = PALLAS_INTERPRET
-        if BILSTM_FUSED:
+        # the fused dual-direction kernel has NO GSPMD partition rule, so it
+        # must not be dispatched under live GSPMD axes
+        if BILSTM_FUSED and not _gspmd_axes_live():
             from ss_asr_tpu.ops.pallas.bilstm import bilstm_pallas_trainable
 
             return bilstm_pallas_trainable(p, xs, lengths, interpret=itp)

@@ -73,8 +73,12 @@ class ADVTrainer(Solver):
         )
         self.G_state = self.G_optim.init(self.params)
         self.D_state = self.D_optim.init(self.params)
-        self.g_opt_ckppath = self.opt_ckppath.replace("_opt", "_G_opt")
-        self.d_opt_ckppath = self.opt_ckppath.replace("_opt", "_D_opt")
+        # built from ckpdir+module_id directly — str.replace on the full path
+        # would also rewrite '_opt' occurrences in directory names
+        import os
+
+        self.g_opt_ckppath = os.path.join(self.ckpdir, "adv_G_opt.npz")
+        self.d_opt_ckppath = os.path.join(self.ckpdir, "adv_D_opt.npz")
         if getattr(self, "loaded_ckpt", False):
             if ckpt.exists(self.g_opt_ckppath):
                 self.G_state = ckpt.load_opt_state(self.g_opt_ckppath, self.G_state)

@@ -51,9 +51,13 @@ class SAETrainer(Solver):
             loaded = ckpt.load_auto(self.ckppath)
             sae_params = jax.tree.map(jnp.asarray, loaded["params"])
             self.bn_state = jax.tree.map(jnp.asarray, loaded["bn_state"])
+            self.loaded_ckpt = True
         else:
             self.verbose(f"No model found at {self.ckppath}. A new model will be created")
             sae_params, self.bn_state = sae_mod.init_sae(self.next_key(), self.sae_cfg)
+            # optimizer-state restore must key on the SAE's OWN checkpoint,
+            # not the ASR relay loaded by setup_params above
+            self.loaded_ckpt = False
         self.params = {"asr": asr_params, "sae": sae_params}
 
         mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))

@@ -158,13 +158,30 @@ class Solver:
 
     def place_batch(self, tree):
         """Device-place one batch: sharded over the data axis under a mesh,
-        plain transfer otherwise."""
+        plain transfer otherwise.
+
+        Multi-host: each process holds only its host-shard's rows, so the
+        global array is assembled with
+        ``jax.make_array_from_process_local_data`` — the per-host batch is
+        this process's slice of a (train_batch_size * process_count)-row
+        global batch. Single-host device_put of local data onto a global
+        mesh would silently drop every other host's rows.
+        """
         import jax.numpy as jnp
 
         if self.mesh is None:
             return jax.tree.map(jnp.asarray, tree)
         from ss_asr_tpu.parallel import mesh as pmesh
 
+        if jax.process_count() > 1:
+            import numpy as np
+
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    pmesh.batch_sharding(self.mesh, np.ndim(x)), np.asarray(x)
+                ),
+                tree,
+            )
         return pmesh.shard_batch(tree, self.mesh)
 
     def place_replicated(self, tree):

@@ -280,3 +280,18 @@ def test_tester_decodes(corpus, tmp_path):
     assert len(results) == 8
     assert all(isinstance(r, str) for r in results)
     assert os.path.exists(os.path.join(tester.ckpdir, tester.decode_file + ".txt"))
+
+
+def test_sae_opt_state_gates_on_own_checkpoint(corpus, tmp_path):
+    """Retraining the SAE from scratch (sae.npz deleted, stale sae_opt.npz
+    present, ASR relay checkpoint still there) must NOT restore the stale
+    optimizer accumulators — the restore keys on the SAE's own checkpoint."""
+    paras = _paras(tmp_path, "sae_optgate")
+    t = SAETrainer(corpus, paras)
+    t.load_data(); t.set_model(); t.exec(); t.close()
+    assert os.path.exists(t.opt_ckppath)
+    os.remove(t.ckppath)  # retrain the SAE stage from scratch
+
+    t2 = SAETrainer(corpus, paras)
+    t2.load_data(); t2.set_model()
+    assert t2.loaded_ckpt is False  # fresh params -> fresh optimizer
