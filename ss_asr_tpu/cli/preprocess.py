@@ -35,14 +35,27 @@ from ss_asr_tpu.vocab import normalize_string
 N_JOBS = 12  # IO threads (reference used 12 feature processes)
 
 
+#: signal-length bucket, in samples (1.28 s @ 16 kHz): wav lengths round up
+#: to a multiple of this before hitting the jitted frontend, so a whole
+#: corpus compiles a handful of XLA programs instead of one per unique length
+SIG_BUCKET = 20480
+
+
 def _emit_fbanks(
     items: List[Tuple[str, str, str]],
     processed_dir: str,
     sr: int,
     batch_size: int = 64,
 ) -> List[Tuple]:
-    """items: (text, wav_path, out_stem). Returns index rows."""
-    from ss_asr_tpu.ops.frontend import compute_fbank
+    """items: (text, wav_path, out_stem). Returns index rows.
+
+    IO runs on a thread pool; features run on-device through the *batched*
+    frontend over (batch_size, bucketed-length) buffers — static shapes, so
+    XLA compiles once per signal bucket. Each row's valid frames are exact
+    vs the one-shot per-signal path (per-row end reflection in
+    ``log_mel_fbank_batch``).
+    """
+    from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
 
     fbank_dir = os.path.join(processed_dir, "fbanks")
     os.makedirs(fbank_dir, exist_ok=True)
@@ -57,18 +70,36 @@ def _emit_fbanks(
         return (text, wav_path, stem, y)
 
     rows: List[Tuple] = []
-    with ThreadPoolExecutor(max_workers=N_JOBS) as ex:
-        for loaded in ex.map(load, items):
-            if loaded is None:
-                continue
-            text, wav_path, stem, y = loaded
+    buckets: dict = {}  # n_pad -> list of (text, wav_path, stem, y)
+
+    def flush(n_pad: int, group: list) -> None:
+        buf = np.zeros((batch_size, n_pad), dtype=np.float32)
+        ns = np.ones((batch_size,), dtype=np.int32)
+        for i, (_, _, _, y) in enumerate(group):
+            buf[i, : y.shape[0]] = y
+            ns[i] = y.shape[0]
+        fb, fl = log_mel_fbank_batch(buf, ns, sr)
+        fb, fl = np.asarray(fb, dtype=np.float32), np.asarray(fl)
+        for i, (text, wav_path, stem, _) in enumerate(group):
             clean_text, s_len = normalize_string(text)
-            fbank = compute_fbank(y, sr)
+            fbank = fb[i, : fl[i]]
             out_path = os.path.join(fbank_dir, stem + ".npy")
             np.save(out_path, fbank)
             rows.append((clean_text, out_path, s_len, fbank.shape[0], "na", wav_path))
             if len(rows) % 500 == 0:
                 print(f"  processed {len(rows)} utterances", file=sys.stderr)
+
+    with ThreadPoolExecutor(max_workers=N_JOBS) as ex:
+        for loaded in ex.map(load, items):
+            if loaded is None:
+                continue
+            n_pad = max(SIG_BUCKET, -(-loaded[3].shape[0] // SIG_BUCKET) * SIG_BUCKET)
+            group = buckets.setdefault(n_pad, [])
+            group.append(loaded)
+            if len(group) == batch_size:
+                flush(n_pad, buckets.pop(n_pad))
+    for n_pad, group in sorted(buckets.items()):
+        flush(n_pad, group)
     return rows
 
 

@@ -52,4 +52,8 @@ def prepro_file(in_file: str, out_file: str) -> None:
     """Normalize every line of a text file into the closed char inventory."""
     with open(out_file, "w", encoding="utf-8") as o, open(in_file, "r", encoding="utf-8") as i:
         for line in i:
-            o.write(normalize_string(line, append_tokens=False)[0])
+            # normalization collapses the trailing \n into a space — restore
+            # the line structure (one record per line) explicitly. The
+            # reference (src/xmlparser.py:12-14) loses it, merging the whole
+            # corpus into one line; fixed deliberately.
+            o.write(normalize_string(line, append_tokens=False)[0].rstrip() + "\n")

@@ -203,13 +203,21 @@ def log_mel_fbank_batch(
     zeroed (so downstream can recover lengths, as the reference's global
     zero-padding contract does — src/ASRDataset.py:311-317).
 
-    Implementation: reflect pad, slice-based framing (``_frame_by_slices``),
-    then ONE fused window·DFT matmul and the mel matmul — both MXU —
-    numerically identical to ``log_mel_fbank`` per row.
+    Implementation: per-row reflect pad (a gather — each row reflects at its
+    OWN true end ``n_samples[b]``, not at the zero-padded buffer edge, so
+    every valid frame is numerically identical to running ``log_mel_fbank``
+    on that row's true-length signal), slice-based framing
+    (``_frame_by_slices``), then ONE fused window·DFT matmul and the mel
+    matmul — both MXU.
     """
     n_fft, hop = frame_params(sr, win_ms, stride_ms)
     pad = n_fft // 2
-    yp = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    j = jnp.arange(y.shape[1] + 2 * pad)[None, :]
+    s = j - pad
+    ns = jnp.maximum(n_samples.astype(jnp.int32), 1)[:, None]
+    src = jnp.where(s < 0, -s, jnp.where(s < ns, s, 2 * ns - 2 - s))
+    src = jnp.clip(src, 0, ns - 1)
+    yp = jnp.take_along_axis(y.astype(jnp.float32), src, axis=1)
     nf = int(num_frames(y.shape[1], n_fft, hop))
     frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
     wbasis = jnp.asarray(_windowed_dft_basis(n_fft))  # [n_fft, 2*n_bins]

@@ -135,7 +135,7 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    enc_ref, comp_ref, len_ref, dlogits_ref,
+    enc_ref, comp_ref, len_ref, dlogits_ref, daext_ref,
     a_ref, h1s_ref, c1s_ref, h2s_ref, c2s_ref,
     h1p_ref, c1p_ref, h2p_ref, c2p_ref, fedp_ref,
     phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref, ct_w_ref,
@@ -144,9 +144,10 @@ def _bwd_kernel(
 ):
     """One reverse chunk.  Streams (suffix p = previous step, i.e. shifted):
     a, h1s..c2s = forward states at t; h1p..c2p = states at t-1; fedp = the
-    embedding fed INTO step t.  Outputs per step: dgates1, dgates2, de
-    (attention-energy grad), dqpre (pre-tanh attention-query grad), demb
-    (grad wrt the embedding fed into step t)."""
+    embedding fed INTO step t; daext = the caller's cotangent on the returned
+    attention maps (zeros for a plain CE loss).  Outputs per step: dgates1,
+    dgates2, de (attention-energy grad), dqpre (pre-tanh attention-query
+    grad), demb (grad wrt the embedding fed into step t)."""
     k = pl.program_id(0)
     C = a_ref.shape[0]
     B, S, F = enc_ref.shape
@@ -255,8 +256,9 @@ def _bwd_kernel(
         demb = dx[:, :E]
         dctx = dx[:, E:]
 
-        # attention backward
-        da = jnp.sum(enc_ref[:] * dctx[:, None, :], axis=-1)  # [B,S]
+        # attention backward: context path + the external cotangent on the
+        # returned attention maps (e.g. an attention regularizer in the loss)
+        da = jnp.sum(enc_ref[:] * dctx[:, None, :], axis=-1) + daext_ref[i]  # [B,S]
         ada = a * da
         de = ada - a * jnp.sum(ada, axis=-1, keepdims=True)  # softmax vjp
         dq = jnp.sum(comp_ref[:] * de[:, :, None], axis=1)  # [B,m]
@@ -384,7 +386,7 @@ def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret)
     return tuple(o[:L] for o in outs)
 
 
-def _run_bwd_core(enc_h, comp_h, lens2d, dlogits,
+def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
                   a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
                   phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, interpret):
     """Raw backward pallas_call on flat, Lp-padded operands."""
@@ -406,6 +408,7 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits,
             pl.BlockSpec((B, S, m), full3),
             pl.BlockSpec((B, 1), full2),
             pl.BlockSpec((CHUNK, B, V), rev3),
+            pl.BlockSpec((CHUNK, B, S), rev3),  # daext
         ]
         + [pl.BlockSpec((CHUNK, B, S), rev3)]
         + [pl.BlockSpec((CHUNK, B, H), rev3)] * 8
@@ -446,17 +449,17 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits,
         ],
         interpret=interpret,
     )(
-        enc_h, comp_h, lens2d, dlogits,
+        enc_h, comp_h, lens2d, dlogits, daext,
         a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
         phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w,
     )
 
 
-def _run_bwd(enc_h, comp_h, lens2d, dlogits, streams, W, interpret):
+def _run_bwd(enc_h, comp_h, lens2d, dlogits, daext, streams, W, interpret):
     (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
     L = dlogits.shape[0]
     Lp = ((L + CHUNK - 1) // CHUNK) * CHUNK
-    padded = tuple(_pad_L(x, Lp) for x in (dlogits,) + streams)
+    padded = tuple(_pad_L(x, Lp) for x in (dlogits, daext) + streams)
     flat = (enc_h, comp_h, lens2d) + padded + (
         phi, wih1, whh1, b1.reshape(1, -1), wih2, whh2, b2.reshape(1, -1), ct_w,
     )
@@ -489,11 +492,11 @@ def _spell_cp_bwd(interpret: bool):
 
     return batch_partitioned(
         functools.partial(_run_bwd_core, interpret=interpret),
-        in_batch_dims=[0, 0, 0] + [1] * 11 + [None] * 8,
+        in_batch_dims=[0, 0, 0] + [1] * 12 + [None] * 8,
         out_batch_dims=[1] * 5,
-        rule="b s f, b s m, b u, l b v, l b s, l b h, l b h, l b h, l b h, "
-             "l b h, l b h, l b h, l b h, l b e, h m, x g, h g, u g, h g, "
-             "h g, u g, h v -> l b g, l b g, l b s, l b m, l b e",
+        rule="b s f, b s m, b u, l b v, l b s, l b s, l b h, l b h, l b h, "
+             "l b h, l b h, l b h, l b h, l b h, l b e, h m, x g, h g, u g, "
+             "h g, h g, u g, h v -> l b g, l b g, l b s, l b m, l b e",
     )
 
 
@@ -531,7 +534,7 @@ def _spell_bwd(interpret, res, cts):
     (enc_h, comp_h, lens_f, tf_draws, gumbel, teacher_emb, W,
      logits, a, h1s, c1s, h2s, c2s, fed) = res
     (phi, wih1, whh1, b1, wih2, whh2, b2, ct_w, ct_b, emb) = W
-    dlogits, _da = cts  # gradients through the attention-map output unused
+    dlogits, da_ext = cts  # da_ext: cotangent on the returned attention maps
     L, B, V = dlogits.shape
     H = whh1.shape[0]
     E = emb.shape[1]
@@ -547,7 +550,8 @@ def _spell_bwd(interpret, res, cts):
 
     streams = (a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp)
     dg1, dg2, de, dqp, demb = _run_bwd(
-        enc_h, comp_h, lens2d, dlogits, streams, W, interpret
+        enc_h, comp_h, lens2d, dlogits, da_ext.astype(jnp.float32), streams,
+        W, interpret
     )
 
     # ---- weight grads as big batched einsums ----

@@ -364,7 +364,9 @@ def gru_scan(
         h2 = (1.0 - z) * n + z * h
         if lengths is not None:
             valid = (t < lengths)[:, None]
-            h2 = jnp.where(valid, h2, h)
+            # packed-sequence contract (module docstring): carry freezes AND
+            # the emitted output is zero past each sample's length
+            return jnp.where(valid, h2, h), jnp.where(valid, h2, 0.0)
         return h2, h2
 
     if SCAN_REMAT:

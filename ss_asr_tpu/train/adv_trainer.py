@@ -236,7 +236,7 @@ class ADVTrainer(Solver):
         avg_fake /= max(n, 1)
 
         if real is not None:
-            embs = np.concatenate([np.asarray(real)[0], np.asarray(fake)[0]])
+            embs = np.concatenate([self.to_local(real)[0], self.to_local(fake)[0]])
             meta = ["real"] * real.shape[1] + ["fake"] * fake.shape[1]
             self.lg.embedding("validation_emb", embs, meta, self.tr.step)
 

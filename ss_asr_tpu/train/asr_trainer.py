@@ -126,7 +126,7 @@ class ASRTrainer(Solver):
                 if self.tr.step % self.logging_step == 0:
                     label = b.y[:, 1:]
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
-                    self.lg.scalar("train_acc", calc_acc(np.asarray(logits), label), self.tr.step)
+                    self.lg.scalar("train_acc", calc_acc(self.to_local(logits), label), self.tr.step)
                     if timer.steps_per_sec > 0:
                         self.lg.scalar("train_utt_per_sec",
                                        timer.utt_per_sec(b.y.shape[0]), self.tr.step)
@@ -134,7 +134,7 @@ class ASRTrainer(Solver):
                     label = b.y[:, 1:]
                     self.lg.scalar(
                         "train_error",
-                        calc_err(np.asarray(logits), label, mapper=self.mapper),
+                        calc_err(self.to_local(logits), label, mapper=self.mapper),
                         self.tr.step,
                     )
                 if self.tr.step % self.save_step == 0:
@@ -160,9 +160,9 @@ class ASRTrainer(Solver):
             label = b.y[:, 1:]
             valid = b.valid if b.valid is not None else np.ones(b.y.shape[0], bool)
             n_b = int(valid.sum())
-            pu = np.asarray(per_utt)[valid]
+            pu = self.to_local(per_utt)[valid]
             total_loss += float(pu.sum())
-            lg = np.asarray(logits)[valid]
+            lg = self.to_local(logits)[valid]
             total_acc += calc_acc(lg[:, : label.shape[1]], label[valid]) * n_b
             total_err += calc_err(lg, label[valid], mapper=self.mapper) * n_b
             total_cer += calc_cer(lg, label[valid], mapper=self.mapper) * n_b
@@ -178,10 +178,10 @@ class ASRTrainer(Solver):
 
         # attention maps + hypotheses for the last batch
         if logits is not None:
-            hyp_ids = np.argmax(np.asarray(logits), axis=-1)
+            hyp_ids = np.argmax(self.to_local(logits), axis=-1)
             val_hyp = [self.mapper.translate(p) for p in hyp_ids]
             val_txt = [self.mapper.translate(l) for l in label]
-            maps = draw_att(np.asarray(att), hyp_ids)
+            maps = draw_att(self.to_local(att), hyp_ids)
             for idx, attmap in enumerate(maps[:4]):
                 self.lg.image(f"eval_att_{idx}", attmap, self.tr.step)
                 self.lg.text(

@@ -37,20 +37,40 @@ class CHARLMTrainer(Solver):
         self.opt_state = self.setup_opt_state(self.optim, self.params)
         cfg, optim = self.cfg, self.optim
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, y, key):
+        def local_grads(params, y, key):
             # reference: input at step 0 is id 0 for the whole batch and the
             # target at step i is y[:, i] (trainer.py:231-239)
             def loss_fn(p):
                 logits = charlm.teacher_forced_unroll(p, cfg, y, key)
-                return losses.chunk_ce(logits, y)
+                return losses.chunk_ce(logits, y), logits
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, opt_state, loss
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, grads, logits
 
-        self._train_step = train_step
+        if self.mesh is not None:
+            # data-parallel chunks over ICI, same wrapper as the other trainers
+            from ss_asr_tpu.parallel import mesh as pmesh
+
+            n_data = self.mesh.shape[pmesh.DATA_AXIS]
+            assert self.train_batch_size % n_data == 0, (
+                f"train_batch_size {self.train_batch_size} must divide over "
+                f"the {n_data}-device data axis"
+            )
+            self._train_step = pmesh.dp_train_step(
+                self.mesh, local_grads, optim, n_batch_args=1
+            )
+            self.params = self.place_replicated(self.params)
+            self.opt_state = self.place_replicated(self.opt_state)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, y, key):
+                loss, grads, logits = local_grads(params, y, key)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, opt_state, loss, logits
+
+            self._train_step = train_step
 
     def exec(self):
         n_batches = len(self.ds) // self.train_batch_size
@@ -64,8 +84,11 @@ class CHARLMTrainer(Solver):
                     f"Batch: {b_ind}/{n_batches}, global step: {self.tr.step}",
                     progress=True,
                 )
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, jnp.asarray(y), self.next_key()
+                self.params, self.opt_state, loss, _ = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    self.place_batch({"y": y})["y"],
+                    self.place_replicated(self.next_key()),
                 )
                 loss_by_char = float(loss) / self.chunk_size
 

@@ -190,7 +190,7 @@ class SAETrainer(Solver):
 
         # spectrogram reconstruction comparisons for the last batch
         if recon is not None:
-            r = np.asarray(recon)
+            r = self.to_local(recon)
             for i in range(min(2, r.shape[0])):
                 ln = int(b.x_lens[i])
                 both = np.stack([b.x[i, :ln].T, r[i, :ln].T])  # [2, F, T]

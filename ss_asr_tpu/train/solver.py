@@ -184,6 +184,25 @@ class Solver:
             )
         return pmesh.shard_batch(tree, self.mesh)
 
+    def to_local(self, arr):
+        """Host-local numpy rows of a batch-sharded step output.
+
+        Single-process: plain ``np.asarray``. Multi-host: the step outputs
+        are global arrays sharded over DATA_AXIS and span non-addressable
+        (other-process) devices, which ``np.asarray`` refuses to fetch —
+        gather only this process's shards (exactly the rows this host
+        contributed via ``place_batch``) in index order, so the result
+        lines up with the host-local batch's labels.
+        """
+        import numpy as np
+
+        if self.mesh is None or jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def place_replicated(self, tree):
         """Replicate params/opt-state/keys across the mesh (no-op unmeshed)."""
         if self.mesh is None:

@@ -170,7 +170,7 @@ class TAETrainer(Solver):
 
         if logits is not None:
             labels = [self.mapper.translate(l) for l in b.y]
-            predicts = [self.mapper.translate(p) for p in np.argmax(np.asarray(logits), axis=-1)]
+            predicts = [self.mapper.translate(p) for p in np.argmax(self.to_local(logits), axis=-1)]
             for i in range(min(4, len(labels))):
                 self.lg.text(f"eval_text{i}", f"{labels[i]} |vs.| {predicts[i]}", self.tr.step)
 

@@ -51,11 +51,12 @@ class ASRTester(Solver):
         lm_c = self.config.get("char_lm", {})
         lm_mdl = lm_c.get("mdl", lm_c)
         self.lm_cfg = charlm.CharLMConfig.from_dict(lm_mdl)
-        lm_path = os.path.join(self.ckpdir, "char_lm.npz")
-        if ckpt.exists(lm_path):
+        # honor the configured checkpoint backend (char_lm.orbax vs .npz)
+        lm_path = os.path.join(self.ckpdir, "char_lm" + self.ckpt_ext)
+        if ckpt.exists_auto(lm_path):
             import jax
 
-            self.lm_params = jax.tree.map(jnp.asarray, ckpt.load_pytree(lm_path))
+            self.lm_params = jax.tree.map(jnp.asarray, ckpt.load_auto(lm_path))
         else:
             self.verbose(f"No char LM at {lm_path}; decoding without fusion")
             self.lm_params = None

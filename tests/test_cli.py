@@ -154,9 +154,14 @@ def test_xmlparser(tmp_path):
     assert n == 1
     line = out.read_text().strip()
     assert line == "halló heimur. góðan daginn"
+    # a second document line: prepro_file must keep one record per line
+    with open(out, "a", encoding="utf-8") as f:
+        f.write("önnur lína\n")
     norm_out = tmp_path / "norm.txt"
     xmlparser.prepro_file(str(out), str(norm_out))
-    assert "$" not in norm_out.read_text() or True  # normalizes without crash
+    lines = norm_out.read_text().splitlines()
+    assert len(lines) == 2
+    assert lines[0].strip() == "halló heimur. góðan daginn"
 
 
 def test_cli_verbose_false_parses():

@@ -82,9 +82,11 @@ def test_batch_matches_single(rng):
         np.testing.assert_allclose(np.asarray(fb_b)[i], np.asarray(fb_s), rtol=1e-5, atol=1e-5)
 
 
-def test_batch_conv_frontend_matches_per_signal_path():
-    """The strided-conv batched frontend must equal the per-signal
-    gather+matmul formulation row by row (incl. ragged lengths + zeroing)."""
+def test_batch_ragged_matches_true_length_signal():
+    """Every valid frame of the batched frontend must equal the one-shot
+    frontend run on that row's TRUE-length signal — including the final
+    frames whose window crosses the signal end (per-row end reflection,
+    not buffer-edge reflection)."""
     import jax.numpy as jnp
 
     from ss_asr_tpu.ops import frontend
@@ -92,13 +94,14 @@ def test_batch_conv_frontend_matches_per_signal_path():
     rng = np.random.default_rng(0)
     B, N, SR = 4, 16000, 16000
     y = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
-    ns = jnp.asarray(np.array([16000, 12000, 8000, 4001], dtype=np.int32))
-    fb_batch, fl = frontend.log_mel_fbank_batch(y, ns, SR)
+    ns = np.array([16000, 12000, 8000, 4001], dtype=np.int32)
+    fb_batch, fl = frontend.log_mel_fbank_batch(y, jnp.asarray(ns), SR)
     for b in range(B):
-        ref = np.asarray(frontend.log_mel_fbank(y[b], SR))
+        ref = np.asarray(frontend.log_mel_fbank(y[b, : ns[b]], SR))
         got = np.asarray(fb_batch[b])
         t_valid = int(fl[b])
-        np.testing.assert_allclose(got[:t_valid], ref[:t_valid], rtol=2e-4, atol=2e-4)
+        assert t_valid == ref.shape[0]
+        np.testing.assert_allclose(got[:t_valid], ref, rtol=2e-4, atol=2e-4)
         assert np.all(got[t_valid:] == 0.0)
 
 

@@ -89,3 +89,44 @@ def test_greedy_forward_matches_scan(rng):
     )
     np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), atol=2e-5)
+
+
+def test_attention_map_cotangent_matches_scan(rng):
+    """A loss term on the returned attention maps must differentiate
+    identically through the fused kernel and the scan (the kernel's backward
+    streams the external da cotangent into the recurrence)."""
+    params, enc_h, enc_lens, y = _setup(rng)
+    L = y.shape[1] - 1
+    key = jax.random.key(11)
+
+    def make_loss(spell_fn, **kw):
+        def loss(p, eh):
+            logits, att = spell_fn(
+                p, CFG, eh, enc_lens, L, teacher=y, key=key, tf_rate=1.0, **kw
+            )
+            ce = losses.masked_ce_per_utt(logits, y[:, 1:], y)
+            # attention-entropy style regularizer: nonzero cotangent on att
+            reg = jnp.mean(jnp.sum(att**2, axis=-1))
+            return ce + 0.5 * reg
+        return loss
+
+    loss_scan = make_loss(las.attend_and_spell)
+    loss_pallas = make_loss(attend_and_spell_pallas, interpret=True)
+
+    np.testing.assert_allclose(
+        float(loss_pallas(params, enc_h)), float(loss_scan(params, enc_h)), rtol=1e-5
+    )
+    (gp_s, ge_s) = jax.grad(loss_scan, argnums=(0, 1))(params, enc_h)
+    (gp_p, ge_p) = jax.grad(loss_pallas, argnums=(0, 1))(params, enc_h)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=2e-5)
+    for path in (
+        ("attention", "phi", "w"), ("attention", "psi", "w"),
+        ("decoder", "layer1", "w_ih"), ("decoder", "layer1", "w_hh"),
+        ("decoder", "layer2", "w_ih"), ("char_trans", "w"), ("embed", "table"),
+    ):
+        a, b = gp_p, gp_s
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg="/".join(path)
+        )

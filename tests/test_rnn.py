@@ -145,3 +145,19 @@ def test_forget_bias_init():
     assert np.all(b[8:16] == 1.0)
     assert np.all(b[:8] == 0.0)
     assert np.all(b[16:] == 0.0)
+
+
+def test_gru_scan_zeroes_outputs_past_length(rng):
+    """Packed-sequence contract: carry freezes AND outputs zero at t >= len."""
+    import jax
+
+    B, T, I, H = 2, 6, 4, 3
+    x = rng.standard_normal((B, T, I)).astype(np.float32)
+    p = rnn.init_gru(jax.random.key(0), I, H)
+    lens = jnp.asarray([6, 3])
+    ys, h_last = rnn.gru_scan(p, jnp.asarray(x), lengths=lens)
+    assert np.all(_np(ys[1, 3:]) == 0.0)
+    assert not np.all(_np(ys[1, :3]) == 0.0)
+    # the carry froze at the last valid step
+    ys_full, _ = rnn.gru_scan(p, jnp.asarray(x))
+    np.testing.assert_allclose(_np(h_last[1]), _np(ys_full[1, 2]), atol=1e-6)

@@ -281,3 +281,46 @@ def _get(tree, path):
     for p in path:
         tree = tree[p]
     return tree
+
+
+def test_charlm_trainer_data_parallel_matches_single(corpus, tmp_path):
+    """CHARLMTrainer over a 4x1 mesh == the same steps single-device
+    (tf_rate=1.0 so per-shard RNG folding cannot change the math)."""
+    from ss_asr_tpu.train import CHARLMTrainer
+
+    lm_file = str(tmp_path / "lm.txt")
+    rng = np.random.default_rng(3)
+    chars = list("aábdðefghiíjklmnoóprstuúvxyýþæö .,")
+    with open(lm_file, "w", encoding="utf-8") as f:
+        f.write("".join(rng.choice(chars) for _ in range(2000)))
+
+    def cfg_for(n_data):
+        c = {
+            "char_lm": {
+                "opt": {"type": "Adam", "learning_rate": 0.001},
+                "mdl": {"hidden_size": 8, "tf_rate": 1.0},
+                "train_index": lm_file,
+                "chunk_size": 20,
+                "train_batch_size": 4,
+                "n_epochs": 2,
+                "valid_step": 1000,
+                "logging_step": 1,
+                "save_step": 1000,
+            }
+        }
+        if n_data > 1:
+            c["parallel"] = {"n_data": n_data}
+        return c
+
+    logs_1, logs_dp = [], []
+    for name, n_data, rec in (("lm1", 1, logs_1), ("lmdp", 4, logs_dp)):
+        t = CHARLMTrainer(cfg_for(n_data), _paras(tmp_path, name))
+        t.load_data()
+        t.set_model()
+        t.lg.scalar = lambda k, v, s, rec=rec: rec.append((k, v, s))
+        t.exec()
+        t.close()
+    l1 = [v for k, v, s in logs_1 if k == "train_loss"]
+    ldp = [v for k, v, s in logs_dp if k == "train_loss"]
+    assert len(l1) == len(ldp) and len(l1) > 0
+    np.testing.assert_allclose(ldp, l1, rtol=1e-4, atol=1e-5)
