@@ -87,12 +87,13 @@ def build_corpus(work: str, n_utts: int, seed: int,
                        processed_dir=processed, sr=8000)
     make_split(os.path.join(processed, "index.tsv"), seed=seed)
 
-    # char-LM corpus: the training transcripts as one text stream
+    # char-LM corpus: the TRAIN-split transcripts only — the eval split must
+    # stay unseen by the LM, or the beam+LM comparison scores memorized text
     texts = []
-    txt_dir = os.path.join(corpus, "txt")
-    for f in sorted(os.listdir(txt_dir)):
-        with open(os.path.join(txt_dir, f), encoding="utf-8") as fh:
-            texts.append(fh.read().strip())
+    with open(os.path.join(processed, "train.tsv"), encoding="utf-8") as fh:
+        for line in fh:
+            t = line.split("\t")[0].strip()
+            texts.append(t.lstrip("<").rstrip(">"))
     with open(lm_corpus, "w", encoding="utf-8") as fh:
         fh.write(" ".join(texts * 4))
     return {
