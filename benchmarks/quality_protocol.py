@@ -132,8 +132,12 @@ def make_config(paths: dict, size: str, epochs: int, batch: int,
 
 
 def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
-                      max_steps: int = 60) -> dict:
-    """Decode the eval set three ways; per-utterance CER accumulation."""
+                      max_steps: int = 60, lm_sweep=None) -> dict:
+    """Decode the eval set three ways; per-utterance CER accumulation.
+
+    ``lm_sweep``: optional extra fusion weights — each adds one beam+LM
+    decode over the SAME trained model (one compile per weight), reported
+    in an ``lm_weight_sweep`` table; ``lm_weight`` stays the headline."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -160,16 +164,21 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                     t_bucket=512, l_bucket=64)
     mapper = ds.mapper
 
+    weights = [lm_weight] + [w for w in (lm_sweep or []) if w != lm_weight]
     modes = {
         "greedy": lambda x, xl: greedy_decode(params, cfg, x, xl, max_steps),
         f"beam{beam}": lambda x, xl: beam_decode(
             params, cfg, x, xl, beam_size=beam, max_steps=max_steps
         ),
-        f"beam{beam}_lm": lambda x, xl: beam_decode(
-            params, cfg, x, xl, beam_size=beam, max_steps=max_steps,
-            lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=lm_weight,
-        ),
     }
+    for w in weights:
+        name = f"beam{beam}_lm" if w == lm_weight else f"beam{beam}_lm@{w:g}"
+        modes[name] = (
+            lambda w: lambda x, xl: beam_decode(
+                params, cfg, x, xl, beam_size=beam, max_steps=max_steps,
+                lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=w,
+            )
+        )(w)
     errs = {m: 0 for m in modes}
     chars = 0
     n_utts = 0
@@ -192,13 +201,27 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     out.update({f"{m}_char_errors": int(errs[m]) for m in modes})
     out["n_eval_utts"] = n_utts
     out["n_label_chars"] = chars
+    if len(weights) > 1:
+        out["lm_weight_sweep"] = [
+            {
+                "lm_weight": w,
+                "greedy_cer": out["greedy_cer"],
+                f"beam{beam}_cer": out[f"beam{beam}_cer"],
+                f"beam{beam}_lm_cer": out[
+                    f"beam{beam}_lm_cer" if w == lm_weight
+                    else f"beam{beam}_lm@{w:g}_cer"
+                ],
+            }
+            for w in sorted(weights)
+        ]
     out["samples"] = hyp_samples
     return out
 
 
 def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         lm_weight: float, batch: int = 8, homophones: bool = False,
-        opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False) -> dict:
+        opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
+        lm_sweep=None) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
@@ -214,7 +237,7 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     lm = CHARLMTrainer(config, paras)
     lm.load_data(); lm.set_model(); lm.exec(); lm.close()
 
-    result = eval_decode_modes(config, paras, lm_weight)
+    result = eval_decode_modes(config, paras, lm_weight, lm_sweep=lm_sweep)
     result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
                         "seed": seed, "lm_weight": lm_weight,
                         "homophones": homophones, "opt": opt, "lr": lr,
@@ -236,15 +259,21 @@ def main():
                          "the right spelling (high-error-regime beam/LM test)")
     ap.add_argument("--opt", default="Adadelta")
     ap.add_argument("--lr", type=float, default=1.0)
+    ap.add_argument("--lm-sweep", default=None,
+                    help="comma-separated extra fusion weights, e.g. "
+                         "'0.05,0.2' — evaluated against the same trained "
+                         "model and reported as lm_weight_sweep")
     ap.add_argument("--heldout", action="store_true",
                     help="hold fig/dig/hide out of ASR audio training; the "
                          "LM still sees their spellings (thesis low-resource "
                          "condition — beam+LM must beat greedy here)")
     args = ap.parse_args()
 
+    sweep = [float(w) for w in args.lm_sweep.split(",")] if args.lm_sweep else None
     result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
                  args.lm_weight, homophones=args.homophones,
-                 opt=args.opt, lr=args.lr, heldout=args.heldout)
+                 opt=args.opt, lr=args.lr, heldout=args.heldout,
+                 lm_sweep=sweep)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:

@@ -117,6 +117,10 @@ class ADVTrainer(Solver):
             return grads, g_state, loss
 
         if self.mesh is not None:
+            assert self.n_model == 1, (
+                "parallel.n_model > 1 (tensor parallelism) is supported by "
+                "the ASR trainer; this model is too small to shard"
+            )
             from jax import lax, shard_map
             from jax.sharding import PartitionSpec as P
 

@@ -73,7 +73,35 @@ class ASRTrainer(Solver):
             )
             return per_utt, logits, att
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.n_model > 1:
+            # (data x model) tensor parallelism via jit+GSPMD: params sharded
+            # by the parallel.mesh rules (4H gate / vocab / psi dims over the
+            # model axis), batch over the data axis, XLA inserts the
+            # collectives. The Pallas LSTM/spell kernels stay fused through
+            # their custom_partitioning batch rules (ops/pallas). This is the
+            # trainer surface of the dryrun's jit+GSPMD configuration
+            # (__graft_entry__._dryrun_gspmd_tp).
+            from ss_asr_tpu.parallel import mesh as pmesh
+
+            n_data = self.mesh.shape[pmesh.DATA_AXIS]
+            assert self.train_batch_size % n_data == 0, (
+                f"train_batch_size {self.train_batch_size} must divide over "
+                f"the {n_data}-device data axis"
+            )
+            assert self.valid_batch_size % n_data == 0
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def tp_train_step(params, opt_state, x, x_lens, y, key):
+                loss, grads, logits = local_grads(params, x, x_lens, y, key)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss, logits
+
+            self._train_step = self.run_in_mesh(tp_train_step)
+            self._valid_step = self.run_in_mesh(jax.jit(local_valid))
+            self.params = self.place_tp(self.params)
+            self.opt_state = self.place_tp(self.opt_state)
+        elif self.mesh is not None:
             # data-parallel over ICI: one shard_map(train step) inside jit;
             # grads pmean-ed, optimizer replicated (parallel/mesh.py)
             from ss_asr_tpu.parallel import mesh as pmesh

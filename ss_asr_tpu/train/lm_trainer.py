@@ -48,6 +48,10 @@ class CHARLMTrainer(Solver):
             return loss, grads, logits
 
         if self.mesh is not None:
+            assert self.n_model == 1, (
+                "parallel.n_model > 1 (tensor parallelism) is supported by "
+                "the ASR trainer; this model is too small to shard"
+            )
             # data-parallel chunks over ICI, same wrapper as the other trainers
             from ss_asr_tpu.parallel import mesh as pmesh
 

@@ -82,6 +82,10 @@ class SAETrainer(Solver):
             return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn)
 
         if self.mesh is not None:
+            assert self.n_model == 1, (
+                "parallel.n_model > 1 (tensor parallelism) is supported by "
+                "the ASR trainer; this model is too small to shard"
+            )
             # DP: grads and fresh BN statistics pmean-ed over the data axis
             # (sync-BN semantics), optimizer replicated
             from jax import lax, shard_map

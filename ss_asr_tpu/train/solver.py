@@ -22,23 +22,25 @@ from ss_asr_tpu.utils.tracker import Tracker
 
 
 def make_solver_mesh(config: dict):
-    """Build the data-parallel mesh from the ``parallel`` config section.
+    """Build the (data x model) mesh from the ``parallel`` config section.
 
-    ``n_data: auto`` uses every visible device; ``n_data: 1`` (default) keeps
-    the single-device jit path. Returns None when no mesh is needed, so the
+    ``n_data: auto`` uses every visible device (divided by ``n_model`` when
+    tensor parallelism is on); ``n_data: 1`` (default) keeps the
+    single-device jit path. Returns None when no mesh is needed, so the
     degenerate case has zero sharding machinery in it (SURVEY §2.3: single
     device is the 1-chip case of the mesh design).
     """
     par = config.get("parallel") or {}
     n_data = par.get("n_data", 1)
+    n_model = int(par.get("n_model", 1))
     if n_data in ("auto", -1):
-        n_data = len(jax.devices())
+        n_data = max(len(jax.devices()) // n_model, 1)
     n_data = int(n_data)
-    if n_data <= 1:
+    if n_data * n_model <= 1:
         return None
     from ss_asr_tpu.parallel import mesh as pmesh
 
-    return pmesh.make_mesh(n_data=n_data, n_model=1)
+    return pmesh.make_mesh(n_data=n_data, n_model=n_model)
 
 
 def make_paras(
@@ -76,10 +78,14 @@ class Solver:
         self.best_ckppath = os.path.join(self.ckpdir, module_id + "_best" + self.ckpt_ext)
         self.opt_ckppath = os.path.join(self.ckpdir, module_id + "_opt.npz")
 
-        # multi-chip: a 1-axis data-parallel mesh over all (or `n_data`)
-        # devices; None = single-device jit (the degenerate case). Config:
-        #   parallel: {n_data: auto | <int>}
+        # multi-chip: a (data x model) mesh; None = single-device jit (the
+        # degenerate case). Config:
+        #   parallel: {n_data: auto | <int>, n_model: <int>}
+        # n_model > 1 = tensor parallelism of the wide gate/projection
+        # matmuls, jit+GSPMD path (ASR trainer; the aux models are too small
+        # to shard and assert n_model == 1).
         self.mesh = make_solver_mesh(config)
+        self.n_model = int((config.get("parallel") or {}).get("n_model", 1))
 
         # multi-host input pipeline (SURVEY §2.3: "host data loading sharded
         # per-process"): each process reads a strided shard of the training
@@ -198,10 +204,16 @@ class Solver:
 
         if self.mesh is None or jax.process_count() == 1:
             return np.asarray(arr)
-        shards = sorted(
+        parts, seen = [], set()
+        for s in sorted(
             arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        ):
+            start = s.index[0].start or 0
+            if start in seen:  # replicated over a second mesh axis
+                continue
+            seen.add(start)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=0)
 
     def place_replicated(self, tree):
         """Replicate params/opt-state/keys across the mesh (no-op unmeshed)."""
@@ -210,6 +222,28 @@ class Solver:
         from ss_asr_tpu.parallel import mesh as pmesh
 
         return jax.device_put(tree, pmesh.replicated(self.mesh))
+
+    def place_tp(self, tree):
+        """Tensor-parallel placement: wide (4H/vocab/mel) dims sharded over
+        the model axis, everything else replicated (parallel.mesh rules).
+        Works for param trees and for optimizer states whose accumulators
+        mirror the param shapes; scalars/vectors stay replicated."""
+        from ss_asr_tpu.parallel import mesh as pmesh
+
+        return jax.device_put(tree, pmesh.param_shardings(tree, self.mesh))
+
+    def run_in_mesh(self, fn):
+        """Wrap a jitted step so it traces under ``jax.set_mesh(self.mesh)``
+        — required for the jit+GSPMD path: the Pallas kernels' dispatch gate
+        (ops.rnn._gspmd_axes_live) and their custom_partitioning rules both
+        read the ambient abstract mesh."""
+        mesh = self.mesh
+
+        def run(*args):
+            with jax.set_mesh(mesh):
+                return fn(*args)
+
+        return run
 
     def setup_opt_state(self, optim, params):
         """Init optimizer state, restoring saved accumulators on resume.

@@ -85,6 +85,10 @@ class TAETrainer(Solver):
             return loss, grads, logits
 
         if self.mesh is not None:
+            assert self.n_model == 1, (
+                "parallel.n_model > 1 (tensor parallelism) is supported by "
+                "the ASR trainer; this model is too small to shard"
+            )
             from ss_asr_tpu.parallel import mesh as pmesh
             from jax import lax
             from jax.sharding import PartitionSpec as P

@@ -324,3 +324,63 @@ def test_charlm_trainer_data_parallel_matches_single(corpus, tmp_path):
     ldp = [v for k, v, s in logs_dp if k == "train_loss"]
     assert len(l1) == len(ldp) and len(l1) > 0
     np.testing.assert_allclose(ldp, l1, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_training_matches_single_device(corpus, tmp_path):
+    """parallel: {n_data: 4, n_model: 2} — jit+GSPMD tensor parallelism in
+    the REAL ASRTrainer.exec loop matches single-device training (the model
+    dims here divide 2, so gate/vocab matmuls genuinely shard)."""
+    logs_1, logs_tp = [], []
+    t1 = _run(copy.deepcopy(corpus), _paras(tmp_path, "tp_single"), logs_1)
+
+    cfg_tp = copy.deepcopy(corpus)
+    cfg_tp["parallel"] = {"n_data": 4, "n_model": 2}
+    ttp = _run(cfg_tp, _paras(tmp_path, "tp"), logs_tp)
+    assert ttp.mesh is not None
+    assert ttp.mesh.shape["data"] == 4 and ttp.mesh.shape["model"] == 2
+    # the gate matrices really are sharded over the model axis
+    w = ttp.params["decoder"]["layer1"]["w_ih"]
+    assert "model" in str(w.sharding.spec)
+
+    l1 = [v for k, v, s in logs_1 if k == "train_loss"]
+    ltp = [v for k, v, s in logs_tp if k == "train_loss"]
+    assert len(l1) == len(ltp) >= 2
+    np.testing.assert_allclose(l1, ltp, rtol=1e-3)
+
+    for path in (("char_trans", "w"), ("encoder", "pblstm1", "fwd", "w_ih")):
+        a = np.asarray(_get(t1.params, path))
+        b = np.asarray(_get(ttp.params, path))
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+    # valid() under the TP mesh agrees too (loggers were closed by _run —
+    # stub every sink, we only compare the collected scalars)
+    logs_v1, logs_vtp = [], []
+    for t, rec in ((t1, logs_v1), (ttp, logs_vtp)):
+        t.lg.scalar = lambda k, v, s, rec=rec: rec.append((k, v))
+        t.lg.image = lambda *a, **kw: None
+        t.lg.text = lambda *a, **kw: None
+    t1.valid()
+    ttp.valid()
+    m1, mtp = dict(logs_v1), dict(logs_vtp)
+    for k in ("eval_loss", "eval_acc", "eval_cer"):
+        np.testing.assert_allclose(m1[k], mtp[k], rtol=1e-3, err_msg=k)
+
+
+def test_aux_trainer_rejects_model_parallelism(corpus, tmp_path):
+    from ss_asr_tpu.train import TAETrainer
+
+    cfg = copy.deepcopy(corpus)
+    cfg["parallel"] = {"n_data": 4, "n_model": 2}
+    cfg["tae"] = {
+        "opt": {"type": "Adam", "learning_rate": 0.001},
+        "mdl": {"state_size": 8, "emb_dim": 8, "num_layers": 2},
+        "drop_rate": 0.1,
+        "train_index": corpus["asr"]["train_index"],
+        "valid_index": corpus["asr"]["train_index"],
+        "t_bucket": 8, "l_bucket": 8, "train_batch_size": 4,
+        "n_epochs": 1, "valid_step": 1000, "save_step": 1000, "logging_step": 2,
+    }
+    t = TAETrainer(cfg, _paras(tmp_path, "tae_tp"))
+    t.load_data()
+    with pytest.raises(AssertionError, match="n_model"):
+        t.set_model()
