@@ -36,3 +36,29 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def write_asr_corpus(dirpath, texts, feature_dim, t0=24, dt=2, scale=1.0, seed=0):
+    """Write a tiny synthetic ASR corpus (fake fbanks + index.tsv) and
+    return the index path. Shared by the trainer/data test fixtures — the
+    index schema lives in ONE place (reference schema: normalized_text,
+    fbank_path, s_len, num_frames, text_fname, wav_fname)."""
+    from ss_asr_tpu.vocab import normalize_string
+
+    rng_ = np.random.default_rng(seed)
+    fdir = dirpath / "fbanks"
+    fdir.mkdir(exist_ok=True)
+    rows = []
+    for i, t in enumerate(texts):
+        T = t0 + dt * i
+        fb = (scale * rng_.standard_normal((T, feature_dim))).astype(np.float32)
+        p = str(fdir / f"u{i}.npy")
+        np.save(p, fb)
+        norm, s_len = normalize_string(t)
+        rows.append((norm, p, s_len, T, "na", f"u{i}.wav"))
+    rows.sort(key=lambda r: r[3])
+    idx = str(dirpath / "index.tsv")
+    with open(idx, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("\t".join(str(a) for a in r) + "\n")
+    return idx

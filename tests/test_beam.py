@@ -27,12 +27,23 @@ def test_beam1_matches_greedy(rng):
     np.testing.assert_array_equal(np.asarray(g_toks), b_toks)
 
 
-def test_beam_matches_exhaustive_reference(rng):
-    """The scan-based frontier must equal a brute-force python beam search."""
+@pytest.mark.parametrize("eos_bias", [0.0, 3.0])
+def test_beam_matches_exhaustive_reference(rng, eos_bias):
+    """The scan-based frontier must equal a brute-force python beam search.
+
+    The oracle models the implementation's EOS-freeze semantics (a finished
+    hypothesis emits pad at zero cost and keeps competing with its frozen
+    score). With ``eos_bias`` the output bias is tilted toward EOS so
+    finished beams actually enter the frontier mid-scan — without it the
+    freeze branch would be untested dead weight under this random init."""
     from ss_asr_tpu.decode import beam as BM
     from ss_asr_tpu.ops import rnn as r
 
     params = las.init_asr(jax.random.key(1), CFG)
+    if eos_bias:
+        params["char_trans"]["b"] = (
+            params["char_trans"]["b"].at[EOS_ID].add(eos_bias)
+        )
     x, lens = _inputs(rng, B=1)
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, lens)
     K, T = 3, 4
@@ -52,23 +63,35 @@ def test_beam_matches_exhaustive_reference(rng):
         state, out = las.speller_step(params["decoder"], dec_in, state)
         return state, np.asarray(jax.nn.log_softmax(r.linear(params["char_trans"], out)))[0]
 
-    beams = [(0.0, [], las.speller_init_state(1, CFG), SOS_ID)]
+    # beam entry: (score, seq, state, last_id, done). A done hypothesis
+    # emits pad (id 0) at zero cost and its state/score freeze — exactly
+    # the implementation's frontier semantics (decode/beam.py).
+    beams = [(0.0, [], las.speller_init_state(1, CFG), SOS_ID, False)]
     for _ in range(T):
         cands = []
-        for sc, seq, st, last in beams:
+        for sc, seq, st, last, done in beams:
+            if done:
+                cands.append((sc, seq + [0], st, 0, True))
+                continue
             st2, logp = step(st, last)
             for v in range(CFG.vocab_size):
-                cands.append((sc + float(logp[v]), seq + [v], st2, v))
+                cands.append(
+                    (sc + float(logp[v]), seq + [v], st2, v, v == EOS_ID)
+                )
         beams = sorted(cands, key=lambda c: -c[0])[:K]
+    if eos_bias:
+        # the freeze branch must actually be exercised in both impls
+        assert any(b[4] for b in beams)
+        assert bool(np.asarray(fd)[0].any())
     # force-termination semantics: every still-open hypothesis pays the cost
-    # of emitting EOS from its final state
+    # of emitting EOS from its final state; finished ones keep their score
     terminated = []
-    for sc, seq, st, last in beams:
-        if seq and seq[-1] == EOS_ID:
-            terminated.append((sc, seq, st, last))
+    for sc, seq, st, last, done in beams:
+        if done:
+            terminated.append((sc, seq, st, last, done))
         else:
             _, logp = step(st, last)
-            terminated.append((sc + float(logp[EOS_ID]), seq, st, last))
+            terminated.append((sc + float(logp[EOS_ID]), seq, st, last, done))
     beams = sorted(terminated, key=lambda c: -c[0])
     want_scores = np.array([b[0] for b in beams])
     np.testing.assert_allclose(got_scores, want_scores, atol=1e-4)

@@ -107,3 +107,48 @@ def test_early_exit_with_lm(rng):
         params, CFG, x, lens, max_steps=15, lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=0.4
     )
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_greedy_lm_fusion_matches_manual_oracle(rng):
+    """LM shallow fusion must follow log_softmax(ASR) + w*log_softmax(LM)
+    exactly — validated against a per-step python loop stepping the char LM
+    alongside the speller (reference src/asr.py:143-156). The fused decode
+    must also actually differ from the no-LM decode for this biased LM."""
+    from ss_asr_tpu.ops import rnn as r
+
+    params = las.init_asr(jax.random.key(3), CFG)
+    lm_params = charlm.init_charlm(jax.random.key(9), LM_CFG)
+    # bias the LM hard toward one character so fusion provably changes paths
+    lm_params["out"]["b"] = lm_params["out"]["b"].at[7].add(4.0)
+    w = 2.0
+    x, lens = _inputs(rng, B=1, T=16)
+    max_steps = 8
+    toks, out_len = greedy.greedy_decode(
+        params, CFG, x, lens, max_steps=max_steps,
+        lm_params=lm_params, lm_cfg=LM_CFG, lm_weight=w,
+    )
+    toks_nolm, _ = greedy.greedy_decode(params, CFG, x, lens, max_steps=max_steps)
+    assert not np.array_equal(np.asarray(toks), np.asarray(toks_nolm)), (
+        "fusion with a strongly biased LM must change the decode"
+    )
+
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, lens)
+    comp = las.attention_precompute(params["attention"], enc_h)
+    valid = las.attention_mask(enc_lens, enc_h.shape[1])
+    state = las.speller_init_state(1, CFG)
+    lm_state = charlm.init_state(1, LM_CFG)
+    last = jnp.array([SOS_ID], dtype=jnp.int32)
+    got = []
+    for t in range(max_steps):
+        _, ctx = las.attention_step(params["attention"], comp, enc_h, state[0][0], valid)
+        dec_in = jnp.concatenate([r.embed(params["embed"], last), ctx], axis=-1)
+        state, out = las.speller_step(params["decoder"], dec_in, state)
+        lm_logits, lm_state = charlm.step(lm_params, last, lm_state)
+        fused = jax.nn.log_softmax(r.linear(params["char_trans"], out)) + w * jax.nn.log_softmax(lm_logits)
+        ids = jnp.argmax(fused, axis=-1).astype(jnp.int32)
+        if int(ids[0]) == EOS_ID:
+            break
+        got.append(int(ids[0]))
+        last = ids
+    assert int(out_len[0]) == len(got) or int(out_len[0]) == max_steps
+    np.testing.assert_array_equal(np.asarray(toks)[0, : len(got)], got)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ss_asr_tpu.data.asr_dataset import ASRDataset
 from ss_asr_tpu.models import las
 from ss_asr_tpu.ops import rnn
-from ss_asr_tpu.vocab import Mapper, normalize_string
+from ss_asr_tpu.vocab import UNK_ID, Mapper, normalize_string
 
 CFG = las.ASRConfig(encoder_state_size=8, decoder_state_size=8, mlp_out_size=8, feature_dim=5)
 
@@ -58,7 +58,7 @@ def test_all_unk_text():
     m = Mapper()
     s, _ = normalize_string("@@@@")
     ids = m.encode(s)
-    assert (ids[1:-1] == 2).all()  # UNK id
+    assert (ids[1:-1] == UNK_ID).all()
     assert m.translate(ids) == "$$$$"
 
 

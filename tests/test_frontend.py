@@ -123,3 +123,56 @@ def test_streaming_frontend_matches_one_shot():
             got = np.concatenate(parts, 0)
             assert got.shape == ref.shape
             np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mel_filterbank_against_independent_slaney_oracle():
+    """The mel matrix vs a from-scratch per-filter triangle construction
+    (published Slaney formula: linear below 1 kHz at 200/3 Hz/mel, log above
+    with step ln(6.4)/27, triangles area-normalized by 2/bandwidth). The
+    main parity test reuses frontend.mel_filterbank inside its oracle, so
+    this is the independent check on the filter matrix itself."""
+    sr, n_fft, n_mels = 16000, 400, 40
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        lin = 3.0 * f / 200.0
+        logstep = np.log(6.4) / 27.0
+        return np.where(f >= 1000.0, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / logstep, lin)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        lin = 200.0 * m / 3.0
+        logstep = np.log(6.4) / 27.0
+        return np.where(m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)), lin)
+
+    n_bins = 1 + n_fft // 2
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    f_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2))
+    want = np.zeros((n_bins, n_mels))
+    for m in range(n_mels):
+        lower = (fft_freqs - f_pts[m]) / (f_pts[m + 1] - f_pts[m])
+        upper = (f_pts[m + 2] - fft_freqs) / (f_pts[m + 2] - f_pts[m + 1])
+        tri = np.maximum(0.0, np.minimum(lower, upper))
+        want[:, m] = tri * (2.0 / (f_pts[m + 2] - f_pts[m]))
+
+    got = frontend.mel_filterbank(sr, n_fft, n_mels)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    # analytic invariants, independent of any formula transcription:
+    # below 1 kHz the triangle centers are EXACTLY linearly spaced
+    centers_hz = f_pts[1:-1]
+    lin = centers_hz[centers_hz < 999.0]
+    np.testing.assert_allclose(np.diff(lin), np.diff(lin)[0], rtol=1e-9)
+    # above 1 kHz the centers are EXACTLY geometrically spaced
+    log = centers_hz[centers_hz >= 1000.0]
+    ratios = log[1:] / log[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-9)
+    # Slaney normalization: each filter's area over a fine frequency grid
+    # integrates to ~1 (2/bandwidth x triangle area bandwidth/2)
+    fine = np.linspace(0, sr / 2, 200001)
+    m = n_mels // 2
+    lower = (fine - f_pts[m]) / (f_pts[m + 1] - f_pts[m])
+    upper = (f_pts[m + 2] - fine) / (f_pts[m + 2] - f_pts[m + 1])
+    tri = np.maximum(0.0, np.minimum(lower, upper)) * (2.0 / (f_pts[m + 2] - f_pts[m]))
+    area = np.trapezoid(tri, fine) if hasattr(np, "trapezoid") else np.trapz(tri, fine)
+    np.testing.assert_allclose(area, 1.0, rtol=1e-3)

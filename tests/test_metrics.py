@@ -58,8 +58,8 @@ def test_calc_cer():
     assert calc_cer(pred, label, m) == 0.25
 
 
-def test_draw_att_trims_at_eos():
-    att = np.random.rand(2, 6, 10)
+def test_draw_att_trims_at_eos(rng):
+    att = rng.random((2, 6, 10))
     hyps = [[4, 5, 1, 9, 9, 9], [4, 4, 4, 4, 4, 4]]
     maps = draw_att(att, hyps)
     assert maps[0].shape == (3, 3, 10)

@@ -22,6 +22,12 @@ def test_nan_grads_skip_step():
     p2 = jax.tree.map(lambda a, u: a + u, p1, up2)
     np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
     np.testing.assert_array_equal(np.asarray(p2["b"]), np.asarray(p1["b"]))
+    # the INNER optimizer state (Adam mu/nu/count) must be untouched too —
+    # a guard that zeroed updates but still ran the inner update would pass
+    # the param check while corrupting the accumulators
+    for a, b in zip(jax.tree.leaves(st1.inner_state), jax.tree.leaves(st2.inner_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(st2.total_notfinite) == int(st1.total_notfinite) + 1
     # and the good-path update still works afterwards
     up3, _ = opt.update(good, st2, p2)
     p3 = jax.tree.map(lambda a, u: a + u, p2, up3)

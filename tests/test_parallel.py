@@ -207,7 +207,6 @@ def test_full_model_kernels_partition_under_gspmd_jit(rng):
         np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
         for path in (("char_trans", "w"), ("decoder", "layer1", "w_hh"),
                      ("encoder", "pblstm1", "fwd", "w_hh")):
-            a = b = None
             a, b = ref_g, got_g
             for k in path:
                 a, b = a[k], b[k]

@@ -147,10 +147,9 @@ def test_asr_trainer_overfits(corpus, tmp_path):
     t = ASRTrainer(corpus, paras)
     t.load_data()
     t.set_model()
-    first_losses, last_losses = [], []
     # capture losses by monkey-recording scalar logs
     logged = []
-    t.lg.scalar = lambda k, v, s, _orig=t.lg.scalar: logged.append((k, v, s))
+    t.lg.scalar = lambda k, v, s: logged.append((k, v, s))
     t.exec()
     t.valid()
     t.close()
