@@ -84,11 +84,13 @@ class ASRTrainer(Solver):
             from ss_asr_tpu.parallel import mesh as pmesh
 
             n_data = self.mesh.shape[pmesh.DATA_AXIS]
-            assert self.train_batch_size % n_data == 0, (
-                f"train_batch_size {self.train_batch_size} must divide over "
+            global_batch = self.train_batch_size * jax.process_count()
+            assert global_batch % n_data == 0, (
+                f"global train batch {global_batch} (= {self.train_batch_size}"
+                f" per host x {jax.process_count()} hosts) must divide over "
                 f"the {n_data}-device data axis"
             )
-            assert self.valid_batch_size % n_data == 0
+            assert self.valid_batch_size * jax.process_count() % n_data == 0
 
             @functools.partial(jax.jit, donate_argnums=(0, 1))
             def tp_train_step(params, opt_state, x, x_lens, y, key):
@@ -107,11 +109,13 @@ class ASRTrainer(Solver):
             from ss_asr_tpu.parallel import mesh as pmesh
 
             n_data = self.mesh.shape[pmesh.DATA_AXIS]
-            assert self.train_batch_size % n_data == 0, (
-                f"train_batch_size {self.train_batch_size} must divide over "
+            global_batch = self.train_batch_size * jax.process_count()
+            assert global_batch % n_data == 0, (
+                f"global train batch {global_batch} (= {self.train_batch_size}"
+                f" per host x {jax.process_count()} hosts) must divide over "
                 f"the {n_data}-device data axis"
             )
-            assert self.valid_batch_size % n_data == 0
+            assert self.valid_batch_size * jax.process_count() % n_data == 0
             self._train_step = pmesh.dp_train_step(
                 self.mesh, local_grads, optim, n_batch_args=3
             )

@@ -56,8 +56,10 @@ class CHARLMTrainer(Solver):
             from ss_asr_tpu.parallel import mesh as pmesh
 
             n_data = self.mesh.shape[pmesh.DATA_AXIS]
-            assert self.train_batch_size % n_data == 0, (
-                f"train_batch_size {self.train_batch_size} must divide over "
+            global_batch = self.train_batch_size * jax.process_count()
+            assert global_batch % n_data == 0, (
+                f"global train batch {global_batch} (= {self.train_batch_size}"
+                f" per host x {jax.process_count()} hosts) must divide over "
                 f"the {n_data}-device data axis"
             )
             self._train_step = pmesh.dp_train_step(

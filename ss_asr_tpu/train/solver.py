@@ -215,13 +215,34 @@ class Solver:
             parts.append(np.asarray(s.data))
         return np.concatenate(parts, axis=0)
 
+    @staticmethod
+    def _mh_put(x, sh):
+        """Place one host-consistent value onto a (possibly multi-host)
+        sharding. ``jax.device_put`` refuses global meshes with
+        non-addressable devices in multi-controller mode;
+        ``make_array_from_process_local_data`` with the full array per
+        process builds the global array instead. Typed PRNG keys go through
+        their raw key data (numpy cannot hold them)."""
+        import numpy as np
+
+        dt = getattr(x, "dtype", None)
+        if dt is not None and jax.dtypes.issubdtype(dt, jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(data)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
     def place_replicated(self, tree):
         """Replicate params/opt-state/keys across the mesh (no-op unmeshed)."""
         if self.mesh is None:
             return tree
         from ss_asr_tpu.parallel import mesh as pmesh
 
-        return jax.device_put(tree, pmesh.replicated(self.mesh))
+        sh = pmesh.replicated(self.mesh)
+        if jax.process_count() > 1:
+            return jax.tree.map(lambda x: self._mh_put(x, sh), tree)
+        return jax.device_put(tree, sh)
 
     def place_tp(self, tree):
         """Tensor-parallel placement: wide (4H/vocab/mel) dims sharded over
@@ -230,7 +251,10 @@ class Solver:
         mirror the param shapes; scalars/vectors stay replicated."""
         from ss_asr_tpu.parallel import mesh as pmesh
 
-        return jax.device_put(tree, pmesh.param_shardings(tree, self.mesh))
+        shs = pmesh.param_shardings(tree, self.mesh)
+        if jax.process_count() > 1:
+            return jax.tree.map(self._mh_put, tree, shs)
+        return jax.device_put(tree, shs)
 
     def run_in_mesh(self, fn):
         """Wrap a jitted step so it traces under ``jax.set_mesh(self.mesh)``

@@ -1,0 +1,172 @@
+"""TRUE multi-process data parallelism (the multi-host DCN story, minus DCN).
+
+Two OS processes x 2 CPU devices each run ``jax.distributed`` (Gloo
+collectives) and drive the REAL ``ASRTrainer`` loop — validating, against a
+single-process run of the same global batch:
+
+* per-process host-sharding of the training index (Solver.host_shard);
+* global batch assembly via ``jax.make_array_from_process_local_data``
+  (Solver.place_batch) — each host contributes only its own rows;
+* the cross-process gradient pmean inside the shard_map train step;
+* host-local metric gathers (Solver.to_local) in train logging and valid().
+
+The corpus uses one length bucket and tf_rate=1.0, so losses and params are
+order- and RNG-invariant: the multi-process run must match the single-process
+run to float tolerance.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import json, os, sys
+proc_id, nproc, port, work = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:" + port,
+                           num_processes=nproc, process_id=proc_id)
+sys.path.insert(0, os.environ["SS_ASR_REPO"])
+import numpy as np
+from ss_asr_tpu.train import ASRTrainer, make_paras
+
+config = json.load(open(os.path.join(work, "config.json")))
+paras = make_paras(name="mp", logdir=os.path.join(work, "runs%d" % proc_id),
+                   ckpdir=os.path.join(work, "ckpt%d" % proc_id), seed=1,
+                   verbose=False)
+t = ASRTrainer(config, paras)
+t.load_data(); t.set_model()
+assert t.host_shard == (proc_id, nproc), t.host_shard
+logs = []
+t.lg.scalar = lambda k, v, s: logs.append((k, v))
+t.lg.image = lambda *a, **kw: None
+t.lg.text = lambda *a, **kw: None
+t.exec()
+t.valid()
+out = {
+    "train_loss": [v for k, v in logs if k == "train_loss"],
+    "eval_loss": [v for k, v in logs if k == "eval_loss"],
+    "eval_cer": [v for k, v in logs if k == "eval_cer"],
+    "n_local_batches": len(t.train_ds),
+    "w": np.asarray(t.params["char_trans"]["w"]).tolist(),
+}
+json.dump(out, open(os.path.join(work, "out_%d.json" % proc_id), "w"))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _config(idx: str, batch: int, parallel: bool) -> dict:
+    c = {
+        "asr": {
+            "opt": {"type": "Adadelta", "learning_rate": 1.0},
+            "mdl": {
+                "encoder_state_size": 8,
+                "mlp_out_size": 8,
+                "decoder_state_size": 8,
+                "tf_rate": 1.0,  # RNG-free math -> exact run parity
+                "feature_dim": 8,
+            },
+            "train_index": idx,
+            "valid_index": idx,
+            "t_bucket": 8,
+            "l_bucket": 16,
+            "train_batch_size": batch,
+            "valid_batch_size": batch,
+            "n_epochs": 3,
+            "valid_step": 10**9,
+            "logging_step": 1,
+            "save_step": 10**9,
+            "wer_step": 10**9,
+        },
+    }
+    if parallel:
+        c["parallel"] = {"n_data": "auto"}
+    return c
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    from tests.conftest import write_asr_corpus
+
+    # ONE length bucket (dt=0) so every host shard forms exactly one batch
+    # per epoch and the global batch is a permutation of the single-process
+    # batch (losses/grads are means over utterances -> order-invariant)
+    texts = ["já", "nei", "halló", "takk", "gott", "daginn", "kvöld", "morgunn"]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+
+    work = str(tmp_path)
+    with open(os.path.join(work, "config.json"), "w") as f:
+        json.dump(_config(idx, batch=4, parallel=True), f)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SS_ASR_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process worker timed out")
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    r0 = json.load(open(os.path.join(work, "out_0.json")))
+    r1 = json.load(open(os.path.join(work, "out_1.json")))
+    # each host saw its own disjoint shard: 4 rows -> 1 batch/epoch
+    assert r0["n_local_batches"] == r1["n_local_batches"] == 1
+    # replicated training: both processes observed identical losses/params
+    np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(r0["w"], r1["w"], rtol=1e-6)
+    # eval metrics computed from host-local gathers agree across hosts
+    np.testing.assert_allclose(r0["eval_loss"], r1["eval_loss"], rtol=1e-6)
+    np.testing.assert_allclose(r0["eval_cer"], r1["eval_cer"], rtol=1e-6)
+
+    # single-process reference over the same GLOBAL batch (all 8 rows)
+    from ss_asr_tpu.train import ASRTrainer, make_paras
+
+    cfg1 = _config(idx, batch=8, parallel=False)
+    t = ASRTrainer(cfg1, make_paras(name="sp", logdir=str(tmp_path / "runs_sp"),
+                                    ckpdir=str(tmp_path / "ckpt_sp"), seed=1,
+                                    verbose=False))
+    t.load_data()
+    t.set_model()
+    logs = []
+    t.lg.scalar = lambda k, v, s: logs.append((k, v))
+    t.lg.image = lambda *a, **kw: None
+    t.lg.text = lambda *a, **kw: None
+    t.exec()
+    t.valid()
+    sp_train = [v for k, v in logs if k == "train_loss"]
+    sp_eval = [v for k, v in logs if k == "eval_loss"]
+
+    assert len(sp_train) == len(r0["train_loss"]) == 3
+    np.testing.assert_allclose(r0["train_loss"], sp_train, rtol=1e-4)
+    np.testing.assert_allclose(r0["eval_loss"], sp_eval, rtol=1e-4)
+    np.testing.assert_allclose(
+        r0["w"], np.asarray(t.params["char_trans"]["w"]), rtol=1e-4, atol=1e-6
+    )
