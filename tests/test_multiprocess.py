@@ -170,3 +170,48 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         r0["w"], np.asarray(t.params["char_trans"]["w"]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_two_process_tp_mesh_trains(tmp_path):
+    """(data=2, model=2) across 2 processes: jit+GSPMD tensor parallelism
+    with cross-process collectives over Gloo — the place_tp multi-controller
+    path plus the GSPMD train step, smoke-validated for agreement across
+    processes and decreasing loss."""
+    from tests.conftest import write_asr_corpus
+
+    texts = ["já", "nei", "halló", "takk"]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+    cfg = _config(idx, batch=2, parallel=True)
+    cfg["parallel"] = {"n_data": 2, "n_model": 2}
+    work = str(tmp_path)
+    with open(os.path.join(work, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SS_ASR_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process TP worker timed out")
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"TP worker failed:\n{o[-3000:]}"
+    r0 = json.load(open(os.path.join(work, "out_0.json")))
+    r1 = json.load(open(os.path.join(work, "out_1.json")))
+    np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(r0["w"], r1["w"], rtol=1e-6)
+    assert r0["train_loss"][-1] < r0["train_loss"][0]
