@@ -170,3 +170,60 @@ def test_cli_verbose_false_parses():
     assert _parse_bool("False") is False
     assert _parse_bool("true") is True
     assert _parse_bool("0") is False
+
+
+def test_generate_and_lm_predict_clis(tmp_path):
+    """Train a tiny char LM via the CLI surface, then drive the generate and
+    lm_predict CLIs against its checkpoint (reference defect #8: both of the
+    reference's entry points crash on a stale `solver` import)."""
+    import yaml
+
+    from ss_asr_tpu.cli import generate as gen_cli
+    from ss_asr_tpu.cli import lm_predict as pred_cli
+    from ss_asr_tpu.train import CHARLMTrainer, make_paras
+
+    lm_file = tmp_path / "lm.txt"
+    lm_file.write_text("halló heimur góðan daginn " * 50, encoding="utf-8")
+    config = {
+        "char_lm": {
+            "opt": {"type": "Adam", "learning_rate": 0.002},
+            "mdl": {"hidden_size": 8, "tf_rate": 0.9},
+            "train_index": str(lm_file),
+            "chunk_size": 20,
+            "train_batch_size": 4,
+            "n_epochs": 1,
+            "valid_step": 1000,
+            "logging_step": 10,
+            "save_step": 1000,
+        }
+    }
+    conf_path = tmp_path / "conf.yaml"
+    conf_path.write_text(yaml.safe_dump(config), encoding="utf-8")
+    paras = make_paras("lmcli", str(tmp_path / "runs"), str(tmp_path / "ckpt"),
+                       seed=1, verbose=False)
+    t = CHARLMTrainer(config, paras)
+    t.load_data(); t.set_model(); t.exec(); t.close()
+
+    args = ["--name", "lmcli", "--config", str(conf_path),
+            "--logdir", str(tmp_path / "runs"), "--ckpdir", str(tmp_path / "ckpt"),
+            "--verbose", "False"]
+    gen_cli.main(args + ["--start", "hall", "--length", "12", "--temp", "0.8"])
+    pred_cli.main(args + ["--text", "halló heimur"])
+
+
+def test_step_timer_rolling_stats():
+    import time as _time
+
+    from ss_asr_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=4)
+    assert t.tick() is None  # first call only arms the timer
+    assert t.steps_per_sec == 0.0
+    for _ in range(3):
+        _time.sleep(0.01)
+        dur = t.tick()
+        assert dur is not None and dur > 0
+    assert t.steps_per_sec > 0
+    assert t.utt_per_sec(32) == 32 * t.steps_per_sec
+    t.reset()
+    assert t.tick() is None and t.steps_per_sec == 0.0
