@@ -46,10 +46,17 @@ class ASRTrainer(Solver):
 
         cfg = self.cfg
         optim = self.optim
+        # optional on-device SpecAugment (train path only; beyond-reference)
+        from ss_asr_tpu.ops.augment import SpecAugmentConfig, spec_augment
+
+        aug_cfg = SpecAugmentConfig.from_dict(c.get("augment"))
 
         def local_grads(params, x, x_lens, y, key):
             """Per-device (or whole-batch) loss+grads; logits as aux."""
             decode_step = y.shape[1] - 1
+            if aug_cfg is not None:
+                k_aug, key = jax.random.split(key)
+                x = spec_augment(k_aug, x, x_lens, aug_cfg)
 
             def loss_fn(p):
                 _, logits, _ = las.asr_forward(
