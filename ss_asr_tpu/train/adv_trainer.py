@@ -66,10 +66,14 @@ class ADVTrainer(Solver):
         g = self.config["adv"]["G_opt"]
         d = self.config["adv"]["D_opt"]
         self.G_optim = make_optimizer(
-            g["type"], g["learning_rate"], mask=prefix_mask(self.params, (("asr", "encoder"),))
+            g["type"], g["learning_rate"],
+            mask=prefix_mask(self.params, (("asr", "encoder"),)),
+            accum_steps=g.get("accum_steps", 1),
         )
         self.D_optim = make_optimizer(
-            d["type"], d["learning_rate"], mask=prefix_mask(self.params, (("disc",),))
+            d["type"], d["learning_rate"],
+            mask=prefix_mask(self.params, (("disc",),)),
+            accum_steps=d.get("accum_steps", 1),
         )
         self.G_state = self.G_optim.init(self.params)
         self.D_state = self.D_optim.init(self.params)

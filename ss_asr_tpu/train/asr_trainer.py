@@ -41,7 +41,8 @@ class ASRTrainer(Solver):
         c = self.config["asr"]
         self.cfg = las.ASRConfig.from_dict(c["mdl"])
         self.params = self.setup_params(lambda k: las.init_asr(k, self.cfg), self.ckppath)
-        self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"])
+        self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
+                                    accum_steps=c["opt"].get("accum_steps", 1))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         cfg = self.cfg

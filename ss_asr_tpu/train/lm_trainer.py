@@ -33,7 +33,8 @@ class CHARLMTrainer(Solver):
         self.params = self.setup_params(
             lambda k: charlm.init_charlm(k, self.cfg), self.ckppath
         )
-        self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"])
+        self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
+                                    accum_steps=c["opt"].get("accum_steps", 1))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
         cfg, optim = self.cfg, self.optim
 

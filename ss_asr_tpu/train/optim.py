@@ -26,8 +26,17 @@ def make_optimizer(
     grad_clip: float = 5.0,
     eps: float = 1e-8,
     mask=None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics."""
+    """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics.
+
+    ``accum_steps > 1`` enables gradient accumulation (``opt.accum_steps``
+    config key, beyond-reference): micro-batch gradients are AVERAGED over k
+    calls and the clip + inner update run once per k — so k micro-batches of
+    size B train exactly like one batch of k*B, for effective batches beyond
+    per-chip memory. Composes with the DP/TP meshes (accumulation happens
+    after the cross-device pmean).
+    """
     t = opt_type.lower()
     if t == "adadelta":
         inner = optax.adadelta(learning_rate=learning_rate, eps=eps)
@@ -48,6 +57,8 @@ def make_optimizer(
             optax.masked(optax.set_to_zero(), inv),
             optax.masked(chain, mask),
         )
+    if accum_steps and int(accum_steps) > 1:
+        chain = optax.MultiSteps(chain, every_k_schedule=int(accum_steps))
     # 10**8 consecutive non-finite steps before giving up ≈ "always skip"
     return optax.apply_if_finite(chain, max_consecutive_errors=10**8)
 

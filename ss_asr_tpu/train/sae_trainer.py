@@ -62,7 +62,8 @@ class SAETrainer(Solver):
 
         mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))
         c = self.config["sae"]["opt"]
-        self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask)
+        self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
+                                    accum_steps=c.get("accum_steps", 1))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim

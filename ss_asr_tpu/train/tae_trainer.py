@@ -64,7 +64,8 @@ class TAETrainer(Solver):
 
         mask = prefix_mask(self.params, (("tae",),) + SHARED_ASR_SUBTREES)
         c = self.config["tae"]["opt"]
-        self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask)
+        self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
+                                    accum_steps=c.get("accum_steps", 1))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, tae_cfg, optim = self.asr_cfg, self.tae_cfg, self.optim

@@ -55,3 +55,60 @@ def test_masked_optimizer_freezes_complement():
     up, _ = opt.update(grads, st, params)
     assert np.all(np.asarray(up["b"]["w"]) == 0.0)
     assert not np.all(np.asarray(up["a"]["w"]) == 0.0)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 over two half-batches == one full-batch step: MultiSteps
+    AVERAGES the micro-grads, then clip + inner update run once."""
+    params = {"w": jnp.ones((4,))}
+    g1 = {"w": jnp.array([1.0, 2.0, 3.0, 4.0])}
+    g2 = {"w": jnp.array([3.0, 2.0, 1.0, 0.0])}
+    g_full = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    ref = make_optimizer("Adadelta", 1.0)
+    st = ref.init(params)
+    up_ref, _ = ref.update(g_full, st, params)
+
+    acc = make_optimizer("Adadelta", 1.0, accum_steps=2)
+    st = acc.init(params)
+    up1, st = acc.update(g1, st, params)
+    np.testing.assert_array_equal(np.asarray(up1["w"]), 0.0)  # mid-accumulation
+    up2, st = acc.update(g2, st, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(up_ref["w"]), rtol=1e-6)
+
+
+def test_grad_accumulation_in_asr_trainer(tmp_path):
+    """opt.accum_steps=2 with half batches == accum_steps=1 with full batches
+    through the REAL trainer loop (tf_rate=1.0 -> RNG-free math)."""
+    from tests.conftest import write_asr_corpus
+    from ss_asr_tpu.train import ASRTrainer, make_paras
+
+    texts = ["já", "nei", "halló", "takk", "gott", "daginn", "kvöld", "morgunn"]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+
+    def run(name, batch, accum):
+        config = {
+            "asr": {
+                "opt": {"type": "Adadelta", "learning_rate": 1.0,
+                         "accum_steps": accum},
+                "mdl": {"encoder_state_size": 8, "mlp_out_size": 8,
+                         "decoder_state_size": 8, "tf_rate": 1.0,
+                         "feature_dim": 8},
+                "train_index": idx, "valid_index": idx,
+                "t_bucket": 8, "l_bucket": 16, "train_batch_size": batch,
+                "valid_batch_size": batch, "n_epochs": 2,
+                "valid_step": 10**9, "logging_step": 1, "save_step": 10**9,
+                "wer_step": 10**9,
+            },
+        }
+        t = ASRTrainer(config, make_paras(name, str(tmp_path / f"r_{name}"),
+                                          str(tmp_path / f"c_{name}"), 1, False))
+        t.load_data(); t.set_model(); t.exec()
+        return t
+
+    t_full = run("full", batch=8, accum=1)   # 1 step/epoch on all 8 rows
+    t_acc = run("acc", batch=4, accum=2)     # 2 half-batches -> 1 update/epoch
+    np.testing.assert_allclose(
+        np.asarray(t_acc.params["char_trans"]["w"]),
+        np.asarray(t_full.params["char_trans"]["w"]), rtol=1e-4, atol=1e-6,
+    )
