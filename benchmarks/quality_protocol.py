@@ -104,10 +104,12 @@ def build_corpus(work: str, n_utts: int, seed: int,
 
 
 def make_config(paths: dict, size: str, epochs: int, batch: int,
-                opt: str = "Adadelta", lr: float = 1.0) -> dict:
+                opt: str = "Adadelta", lr: float = 1.0,
+                augment: dict | None = None) -> dict:
     mdl = {**SIZES[size], "tf_rate": 0.9, "feature_dim": 40}
     return {
         "asr": {
+            **({"augment": augment} if augment else {}),
             # reference default: Adadelta lr=1.0 (conf/default.yaml asr.opt)
             "opt": {"type": opt, "learning_rate": lr},
             "mdl": mdl,
@@ -221,13 +223,14 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
 def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         lm_weight: float, batch: int = 8, homophones: bool = False,
         opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
-        lm_sweep=None) -> dict:
+        lm_sweep=None, augment: dict | None = None) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
     paths = build_corpus(work, n_utts, seed, homophones=homophones,
                          heldout=heldout)
-    config = make_config(paths, size, epochs, batch, opt=opt, lr=lr)
+    config = make_config(paths, size, epochs, batch, opt=opt, lr=lr,
+                         augment=augment)
     paras = make_paras(name="qp", logdir=os.path.join(work, "runs"),
                        ckpdir=os.path.join(work, "result"), seed=seed, verbose=False)
 
@@ -241,7 +244,7 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
                         "seed": seed, "lm_weight": lm_weight,
                         "homophones": homophones, "opt": opt, "lr": lr,
-                        "heldout": heldout}
+                        "heldout": heldout, "augment": augment}
     return result
 
 
@@ -259,6 +262,10 @@ def main():
                          "the right spelling (high-error-regime beam/LM test)")
     ap.add_argument("--opt", default="Adadelta")
     ap.add_argument("--lr", type=float, default=1.0)
+    ap.add_argument("--augment", default=None,
+                    help="JSON SpecAugment config for asr.augment, e.g. "
+                         "'{\"n_time_masks\": 2, \"time_mask_width\": 16, "
+                         "\"n_freq_masks\": 0}'")
     ap.add_argument("--lm-sweep", default=None,
                     help="comma-separated extra fusion weights, e.g. "
                          "'0.05,0.2' — evaluated against the same trained "
@@ -270,10 +277,11 @@ def main():
     args = ap.parse_args()
 
     sweep = [float(w) for w in args.lm_sweep.split(",")] if args.lm_sweep else None
+    augment = json.loads(args.augment) if args.augment else None
     result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
                  args.lm_weight, homophones=args.homophones,
                  opt=args.opt, lr=args.lr, heldout=args.heldout,
-                 lm_sweep=sweep)
+                 lm_sweep=sweep, augment=augment)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:
