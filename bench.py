@@ -196,10 +196,13 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10):
             # tie the waveform to the carry so XLA cannot hoist the frontend
             # out of the scan as loop-invariant (each step must re-run it,
             # as a real input pipeline would)
-            # n_samples=None: every bench row fills the buffer, so the
-            # per-row end-reflection patch and frame masking are identities
+            # pass n_samples even though every bench row fills the buffer:
+            # a real input pipeline pays the per-row reflection patch and
+            # frame masking, so the headline must include that work (the
+            # n_samples=None fast path exists for callers that can prove
+            # full buffers, but benchmarking it would overstate throughput)
             x, x_lens = frontend.log_mel_fbank_batch(
-                wav * (1.0 + eps + 1e-12 * prev), None, SR
+                wav * (1.0 + eps + 1e-12 * prev), n_samples, SR
             )
 
             def loss_fn(p):
@@ -236,7 +239,7 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10):
     @jax.jit
     def fe_chain(wav, n_samples, seed):
         def body(c, _):
-            fb, fl = frontend.log_mel_fbank_batch(wav + c + eps, None, SR)
+            fb, fl = frontend.log_mel_fbank_batch(wav + c + eps, n_samples, SR)
             return c + fb.mean(), None
         s, _ = jax.lax.scan(body, seed, None, length=Kf)
         return s

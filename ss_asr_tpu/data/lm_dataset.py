@@ -21,7 +21,13 @@ from ss_asr_tpu.vocab import Mapper, UNK_ID
 
 
 class LMDataset:
-    def __init__(self, filename: Optional[str] = None, chunk_size: int = 200, text: Optional[str] = None):
+    def __init__(
+        self,
+        filename: Optional[str] = None,
+        chunk_size: int = 200,
+        text: Optional[str] = None,
+        host_shard: "Optional[Tuple[int, int]]" = None,
+    ):
         self.mapper = Mapper()
         if text is None and filename is not None:
             with open(filename, "r", encoding="utf-8") as f:
@@ -32,13 +38,24 @@ class LMDataset:
         self.ids = np.array(
             [self.mapper.mapping.get(c, UNK_ID) for c in self.text], dtype=np.int32
         )
+        n_total = max(0, (len(self.ids) - 1) // self.chunk_size)
+        if host_shard is not None:
+            # multi-host input pipeline: strided per-process chunk shards,
+            # TRUNCATED to equal size so every process dispatches the same
+            # number of collective train steps (unequal counts would hang
+            # the cross-process pmean)
+            host_id, num_hosts = host_shard
+            per = n_total // num_hosts
+            self.chunk_ids = np.arange(n_total)[host_id::num_hosts][:per]
+        else:
+            self.chunk_ids = np.arange(n_total)
 
     def get_num_chars(self) -> int:
         return self.mapper.get_dim()
 
     def __len__(self) -> int:
         """Number of full chunks (a chunk consumes chunk_size + 1 chars)."""
-        return max(0, (len(self.ids) - 1) // self.chunk_size)
+        return len(self.chunk_ids)
 
     def get_chunk(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         s = i * self.chunk_size
@@ -50,7 +67,7 @@ class LMDataset:
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yields (x, y) [B, chunk_size] batches; drops the last partial."""
         n = len(self)
-        order = np.arange(n)
+        order = self.chunk_ids.copy()
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for b in range(n // batch_size):

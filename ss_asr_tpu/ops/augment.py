@@ -40,7 +40,15 @@ class SpecAugmentConfig:
         if not d:
             return None
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        unknown = set(d) - known
+        if unknown:
+            # silently dropping a typo'd key would train with defaults the
+            # user explicitly tried to change — fail at startup instead
+            raise ValueError(
+                f"unknown asr.augment key(s) {sorted(unknown)}; "
+                f"valid keys: {sorted(known)}"
+            )
+        return cls(**d)
 
 
 def _interval_mask(key, n_masks: int, max_width: int, size: int, limits):

@@ -220,15 +220,26 @@ def log_mel_fbank_batch(
     y = y.astype(jnp.float32)
     yp = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     if n_samples is not None:
-        ns = jnp.maximum(n_samples.astype(jnp.int32), 1)
-        # valid frames only ever read signal coords s < ns + pad; coords
-        # s in [ns, ns+pad) must read the row's end reflection y[2*ns - 2 - s]
-        i = jnp.arange(pad)[None, :]
-        src = jnp.clip(ns[:, None] - 2 - i, 0, ns[:, None] - 1)
-        patch = jnp.take_along_axis(y, src, axis=1)  # [B, pad]
+        ns = jnp.maximum(n_samples.astype(jnp.int32), 1)[:, None]
+
+        def tri(sidx):
+            # numpy/jnp 'reflect' index map for arbitrary |coords| (period
+            # 2(ns-1) triangle) — multi-bounces exactly like jnp.pad does
+            # for signals shorter than the pad width
+            period = jnp.maximum(2 * ns - 2, 1)
+            m = jnp.mod(sidx, period)
+            return jnp.clip(jnp.where(m < ns, m, period - m), 0, ns - 1)
+
+        # START: the buffer-level reflect read y[pad-j], which runs past the
+        # true end for rows shorter than pad samples — rewrite it per row
+        start = jnp.take_along_axis(y, tri(jnp.arange(pad, 0, -1)[None, :]), axis=1)
+        yp = yp.at[:, :pad].set(start)
+        # END: valid frames only ever read signal coords s < ns + pad;
+        # coords s in [ns, ns+pad) must read the row's own end reflection
+        patch = jnp.take_along_axis(y, tri(ns + jnp.arange(pad)[None, :]), axis=1)
         yp = jax.vmap(
             lambda row, p, n: jax.lax.dynamic_update_slice(row, p, (n + pad,))
-        )(yp, patch, ns)
+        )(yp, patch, ns[:, 0])
     nf = int(num_frames(y.shape[1], n_fft, hop))
     frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
     wbasis = jnp.asarray(_windowed_dft_basis(n_fft))  # [n_fft, 2*n_bins]

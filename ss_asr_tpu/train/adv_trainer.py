@@ -195,9 +195,14 @@ class ADVTrainer(Solver):
 
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches")
+        n_steps = self.global_min_batches(len(self.train_ds))
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
+            # multi-host: every process dispatches the same number of
+            # collective steps (solver.global_min_batches)
             for b_idx, b in enumerate(self.train_ds.iter_batches()):
+                if b_idx >= n_steps:
+                    break
                 self.verbose(
                     f"Global step - {self.tr.step} ( {b_idx} / {len(self.train_ds)} )",
                     progress=True,

@@ -24,7 +24,8 @@ class CHARLMTrainer(Solver):
         c = self.config["char_lm"]
         self.chunk_size = c["chunk_size"]
         self.tf_rate = c["mdl"].get("tf_rate", 0.9)
-        self.ds = LMDataset(c["train_index"], self.chunk_size)
+        self.ds = LMDataset(c["train_index"], self.chunk_size,
+                            host_shard=self.host_shard)
         self.mapper = Mapper()
 
     def set_model(self):

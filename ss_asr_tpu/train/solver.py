@@ -204,16 +204,46 @@ class Solver:
 
         if self.mesh is None or jax.process_count() == 1:
             return np.asarray(arr)
-        parts, seen = [], set()
-        for s in sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        ):
-            start = s.index[0].start or 0
-            if start in seen:  # replicated over a second mesh axis
-                continue
-            seen.add(start)
-            parts.append(np.asarray(s.data))
-        return np.concatenate(parts, axis=0)
+        if arr.is_fully_replicated:
+            return np.asarray(arr)
+        # General reconstruction from the addressable shards: under tensor
+        # parallelism outputs can be sharded on trailing dims too (e.g.
+        # logits P(data, None, model)), so every shard is written into its
+        # full index slot — a batch-axis-only dedup would silently DROP the
+        # other model-axis slices. Assumes this process's rows are
+        # contiguous along axis 0 (true for the meshes make_mesh builds).
+        shards = list(arr.addressable_shards)
+        offset = min((s.index[0].start or 0) for s in shards)
+        n_rows = max(
+            (s.index[0].stop if s.index[0].stop is not None else arr.shape[0])
+            for s in shards
+        ) - offset
+        out = np.zeros((n_rows,) + arr.shape[1:], dtype=arr.dtype)
+        for s in shards:
+            idx = tuple(s.index)
+            r = idx[0]
+            rs = slice(
+                (r.start or 0) - offset,
+                (r.stop if r.stop is not None else arr.shape[0]) - offset,
+            )
+            out[(rs,) + idx[1:]] = np.asarray(s.data)
+        return out
+
+    def global_min_batches(self, n: int) -> int:
+        """The number of train steps EVERY process can dispatch this epoch.
+
+        Multi-host index shards can differ by one row (strided split) and
+        per-host bucketing can pack equal rows into different batch counts;
+        a host entering a collective train step the others never reach
+        would hang the job on the cross-process pmean. All processes agree
+        on the minimum; single-process returns ``n`` unchanged.
+        """
+        if self.mesh is None or jax.process_count() <= 1:
+            return n
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        return int(multihost_utils.process_allgather(jnp.int32(n)).min())
 
     @staticmethod
     def _mh_put(x, sh):

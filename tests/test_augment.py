@@ -17,10 +17,14 @@ def _x(rng, B=3, T=20, F=10):
 
 
 def test_from_dict_gating():
+    import pytest
+
     assert SpecAugmentConfig.from_dict(None) is None
     assert SpecAugmentConfig.from_dict({}) is None
     c = SpecAugmentConfig.from_dict({"n_freq_masks": 1, "freq_mask_width": 3})
     assert c.n_freq_masks == 1 and c.n_time_masks == 2
+    with pytest.raises(ValueError, match="n_freq_mask"):
+        SpecAugmentConfig.from_dict({"n_freq_mask": 0})  # typo
 
 
 def test_masks_fill_with_utterance_mean(rng):

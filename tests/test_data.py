@@ -227,3 +227,20 @@ def test_num_batches(tiny_corpus):
     assert ds.num_batches(drop_last=True) == 2
     assert ds.num_batches(drop_last=False) == 3
     assert len(list(ds.iter_batches(drop_last=False, prefetch=0))) == 3
+
+
+def test_lm_dataset_host_shards_disjoint_and_equal(tmp_path):
+    """Multi-host LM shards: disjoint chunk sets, truncated to EQUAL sizes
+    (unequal per-host step counts would hang the cross-process pmean)."""
+    f = tmp_path / "lm.txt"
+    f.write_text("abc def ghi " * 100, encoding="utf-8")
+    full = LMDataset(str(f), chunk_size=20)
+    s0 = LMDataset(str(f), chunk_size=20, host_shard=(0, 2))
+    s1 = LMDataset(str(f), chunk_size=20, host_shard=(1, 2))
+    ids0, ids1 = set(s0.chunk_ids.tolist()), set(s1.chunk_ids.tolist())
+    assert len(s0) == len(s1) == len(full) // 2
+    assert not (ids0 & ids1)
+    assert (ids0 | ids1) <= set(range(len(full)))
+    # chunks come from the shard only
+    x0, y0 = next(s0.iter_batches(2, shuffle=False))
+    assert x0.shape == (2, 20)

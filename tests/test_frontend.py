@@ -176,3 +176,23 @@ def test_mel_filterbank_against_independent_slaney_oracle():
     tri = np.maximum(0.0, np.minimum(lower, upper)) * (2.0 / (f_pts[m + 2] - f_pts[m]))
     area = np.trapezoid(tri, fine) if hasattr(np, "trapezoid") else np.trapz(tri, fine)
     np.testing.assert_allclose(area, 1.0, rtol=1e-3)
+
+
+def test_batch_short_signals_match_one_shot():
+    """Rows SHORTER than the reflect pad (n_fft//2 samples) must still match
+    the one-shot frontend on the true-length signal — the per-row patch
+    multi-bounces the reflection exactly like jnp.pad does."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    SR, N = 16000, 4096
+    y = rng.standard_normal((4, N)).astype(np.float32)
+    ns = np.array([75, 150, 199, 401], dtype=np.int32)  # pad = 200
+    for b, n in enumerate(ns):
+        y[b, n:] = 0
+    fb, fl = frontend.log_mel_fbank_batch(jnp.asarray(y), jnp.asarray(ns), SR)
+    for b, n in enumerate(ns):
+        ref = np.asarray(frontend.log_mel_fbank(jnp.asarray(y[b, :n]), SR))
+        got = np.asarray(fb[b])[: int(fl[b])]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

@@ -50,7 +50,15 @@ t.lg.image = lambda *a, **kw: None
 t.lg.text = lambda *a, **kw: None
 t.exec()
 t.valid()
+# TP reconstruction check: valid-step logits can be sharded on the vocab
+# dim under n_model>1 — to_local must reassemble the FULL vocab, not drop
+# the other model-axis slices
+b = next(t.valid_ds.iter_batches(drop_last=False))
+placed = t.place_batch({"x": b.x, "x_lens": b.x_lens, "y": b.y})
+_, logits, _ = t._valid_step(t.params, placed["x"], placed["x_lens"], placed["y"])
+lg = t.to_local(logits)
 out = {
+    "logits_shape": list(lg.shape),
     "train_loss": [v for k, v in logs if k == "train_loss"],
     "eval_loss": [v for k, v in logs if k == "eval_loss"],
     "eval_cer": [v for k, v in logs if k == "eval_cer"],
@@ -215,3 +223,50 @@ def test_two_process_tp_mesh_trains(tmp_path):
     np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
     np.testing.assert_allclose(r0["w"], r1["w"], rtol=1e-6)
     assert r0["train_loss"][-1] < r0["train_loss"][0]
+    # full vocab width survives to_local despite the model-axis sharding
+    assert r0["logits_shape"][-1] == 50, r0["logits_shape"]
+    assert r1["logits_shape"][-1] == 50, r1["logits_shape"]
+
+
+def test_uneven_corpus_does_not_deadlock(tmp_path):
+    """15 utterances over 2 hosts with batch 4: host0's shard packs 2
+    batches, host1's packs 1 — without the global_min_batches cap host0
+    would enter a collective step host1 never reaches and the job would
+    hang. Both processes must finish, dispatching the SAME step count."""
+    from tests.conftest import write_asr_corpus
+
+    texts = [f"orð{i}" for i in range(15)]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+    work = str(tmp_path)
+    with open(os.path.join(work, "config.json"), "w") as f:
+        json.dump(_config(idx, batch=4, parallel=True), f)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SS_ASR_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("uneven-corpus run deadlocked (global step-count cap broken)")
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    r0 = json.load(open(os.path.join(work, "out_0.json")))
+    r1 = json.load(open(os.path.join(work, "out_1.json")))
+    # shards really were uneven, yet both dispatched the same (min) steps
+    assert {r0["n_local_batches"], r1["n_local_batches"]} == {1, 2}
+    assert len(r0["train_loss"]) == len(r1["train_loss"]) == 3  # 1/epoch x 3
+    np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
