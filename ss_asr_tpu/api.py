@@ -81,7 +81,14 @@ class Transcriber:
         """[T, feat] or list thereof -> transcripts."""
         if isinstance(fbanks, np.ndarray) and fbanks.ndim == 2:
             fbanks = [fbanks]
+        fbanks = list(fbanks)
+        if not fbanks:
+            return []
         lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
+        if int(lens.max()) == 0:
+            # silent/empty audio: zero frames -> empty transcripts, not a
+            # zero-width buffer crashing the listener scan
+            return ["" for _ in fbanks]
         T = round_up(int(lens.max()), self.t_bucket)
         x = np.zeros((len(fbanks), T, self.cfg.feature_dim), dtype=np.float32)
         for i, f in enumerate(fbanks):

@@ -220,7 +220,10 @@ class ASRDataset:
                 yn, _ = self._encode_rows(rows, noised=True)
                 yn_lens = ((yn != 0).sum(axis=-1) + 1).astype(np.int32)
                 return Batch(None, None, y, y_lens, yn, yn_lens, valid)
-            return Batch(None, None, y, y_lens, valid=valid)
+            # drop_rate 0 = a plain noise-free autoencoder: the "noised"
+            # input is the clean text (None here would crash the jitted
+            # TAE train step)
+            return Batch(None, None, y, y_lens, y.copy(), y_lens.copy(), valid)
 
         x, x_lens = self._load_fbanks(rows)
         return Batch(x, x_lens, y, y_lens, valid=valid)
@@ -246,24 +249,45 @@ class ASRDataset:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop_token = object()
+        cancelled = threading.Event()
 
         def producer():
             try:
                 for s in starts:
-                    q.put(self.get_batch(s, pad_to_full=not drop_last))
+                    batch = self.get_batch(s, pad_to_full=not drop_last)
+                    # bounded put with a cancellation check: a consumer that
+                    # abandons the generator (e.g. the multi-host step-count
+                    # cap breaking out early) must not leave this thread
+                    # blocked on a full queue forever
+                    while not cancelled.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancelled.is_set():
+                        return
                 q.put(stop_token)
             except BaseException as e:  # propagate into the consumer
                 q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop_token:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop_token:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancelled.set()
+            while not q.empty():  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def load_asr_dataset(

@@ -26,8 +26,13 @@ def _flatten_sentence(sentence) -> str:
     """
     parts = []
     for token in sentence:
+        if token.text is None:
+            # empty (<w/>) or nested-markup tokens carry no direct text;
+            # the reference would render the literal string 'None' here
+            # (str(None)), poisoning the corpus — skip them instead
+            continue
         needs_space = parts and token.tag == TEI_NS + "w"
-        parts.append((" " if needs_space else "") + str(token.text))
+        parts.append((" " if needs_space else "") + token.text)
     return "".join(parts)
 
 

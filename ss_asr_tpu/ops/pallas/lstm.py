@@ -237,95 +237,32 @@ def _pad_time(a, Tp):
 # replicated. shard_map paths never reach this (mesh axes are Manual there).
 # ---------------------------------------------------------------------------
 
-def _batch_axis_of(arg_info, dim: int):
-    """The mesh axis name sharding `dim` of an operand, or None."""
-    sh = getattr(arg_info, "sharding", None)
-    spec = getattr(sh, "spec", None)
-    if spec is None or len(spec) <= dim:
-        return None
-    return spec[dim]
-
-
 @functools.lru_cache(maxsize=4)
 def _cp_fwd(interpret: bool):
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
-    @custom_partitioning
-    def cp(lengths2d, gates_x, whh):
-        return _fwd_core(lengths2d, gates_x, whh, interpret)
-
-    def shardings(mesh, arg_infos):
-        b = _batch_axis_of(arg_infos[1], 1) or _batch_axis_of(arg_infos[0], 0)
-        args = (
-            NamedSharding(mesh, P(b, None)),
-            NamedSharding(mesh, P(None, b, None)),
-            NamedSharding(mesh, P()),
-        )
-        outs = (
-            NamedSharding(mesh, P(None, b, None)),
-            NamedSharding(mesh, P(None, b, None)),
-        )
-        return args, outs
-
-    def infer(mesh, arg_infos, result_infos):
-        _, outs = shardings(mesh, arg_infos)
-        return outs
-
-    def partition(mesh, arg_infos, result_infos):
-        args, outs = shardings(mesh, arg_infos)
-
-        def lower(lengths2d, gates_x, whh):
-            return _fwd_core(lengths2d, gates_x, whh, interpret)
-
-        return mesh, lower, outs, args
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        sharding_rule="b u, t b g, h g -> t b h1, t b h1",
+    return batch_partitioned(
+        functools.partial(_fwd_core, interpret=interpret),
+        in_batch_dims=[0, 1, None],
+        out_batch_dims=[1, 1],
+        rule="b u, t b g, h g -> t b h1, t b h1",
     )
-    return cp
 
 
 @functools.lru_cache(maxsize=4)
 def _cp_bwd(interpret: bool):
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
-    @custom_partitioning
-    def cp(lengths2d, gates_x, res, whh):
-        return _bwd_core(lengths2d, gates_x, res, whh, interpret)
+    def bwd(lengths2d, gates_x, res, whh):
+        # 1-tuple: batch_partitioned infers shardings per output entry
+        return (_bwd_core(lengths2d, gates_x, res, whh, interpret),)
 
-    def shardings(mesh, arg_infos):
-        b = _batch_axis_of(arg_infos[1], 1) or _batch_axis_of(arg_infos[0], 0)
-        args = (
-            NamedSharding(mesh, P(b, None)),
-            NamedSharding(mesh, P(None, b, None)),
-            NamedSharding(mesh, P(None, b, None)),
-            NamedSharding(mesh, P()),
-        )
-        outs = NamedSharding(mesh, P(None, b, None))
-        return args, outs
-
-    def infer(mesh, arg_infos, result_infos):
-        _, outs = shardings(mesh, arg_infos)
-        return outs
-
-    def partition(mesh, arg_infos, result_infos):
-        args, outs = shardings(mesh, arg_infos)
-
-        def lower(lengths2d, gates_x, res, whh):
-            return _bwd_core(lengths2d, gates_x, res, whh, interpret)
-
-        return mesh, lower, outs, args
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        sharding_rule="b u, t b g, t b r, h g -> t b g",
+    return batch_partitioned(
+        bwd,
+        in_batch_dims=[0, 1, 1, None],
+        out_batch_dims=[1],
+        rule="b u, t b g, t b r, h g -> t b g",
     )
-    return cp
 
 
 def _fwd_core(lengths2d, gates_x, whh, interpret):
@@ -434,7 +371,7 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        dgx = _cp_bwd(interpret)(lengths2d, gates_x, res_p, whh)
+        (dgx,) = _cp_bwd(interpret)(lengths2d, gates_x, res_p, whh)
     else:
         dgx = _bwd_core(lengths2d, gates_x, res_p, whh, interpret)
     dgx = dgx[:T]

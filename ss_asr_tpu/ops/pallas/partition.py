@@ -8,7 +8,7 @@ shards over whatever mesh axis the caller put on the first batched operand,
 everything else replicates, and the kernel body runs per shard on local
 arrays. The time/decode-step axes stay unsharded (sequential recurrences).
 
-Used by ops/pallas/lstm.py (via its own wrappers) and ops/pallas/spell.py.
+Used by ops/pallas/lstm.py and ops/pallas/spell.py.
 """
 
 from __future__ import annotations

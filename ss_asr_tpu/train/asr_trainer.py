@@ -71,14 +71,8 @@ class ASRTrainer(Solver):
         def local_valid(params, x, x_lens, y):
             decode_step = y.shape[1] - 1 + 30  # reference's +30 free-run steps
             _, logits, att = las.asr_forward(params, cfg, x, x_lens, decode_step)
-            label = y[:, 1:]
             ans_len = y.shape[1] - 1
-            logp = jax.nn.log_softmax(logits[:, :ans_len], axis=-1)
-            nll = -jnp.take_along_axis(logp, label[..., None], axis=-1)[..., 0]
-            mask = (label != 0).astype(logits.dtype)
-            per_utt = (nll * mask).sum(-1) / jnp.maximum(
-                (y != 0).sum(-1).astype(logits.dtype), 1.0
-            )
+            per_utt = losses.masked_nll_per_utt(logits[:, :ans_len], y[:, 1:], y)
             return per_utt, logits, att
 
         if self.mesh is not None and self.n_model > 1:

@@ -124,7 +124,12 @@ class CHARLMTrainer(Solver):
 
     def predict(self, x: str, y: str, tf_rate: float) -> float:
         """Teacher-forced probe: accuracy of next-char prediction on a fixed
-        sentence at the given tf rate (reference trainer.py:280-317)."""
+        sentence at the given tf rate (reference trainer.py:280-317).
+
+        ``x`` is accepted for reference-API parity but — exactly like the
+        reference — only its length matters: step 0 is fed SOS (id 0) and
+        the teacher char at step i is ``y[i]`` (== ``x[i+1]``), so the
+        content of ``x`` never enters the unroll (trainer.py:293-309)."""
         y_ids = jnp.asarray(self.mapper.encode(y))[None, :]
         logits = charlm.teacher_forced_unroll(
             self.params, self.cfg, y_ids, self.next_key(), tf_rate=tf_rate

@@ -6,14 +6,14 @@ import jax
 import jax.numpy as jnp
 
 
-def masked_ce_per_utt(
+def masked_nll_per_utt(
     logits: jax.Array, labels: jax.Array, y: jax.Array
 ) -> jax.Array:
-    """Reference ASR/TAE loss (src/trainer.py:426-434,665-676).
-
-    Per-position CE with ignore_index=0 on ``labels``; summed per utterance
-    and divided by ``sum(y != 0)`` (the *full* target's non-pad count), then
-    meaned over the batch.
+    """Per-utterance length-normalized NLL [B] — the reference's exact
+    normalization (src/trainer.py:426-434): per-position CE with
+    ignore_index=0 on ``labels``, summed per utterance and divided by
+    ``sum(y != 0)`` (the FULL target's non-pad count). Shared by the train
+    loss (batch mean) and validation's per-utterance accumulation.
 
     logits: [B, L, V]; labels: [B, L] (may contain pad=0); y: [B, >=L] the
     full target row used for the length normalizer.
@@ -23,7 +23,14 @@ def masked_ce_per_utt(
     mask = (labels != 0).astype(logits.dtype)
     per_utt = (nll * mask).sum(axis=-1)
     denom = jnp.maximum((y != 0).sum(axis=-1).astype(logits.dtype), 1.0)
-    return jnp.mean(per_utt / denom)
+    return per_utt / denom
+
+
+def masked_ce_per_utt(
+    logits: jax.Array, labels: jax.Array, y: jax.Array
+) -> jax.Array:
+    """Reference ASR/TAE loss: batch mean of ``masked_nll_per_utt``."""
+    return jnp.mean(masked_nll_per_utt(logits, labels, y))
 
 
 def chunk_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -26,15 +26,13 @@ class ASRTester(Solver):
     def __init__(self, config, paras):
         super().__init__(config, paras, "asr")
         c = config["asr"]
-        self.decode_file = "_".join(
-            [
-                "decode",
-                "beam",
-                str(c.get("decode_beam_size", 1)),
-                "len",
-                str(c.get("max_decode_step_ratio", 0.25)),
-            ]
-        )
+        # the filename must state the policy actually applied: no ratio key
+        # -> no step cap -> no "len" tag (the reference's filename hardcodes
+        # the ratio whether or not it is used, src/trainer.py:553-555)
+        parts = ["decode", "beam", str(c.get("decode_beam_size", 1))]
+        if c.get("max_decode_step_ratio"):
+            parts += ["len", str(c["max_decode_step_ratio"])]
+        self.decode_file = "_".join(parts)
 
     def load_data(self):
         c = self.config["asr"]

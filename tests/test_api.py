@@ -66,3 +66,19 @@ def test_transcribe_stream_matches_signal(tmp_path):
     whole = t.transcribe_signal(y)
     chunked = t.transcribe_stream(y[i:i + 3000] for i in range(0, len(y), 3000))
     assert chunked == whole
+
+
+def test_transcriber_empty_inputs(rng):
+    """Empty batch / zero-frame audio must return empty transcripts, not
+    crash in the listener scan."""
+    import jax
+
+    from ss_asr_tpu.models import las
+    from ss_asr_tpu.api import Transcriber
+
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=8)
+    t = Transcriber(las.init_asr(jax.random.key(0), cfg), cfg, max_steps=4)
+    assert t.transcribe_fbank([]) == []
+    out = t.transcribe_fbank([np.zeros((0, 8), np.float32)])
+    assert out == [""]

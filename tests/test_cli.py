@@ -144,7 +144,7 @@ def test_xmlparser(tmp_path):
 <TEI xmlns="http://www.tei-c.org/ns/1.0">
  <text><body>
   <s><w>halló</w><w>heimur</w><c>.</c></s>
-  <s><w>góðan</w><w>daginn</w></s>
+  <s><w>góðan</w><w/><w>daginn</w></s>
  </body></text></TEI>"""
     d = tmp_path / "xml"
     d.mkdir()

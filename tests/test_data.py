@@ -244,3 +244,32 @@ def test_lm_dataset_host_shards_disjoint_and_equal(tmp_path):
     # chunks come from the shard only
     x0, y0 = next(s0.iter_batches(2, shuffle=False))
     assert x0.shape == (2, 20)
+
+
+def test_tae_batches_without_noise(tiny_corpus):
+    """drop_rate=0 (a plain noise-free autoencoder) must yield the clean
+    text as the 'noised' input, never None into the jitted TAE step."""
+    ds = ASRDataset(tiny_corpus, batch_size=4, text_only=True, drop_rate=0.0)
+    b = next(ds.iter_batches(prefetch=0))
+    assert b.y_noised is not None and b.y_noised_lens is not None
+    np.testing.assert_array_equal(b.y_noised, b.y)
+
+
+def test_abandoned_prefetch_iterator_stops_producer(tiny_corpus):
+    """Breaking out of iter_batches mid-iteration (the multi-host step cap
+    does this every epoch) must not leave the prefetch thread blocked on
+    the bounded queue forever."""
+    import gc
+    import threading
+    import time
+
+    before = threading.active_count()
+    ds = ASRDataset(tiny_corpus, batch_size=2)
+    it = ds.iter_batches(prefetch=2)
+    next(it)
+    it.close()  # what an abandoned for-loop break does via GC
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch producer leaked"
