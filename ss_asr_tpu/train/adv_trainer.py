@@ -69,11 +69,15 @@ class ADVTrainer(Solver):
             g["type"], g["learning_rate"],
             mask=prefix_mask(self.params, (("asr", "encoder"),)),
             accum_steps=g.get("accum_steps", 1),
+            warmup_steps=g.get("warmup_steps", 0),
+            decay_steps=g.get("decay_steps", 0),
         )
         self.D_optim = make_optimizer(
             d["type"], d["learning_rate"],
             mask=prefix_mask(self.params, (("disc",),)),
             accum_steps=d.get("accum_steps", 1),
+            warmup_steps=d.get("warmup_steps", 0),
+            decay_steps=d.get("decay_steps", 0),
         )
         self.G_state = self.G_optim.init(self.params)
         self.D_state = self.D_optim.init(self.params)

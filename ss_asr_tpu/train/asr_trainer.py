@@ -42,7 +42,9 @@ class ASRTrainer(Solver):
         self.cfg = las.ASRConfig.from_dict(c["mdl"])
         self.params = self.setup_params(lambda k: las.init_asr(k, self.cfg), self.ckppath)
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
-                                    accum_steps=c["opt"].get("accum_steps", 1))
+                                    accum_steps=c["opt"].get("accum_steps", 1),
+                                    warmup_steps=c["opt"].get("warmup_steps", 0),
+                                    decay_steps=c["opt"].get("decay_steps", 0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         cfg = self.cfg

@@ -35,7 +35,9 @@ class CHARLMTrainer(Solver):
             lambda k: charlm.init_charlm(k, self.cfg), self.ckppath
         )
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
-                                    accum_steps=c["opt"].get("accum_steps", 1))
+                                    accum_steps=c["opt"].get("accum_steps", 1),
+                                    warmup_steps=c["opt"].get("warmup_steps", 0),
+                                    decay_steps=c["opt"].get("decay_steps", 0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
         cfg, optim = self.cfg, self.optim
 

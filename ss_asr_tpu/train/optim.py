@@ -20,6 +20,32 @@ import jax
 import optax
 
 
+def make_schedule(
+    learning_rate: float,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    end_scale: float = 0.0,
+):
+    """Optional LR schedule (beyond-reference; the reference trains at a
+    constant rate): linear warmup from 0 over ``warmup_steps``, then either
+    constant (``decay_steps == 0``) or cosine decay over ``decay_steps``
+    down to ``end_scale * learning_rate``. Returns a float (constant) or an
+    optax schedule."""
+    if not warmup_steps and not decay_steps:
+        return learning_rate
+    if decay_steps:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else learning_rate,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=max(decay_steps, warmup_steps + 1),
+            end_value=end_scale * learning_rate,
+        )
+    return optax.linear_schedule(
+        init_value=0.0, end_value=learning_rate, transition_steps=warmup_steps
+    )
+
+
 def make_optimizer(
     opt_type: str,
     learning_rate: float,
@@ -27,6 +53,8 @@ def make_optimizer(
     eps: float = 1e-8,
     mask=None,
     accum_steps: int = 1,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
 ) -> optax.GradientTransformation:
     """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics.
 
@@ -36,14 +64,20 @@ def make_optimizer(
     size B train exactly like one batch of k*B, for effective batches beyond
     per-chip memory. Composes with the DP/TP meshes (accumulation happens
     after the cross-device pmean).
+
+    ``warmup_steps`` / ``decay_steps`` (``opt.warmup_steps`` /
+    ``opt.decay_steps``) enable a warmup(+cosine-decay) LR schedule; with
+    accumulation the schedule advances once per ACCUMULATED update, not per
+    micro-batch (MultiSteps wraps the whole chain).
     """
+    lr = make_schedule(learning_rate, warmup_steps, decay_steps)
     t = opt_type.lower()
     if t == "adadelta":
-        inner = optax.adadelta(learning_rate=learning_rate, eps=eps)
+        inner = optax.adadelta(learning_rate=lr, eps=eps)
     elif t == "adam":
-        inner = optax.adam(learning_rate=learning_rate, eps=eps)
+        inner = optax.adam(learning_rate=lr, eps=eps)
     elif t == "sgd":
-        inner = optax.sgd(learning_rate=learning_rate)
+        inner = optax.sgd(learning_rate=lr)
     else:
         raise ValueError(f"Unknown optimizer type: {opt_type}")
     chain = optax.chain(optax.clip_by_global_norm(grad_clip), inner)

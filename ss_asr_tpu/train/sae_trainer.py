@@ -63,7 +63,9 @@ class SAETrainer(Solver):
         mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))
         c = self.config["sae"]["opt"]
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
-                                    accum_steps=c.get("accum_steps", 1))
+                                    accum_steps=c.get("accum_steps", 1),
+                                    warmup_steps=c.get("warmup_steps", 0),
+                                    decay_steps=c.get("decay_steps", 0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim

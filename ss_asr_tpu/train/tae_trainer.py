@@ -65,7 +65,9 @@ class TAETrainer(Solver):
         mask = prefix_mask(self.params, (("tae",),) + SHARED_ASR_SUBTREES)
         c = self.config["tae"]["opt"]
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
-                                    accum_steps=c.get("accum_steps", 1))
+                                    accum_steps=c.get("accum_steps", 1),
+                                    warmup_steps=c.get("warmup_steps", 0),
+                                    decay_steps=c.get("decay_steps", 0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, tae_cfg, optim = self.asr_cfg, self.tae_cfg, self.optim

@@ -112,3 +112,29 @@ def test_grad_accumulation_in_asr_trainer(tmp_path):
         np.asarray(t_acc.params["char_trans"]["w"]),
         np.asarray(t_full.params["char_trans"]["w"]), rtol=1e-4, atol=1e-6,
     )
+
+
+def test_warmup_schedule_ramps_and_decays():
+    """opt.warmup_steps/decay_steps: SGD update magnitude ramps 0 -> lr over
+    warmup and cosine-decays toward 0 afterwards."""
+    from ss_asr_tpu.train.optim import make_schedule
+
+    # constant when unset
+    assert make_schedule(1.0) == 1.0
+    sched = make_schedule(1.0, warmup_steps=10, decay_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
+    assert float(sched(100)) < 0.05  # cosine end
+    # warmup-only: ramps then holds
+    w = make_schedule(2.0, warmup_steps=4)
+    np.testing.assert_allclose(float(w(4)), 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(w(400)), 2.0, rtol=1e-6)
+
+    opt = make_optimizer("SGD", 1.0, warmup_steps=2, decay_steps=10)
+    params = {"w": jnp.zeros((2,))}
+    st = opt.init(params)
+    g = {"w": jnp.ones((2,))}
+    up0, st = opt.update(g, st, params)
+    np.testing.assert_array_equal(np.asarray(up0["w"]), 0.0)  # step 0 of warmup
+    up1, st = opt.update(g, st, params)
+    assert abs(float(up1["w"][0])) > 0.0
