@@ -89,6 +89,7 @@ class Transcriber:
             # silent/empty audio: zero frames -> empty transcripts, not a
             # zero-width buffer crashing the listener scan
             return ["" for _ in fbanks]
+        empty = lens == 0  # zero-frame rows mixed into a non-empty batch
         T = round_up(int(lens.max()), self.t_bucket)
         x = np.zeros((len(fbanks), T, self.cfg.feature_dim), dtype=np.float32)
         for i, f in enumerate(fbanks):
@@ -126,7 +127,10 @@ class Transcriber:
                 lm_params=self.lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
-        return [self.mapper.translate(t) for t in np.asarray(toks)]
+        out = [self.mapper.translate(t) for t in np.asarray(toks)]
+        # a zero-frame row has no audio to attend to (the NaN-guard clamp
+        # makes it attend to one padding step) — its transcript is ""
+        return ["" if e else o for e, o in zip(empty, out)]
 
     def transcribe_signal(self, y: np.ndarray, sr: Optional[int] = None) -> str:
         fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr)

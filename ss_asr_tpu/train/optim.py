@@ -34,11 +34,13 @@ def make_schedule(
     if not warmup_steps and not decay_steps:
         return learning_rate
     if decay_steps:
+        # optax's decay_steps is the TOTAL schedule length INCLUDING warmup;
+        # our config key is the cosine horizon AFTER warmup — convert
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0 if warmup_steps else learning_rate,
             peak_value=learning_rate,
             warmup_steps=warmup_steps,
-            decay_steps=max(decay_steps, warmup_steps + 1),
+            decay_steps=warmup_steps + decay_steps,
             end_value=end_scale * learning_rate,
         )
     return optax.linear_schedule(

@@ -82,3 +82,8 @@ def test_transcriber_empty_inputs(rng):
     assert t.transcribe_fbank([]) == []
     out = t.transcribe_fbank([np.zeros((0, 8), np.float32)])
     assert out == [""]
+    # zero-frame row MIXED with real audio: still "" for the empty one
+    mixed = t.transcribe_fbank(
+        [np.zeros((0, 8), np.float32), rng.standard_normal((12, 8)).astype(np.float32)]
+    )
+    assert len(mixed) == 2 and mixed[0] == ""
