@@ -227,3 +227,39 @@ def test_step_timer_rolling_stats():
     assert t.utt_per_sec(32) == 32 * t.steps_per_sec
     t.reset()
     assert t.tick() is None and t.steps_per_sec == 0.0
+
+
+def test_shipped_default_config_constructs_everything():
+    """conf/default.yaml must parse and every section must build its model
+    config and optimizer — a schema drift here would only surface deep in a
+    user's first training run."""
+    import yaml
+
+    from ss_asr_tpu.models import charlm, discriminator, las, speech_autoencoder, text_autoencoder
+    from ss_asr_tpu.ops.augment import SpecAugmentConfig
+    from ss_asr_tpu.train.optim import make_optimizer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "conf", "default.yaml"), encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+
+    for section in ("asr", "tae", "sae", "adv", "char_lm", "seed_train"):
+        assert section in cfg, section
+
+    asr_cfg = las.ASRConfig.from_dict(cfg["asr"]["mdl"])
+    assert asr_cfg.encoder_state_size == 256
+    charlm.CharLMConfig.from_dict(cfg["char_lm"]["mdl"])
+    text_autoencoder.TAEConfig.from_dict(cfg["tae"]["mdl"])
+    speech_autoencoder.SAEConfig.from_dict(cfg["sae"]["mdl"])
+    discriminator.DiscriminatorConfig.from_dict(
+        {**cfg["adv"]["mdl"], "in_dim": asr_cfg.enc_out_dim}
+    )
+    SpecAugmentConfig.from_dict(cfg["asr"].get("augment"))
+
+    for opt in (cfg["asr"]["opt"], cfg["tae"]["opt"], cfg["sae"]["opt"],
+                cfg["adv"]["G_opt"], cfg["adv"]["D_opt"], cfg["char_lm"]["opt"]):
+        make_optimizer(opt["type"], opt["learning_rate"],
+                       accum_steps=opt.get("accum_steps", 1),
+                       warmup_steps=opt.get("warmup_steps", 0),
+                       decay_steps=opt.get("decay_steps", 0))
+    assert cfg["seed_train"].get("super_its") or cfg["seed_train"].get("its")
