@@ -71,6 +71,7 @@ class ADVTrainer(Solver):
             accum_steps=g.get("accum_steps", 1),
             warmup_steps=g.get("warmup_steps", 0),
             decay_steps=g.get("decay_steps", 0),
+            end_scale=g.get("end_scale", 0.0),
         )
         self.D_optim = make_optimizer(
             d["type"], d["learning_rate"],
@@ -78,6 +79,7 @@ class ADVTrainer(Solver):
             accum_steps=d.get("accum_steps", 1),
             warmup_steps=d.get("warmup_steps", 0),
             decay_steps=d.get("decay_steps", 0),
+            end_scale=d.get("end_scale", 0.0),
         )
         self.G_state = self.G_optim.init(self.params)
         self.D_state = self.D_optim.init(self.params)
@@ -253,8 +255,18 @@ class ADVTrainer(Solver):
         avg_fake /= max(n, 1)
 
         if real is not None:
-            embs = np.concatenate([self.to_local(real)[0], self.to_local(fake)[0]])
-            meta = ["real"] * real.shape[1] + ["fake"] * fake.shape[1]
+            # whole-batch projector: every per-timestep embedding of the last
+            # validation batch, real and fake. The reference ships sample 0
+            # only (src/trainer.py:1093-1094) but its dead whole-batch
+            # flatten at trainer.py:1074 shows the intent — restored here.
+            r = self.to_local(real)  # [B, S, D]
+            f = self.to_local(fake)  # [B, T/8, D]
+            embs = np.concatenate(
+                [r.reshape(-1, r.shape[-1]), f.reshape(-1, f.shape[-1])]
+            )
+            meta = ["real"] * (r.shape[0] * r.shape[1]) + (
+                ["fake"] * (f.shape[0] * f.shape[1])
+            )
             self.lg.embedding("validation_emb", embs, meta, self.tr.step)
 
         avg_loss = avg_real + avg_fake
@@ -265,14 +277,14 @@ class ADVTrainer(Solver):
         if avg_loss < self.tr.get_best():
             self.tr.set_best(avg_loss)
             self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")
-            ckpt.save_auto(self.best_ckppath, self.params["disc"])
+            self.save_tree(self.best_ckppath, self.params["disc"])
             self.verbose("Both the discriminator and ASR have been saved")
 
     def _save_all(self):
-        ckpt.save_auto(self.ckppath, self.params["disc"])
-        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
-        ckpt.save_opt_state(self.g_opt_ckppath, self.G_state)
-        ckpt.save_opt_state(self.d_opt_ckppath, self.D_state)
+        self.save_tree(self.ckppath, self.params["disc"])
+        self.save_tree(self.asrpath_out, self.params["asr"])
+        self.save_opt(self.g_opt_ckppath, self.G_state)
+        self.save_opt(self.d_opt_ckppath, self.D_state)
 
     def close(self):
         self.verbose(

@@ -44,7 +44,8 @@ class ASRTrainer(Solver):
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
                                     accum_steps=c["opt"].get("accum_steps", 1),
                                     warmup_steps=c["opt"].get("warmup_steps", 0),
-                                    decay_steps=c["opt"].get("decay_steps", 0))
+                                    decay_steps=c["opt"].get("decay_steps", 0),
+                                    end_scale=c["opt"].get("end_scale", 0.0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         cfg = self.cfg
@@ -236,7 +237,7 @@ class ASRTrainer(Solver):
             self.verbose(
                 f"Best validation loss for ASR : {avg_loss:.4f} @ global step {self.tr.step}"
             )
-            ckpt.save_auto(self.best_ckppath, self.params)
+            self.save_tree(self.best_ckppath, self.params)
             if logits is not None:
                 with open(os.path.join(self.ckpdir, "best_hyp.txt"), "w") as f:
                     for t1, t2 in zip(val_hyp, val_txt):

@@ -37,7 +37,8 @@ class CHARLMTrainer(Solver):
         self.optim = make_optimizer(c["opt"]["type"], c["opt"]["learning_rate"],
                                     accum_steps=c["opt"].get("accum_steps", 1),
                                     warmup_steps=c["opt"].get("warmup_steps", 0),
-                                    decay_steps=c["opt"].get("decay_steps", 0))
+                                    decay_steps=c["opt"].get("decay_steps", 0),
+                                    end_scale=c["opt"].get("end_scale", 0.0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
         cfg, optim = self.cfg, self.optim
 
@@ -110,7 +111,7 @@ class CHARLMTrainer(Solver):
                     self.lg.text("text_generate", generated, self.tr.step)
                     if loss_by_char < self.tr.get_best():
                         self.tr.set_best(loss_by_char)
-                        ckpt.save_auto(self.best_ckppath, self.params)
+                        self.save_tree(self.best_ckppath, self.params)
 
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")

@@ -57,6 +57,7 @@ def make_optimizer(
     accum_steps: int = 1,
     warmup_steps: int = 0,
     decay_steps: int = 0,
+    end_scale: float = 0.0,
 ) -> optax.GradientTransformation:
     """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics.
 
@@ -70,9 +71,10 @@ def make_optimizer(
     ``warmup_steps`` / ``decay_steps`` (``opt.warmup_steps`` /
     ``opt.decay_steps``) enable a warmup(+cosine-decay) LR schedule; with
     accumulation the schedule advances once per ACCUMULATED update, not per
-    micro-batch (MultiSteps wraps the whole chain).
+    micro-batch (MultiSteps wraps the whole chain). ``end_scale``
+    (``opt.end_scale``) sets the cosine floor as a fraction of the peak LR.
     """
-    lr = make_schedule(learning_rate, warmup_steps, decay_steps)
+    lr = make_schedule(learning_rate, warmup_steps, decay_steps, end_scale)
     t = opt_type.lower()
     if t == "adadelta":
         inner = optax.adadelta(learning_rate=lr, eps=eps)

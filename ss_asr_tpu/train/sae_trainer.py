@@ -65,7 +65,8 @@ class SAETrainer(Solver):
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
                                     accum_steps=c.get("accum_steps", 1),
                                     warmup_steps=c.get("warmup_steps", 0),
-                                    decay_steps=c.get("decay_steps", 0))
+                                    decay_steps=c.get("decay_steps", 0),
+                                    end_scale=c.get("end_scale", 0.0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim
@@ -177,12 +178,12 @@ class SAETrainer(Solver):
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
                     self._save_sae(self.ckppath)
-                    ckpt.save_pytree(self.asrpath_out, self.params["asr"])
-                    ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
+                    self.save_tree(self.asrpath_out, self.params["asr"])
+                    self.save_opt(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
 
     def _save_sae(self, path):
-        ckpt.save_auto(path, {"params": self.params["sae"], "bn_state": self.bn_state})
+        self.save_tree(path, {"params": self.params["sae"], "bn_state": self.bn_state})
 
     def valid(self):
         avg_loss, n = 0.0, 0
@@ -223,6 +224,6 @@ class SAETrainer(Solver):
             f"Finished training! Saving most recent model at step {self.tr.step} plus the ASR"
         )
         self._save_sae(self.ckppath)
-        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
-        ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
+        self.save_tree(self.asrpath_out, self.params["asr"])
+        self.save_opt(self.opt_ckppath, self.opt_state)
         self.lg.close()

@@ -62,7 +62,15 @@ class Solver:
         self.ckpdir = os.path.join(paras.ckpdir, paras.name)
         os.makedirs(self.ckpdir, exist_ok=True)
 
-        self.tr = Tracker(os.path.join(self.ckpdir, "tracker.json"), module_id)
+        # multi-host: only process 0 writes tracker.json / npz checkpoints —
+        # N processes sharing one ckpdir must not race on the same files
+        # (every process still tracks the state in memory; steps are
+        # host-consistent because all hosts dispatch the same step count)
+        self.is_writer = jax.process_index() == 0
+        self.tr = Tracker(
+            os.path.join(self.ckpdir, "tracker.json"), module_id,
+            writer=self.is_writer,
+        )
         self.lg = MetricLogger(
             os.path.join(paras.logdir, paras.name, module_id), module_id
         )
@@ -210,14 +218,32 @@ class Solver:
         # parallelism outputs can be sharded on trailing dims too (e.g.
         # logits P(data, None, model)), so every shard is written into its
         # full index slot — a batch-axis-only dedup would silently DROP the
-        # other model-axis slices. Assumes this process's rows are
-        # contiguous along axis 0 (true for the meshes make_mesh builds).
+        # other model-axis slices. This process's rows must be contiguous
+        # along axis 0 (true for meshes built by make_mesh from the default
+        # device order); asserted below instead of assumed, since a custom
+        # device order would otherwise silently misalign gathered rows with
+        # host-local labels.
         shards = list(arr.addressable_shards)
         offset = min((s.index[0].start or 0) for s in shards)
         n_rows = max(
             (s.index[0].stop if s.index[0].stop is not None else arr.shape[0])
             for s in shards
         ) - offset
+        spans = sorted(
+            {((s.index[0].start or 0),
+              (s.index[0].stop if s.index[0].stop is not None else arr.shape[0]))
+             for s in shards}
+        )
+        covered = offset
+        for start, stop in spans:
+            if start > covered:
+                raise AssertionError(
+                    "to_local: this process's batch rows are not contiguous "
+                    f"along axis 0 (spans {spans}); use the default device "
+                    "order from parallel.mesh.make_mesh"
+                )
+            covered = max(covered, stop)
+        assert covered == offset + n_rows
         out = np.zeros((n_rows,) + arr.shape[1:], dtype=arr.dtype)
         for s in shards:
             idx = tuple(s.index)
@@ -311,11 +337,51 @@ class Solver:
             state = ckpt.load_opt_state(self.opt_ckppath, state)
         return state
 
+    @staticmethod
+    def _gather_for_save(tree):
+        """Make every leaf fully addressable on every process.
+
+        Under multi-host tensor parallelism a param leaf can be sharded
+        across processes; ``np.asarray`` on such a leaf throws. Replicating
+        via a jit identity (GSPMD inserts the all-gather over ICI) makes the
+        npz flatten safe. All processes MUST call this (it is a collective);
+        single-host / fully-addressable trees pass through untouched.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def rep(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                sh = NamedSharding(x.sharding.mesh, PartitionSpec())
+                return jax.jit(lambda a: a, out_shardings=sh)(x)
+            return x
+
+        return jax.tree.map(rep, tree)
+
+    def save_tree(self, path: str, tree) -> None:
+        """Multi-host-safe checkpoint write for any param pytree.
+
+        Non-addressable (TP-sharded) leaves are all-gathered on EVERY
+        process (collective — all hosts must call this), then only process 0
+        writes npz files; the orbax backend coordinates across hosts itself,
+        so every process calls it. Single-host: a plain save.
+        """
+        if jax.process_count() > 1:
+            tree = self._gather_for_save(tree)
+        if path.endswith(ckpt.ORBAX_SUFFIX) or self.is_writer:
+            ckpt.save_auto(path, tree)
+
+    def save_opt(self, path: str, opt_state) -> None:
+        """Writer-gated optimizer-state write (same contract as save_tree)."""
+        if jax.process_count() > 1:
+            opt_state = self._gather_for_save(opt_state)
+        if self.is_writer:
+            ckpt.save_opt_state(path, opt_state)
+
     def save_state(self, params, opt_state=None, path: Optional[str] = None) -> None:
         """Save params (and optimizer accumulators) atomically."""
-        ckpt.save_auto(path or self.ckppath, params)
+        self.save_tree(path or self.ckppath, params)
         if opt_state is not None and path is None:
-            ckpt.save_opt_state(self.opt_ckppath, opt_state)
+            self.save_opt(self.opt_ckppath, opt_state)
 
     def genpath(self, p, module_id: str) -> Tuple[str, str]:
         """In/out checkpoint path pair for parameter relays (trainer.py:170-191)."""

@@ -67,7 +67,8 @@ class TAETrainer(Solver):
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
                                     accum_steps=c.get("accum_steps", 1),
                                     warmup_steps=c.get("warmup_steps", 0),
-                                    decay_steps=c.get("decay_steps", 0))
+                                    decay_steps=c.get("decay_steps", 0),
+                                    end_scale=c.get("end_scale", 0.0))
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, tae_cfg, optim = self.asr_cfg, self.tae_cfg, self.optim
@@ -156,9 +157,9 @@ class TAETrainer(Solver):
                     self.valid()
                 if self.tr.step % self.save_step == 0:
                     self.verbose(f"Model saved at step {self.tr.step}")
-                    ckpt.save_auto(self.ckppath, self.params["tae"])
-                    ckpt.save_pytree(self.asrpath_out, self.params["asr"])
-                    ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
+                    self.save_tree(self.ckppath, self.params["tae"])
+                    self.save_tree(self.asrpath_out, self.params["asr"])
+                    self.save_opt(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
 
     def valid(self):
@@ -190,7 +191,7 @@ class TAETrainer(Solver):
         if avg_loss < self.tr.get_best():
             self.tr.set_best(avg_loss)
             self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")
-            ckpt.save_auto(self.best_ckppath, self.params["tae"])
+            self.save_tree(self.best_ckppath, self.params["tae"])
             self.verbose("Both the text autoencoder and ASR have been saved")
         else:
             self.verbose(
@@ -201,7 +202,7 @@ class TAETrainer(Solver):
         self.verbose(
             f"Finished training! Saving most recent model at step {self.tr.step} plus the ASR"
         )
-        ckpt.save_auto(self.ckppath, self.params["tae"])
-        ckpt.save_pytree(self.asrpath_out, self.params["asr"])
-        ckpt.save_opt_state(self.opt_ckppath, self.opt_state)
+        self.save_tree(self.ckppath, self.params["tae"])
+        self.save_tree(self.asrpath_out, self.params["asr"])
+        self.save_opt(self.opt_ckppath, self.opt_state)
         self.lg.close()

@@ -8,8 +8,9 @@ what the reference's dead ``decode_beam_size`` knob intended.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import List
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +20,31 @@ from ss_asr_tpu.decode.greedy import greedy_decode
 from ss_asr_tpu.models import charlm, las
 from ss_asr_tpu.train.solver import Solver
 from ss_asr_tpu.utils import checkpoint as ckpt
-from ss_asr_tpu.utils.metrics import calc_cer, calc_err
+from ss_asr_tpu.utils.editdistance import edit_distance
+
+
+def _char_acc_row(pred: np.ndarray, label: np.ndarray) -> float:
+    """Reference calc_acc semantics for one row (src/postprocess.py:7-29):
+    positionwise match, counting label positions until the first pad."""
+    n = int(np.argmax(label == 0)) if (label == 0).any() else len(label)
+    if n == 0:
+        return 0.0
+    pred = pred[:n] if len(pred) >= n else np.concatenate(
+        [pred, np.zeros(n - len(pred), dtype=pred.dtype)]
+    )
+    return float(np.mean(pred == label[:n]))
+
+
+def _mean_err(hyps: List[str], refs: List[str], split) -> float:
+    """Mean edit-distance error between token sequences; with ``split=str.split``
+    this is the thesis' word error (src/postprocess.py:31-50, may exceed 1)."""
+    if not hyps:
+        return 0.0
+    ds = [
+        float(edit_distance(split(h), split(r))) / max(len(split(r)), 1)
+        for h, r in zip(hyps, refs)
+    ]
+    return float(np.mean(ds))
 
 
 class ASRTester(Solver):
@@ -49,8 +74,18 @@ class ASRTester(Solver):
         lm_c = self.config.get("char_lm", {})
         lm_mdl = lm_c.get("mdl", lm_c)
         self.lm_cfg = charlm.CharLMConfig.from_dict(lm_mdl)
-        # honor the configured checkpoint backend (char_lm.orbax vs .npz)
+        # honor the configured checkpoint backend (char_lm.orbax vs .npz),
+        # but fall back to the other backend's file if the configured one is
+        # missing — the LM may have been trained under a different
+        # ``checkpoint_backend`` than this test run (silently decoding
+        # without fusion would skew the measured numbers)
+        alt_ext = ".npz" if self.ckpt_ext != ".npz" else ckpt.ORBAX_SUFFIX
         lm_path = os.path.join(self.ckpdir, "char_lm" + self.ckpt_ext)
+        if not ckpt.exists_auto(lm_path):
+            alt_path = os.path.join(self.ckpdir, "char_lm" + alt_ext)
+            if ckpt.exists_auto(alt_path):
+                self.verbose(f"char LM not at {lm_path}; using {alt_path}")
+                lm_path = alt_path
         if ckpt.exists_auto(lm_path):
             import jax
 
@@ -77,20 +112,43 @@ class ASRTester(Solver):
         )
         results: List[str] = []
         refs: List[str] = []
+        accs: List[float] = []
         for b in self.test_ds.iter_batches(drop_last=False, shuffle=False):
             toks, lens = self._decode_batch(b, lm_weight if use_lm else 0.0)
+            toks = np.asarray(toks)
             valid = b.valid if b.valid is not None else np.ones(toks.shape[0], bool)
             for i in range(toks.shape[0]):
                 if not valid[i]:
                     continue
-                results.append(self.mapper.translate(np.asarray(toks[i])))
+                results.append(self.mapper.translate(toks[i]))
                 refs.append(self.mapper.translate(b.y[i]))
+                accs.append(_char_acc_row(toks[i], b.y[i][1:]))
+
+        # aggregate test-set metrics — the numbers thesis Table 6.12 is made
+        # of (the reference dumps hyp/ref pairs and computes nothing,
+        # src/trainer.py:587-592): accuracy + the thesis' word-level error
+        # (src/postprocess.py:31-50 semantics, can exceed 1.0) + CER.
+        self.metrics: Dict[str, float] = {
+            "n": len(results),
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "wer": _mean_err(results, refs, lambda s: s.split(" ")),
+            "cer": _mean_err(results, refs, list),
+        }
 
         out_path = os.path.join(self.ckpdir, self.decode_file + ".txt")
         with open(out_path, "w", encoding="utf-8") as f:
             for hyp, ref in zip(results, refs):
                 f.write(f"{hyp}\t{ref}\n")
-        self.verbose(f"Decoded {len(results)} utterances -> {out_path}")
+        with open(os.path.join(self.ckpdir, self.decode_file + "_metrics.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump(self.metrics, f, indent=1)
+        for k in ("acc", "wer", "cer"):
+            self.lg.scalar(f"test_{k}", self.metrics[k], self.metrics["n"])
+        self.verbose(
+            f"Decoded {len(results)} utterances -> {out_path} | "
+            f"acc {self.metrics['acc']:.4f} wer {self.metrics['wer']:.4f} "
+            f"cer {self.metrics['cer']:.4f}"
+        )
         return results
 
     def _max_steps_for(self, b) -> int:

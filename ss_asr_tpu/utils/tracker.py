@@ -12,15 +12,24 @@ import os
 
 
 class Tracker:
-    def __init__(self, path: str, module_id: str, default_best: float = 10000.0):
+    def __init__(self, path: str, module_id: str, default_best: float = 10000.0,
+                 writer: bool = True):
+        """``writer=False`` keeps the in-memory state in sync but never
+        touches the file — multi-host runs pass writer only to process 0 so
+        N processes sharing one ckpdir don't race on tracker.json."""
         self.path = path
         self.module_id = module_id
+        self.writer = bool(writer)
         if not os.path.exists(self.path):
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-            with open(self.path, "w") as f:
-                f.write("{}")
-        with open(self.path, "r") as f:
-            self.data = json.load(f)
+            if self.writer:
+                with open(self.path, "w") as f:
+                    f.write("{}")
+        if os.path.exists(self.path):
+            with open(self.path, "r") as f:
+                self.data = json.load(f)
+        else:
+            self.data = {}
         if self.module_id not in self.data:
             self.data[self.module_id] = {"best": default_best, "step": 0}
         self.step = int(self.data[self.module_id]["step"])
@@ -38,6 +47,8 @@ class Tracker:
         self._save()
 
     def _save(self) -> None:
+        if not self.writer:
+            return
         # atomic replace so a killed run can never leave a torn tracker.json
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:

@@ -130,6 +130,17 @@ def test_warmup_schedule_ramps_and_decays():
     np.testing.assert_allclose(float(w(4)), 2.0, rtol=1e-6)
     np.testing.assert_allclose(float(w(400)), 2.0, rtol=1e-6)
 
+    # opt.end_scale sets the cosine floor as a fraction of the peak LR
+    floor = make_schedule(2.0, warmup_steps=10, decay_steps=100, end_scale=0.25)
+    np.testing.assert_allclose(float(floor(110)), 0.5, rtol=1e-5)
+    via_opt = make_optimizer("SGD", 2.0, warmup_steps=10, decay_steps=100,
+                             end_scale=0.25)
+    params = {"w": jnp.zeros((2,))}
+    st = via_opt.init(params)
+    for _ in range(120):
+        up, st = via_opt.update({"w": jnp.ones((2,))}, st, params)
+    np.testing.assert_allclose(-float(up["w"][0]), 0.5, rtol=1e-5)
+
     opt = make_optimizer("SGD", 1.0, warmup_steps=2, decay_steps=10)
     params = {"w": jnp.zeros((2,))}
     st = opt.init(params)

@@ -279,6 +279,14 @@ def test_tester_decodes(corpus, tmp_path):
     assert len(results) == 8
     assert all(isinstance(r, str) for r in results)
     assert os.path.exists(os.path.join(tester.ckpdir, tester.decode_file + ".txt"))
+    # the tester must aggregate the thesis-table metrics over the decoded set
+    # (reference Table 6.12 protocol; src/trainer.py:547-592 computes none)
+    m = tester.metrics
+    assert m["n"] == 8
+    assert 0.0 <= m["acc"] <= 1.0
+    assert m["wer"] >= 0.0 and m["cer"] >= 0.0  # WER may exceed 1 by design
+    with open(os.path.join(tester.ckpdir, tester.decode_file + "_metrics.json")) as f:
+        assert json.load(f) == pytest.approx(m)
 
 
 def test_sae_opt_state_gates_on_own_checkpoint(corpus, tmp_path):
