@@ -38,6 +38,14 @@ SIZES = {
 #: exactly the thesis' low-resource-ASR + big-text-LM condition (Table 6.12)
 HELD_OUT_WORDS = ("fig", "dig", "hide")
 
+#: --mixed regime: a LARGER hold-out from WORDS_LARGE, with the eval set
+#: drawn from the FULL vocabulary (trained + held-out words mixed). Trained
+#: words decode well, held-out i/g-heavy words need the LM — a mid-error
+#: operating point where the lm-weight sweep has real gradient signal
+#: (round-2 held-out artifact collapsed to identical results across weights)
+HELD_OUT_MIXED = ("fig", "dig", "hide", "gibe", "jig", "iced", "fib",
+                  "gad", "cage", "badge")
+
 
 def _lm_text(words, reps: int, seed: int) -> str:
     import numpy as np
@@ -48,15 +56,41 @@ def _lm_text(words, reps: int, seed: int) -> str:
 
 
 def build_corpus(work: str, n_utts: int, seed: int,
-                 homophones: bool = False, heldout: bool = False) -> dict:
+                 homophones: bool = False, heldout: bool = False,
+                 mixed: bool = False) -> dict:
     """Synthesize, preprocess, split; returns index/corpus paths."""
-    from ss_asr_tpu.cli.mkdata import WORDS, make_corpus
+    from ss_asr_tpu.cli.mkdata import WORDS, WORDS_LARGE, make_corpus
     from ss_asr_tpu.cli.preprocess import preprocess_generic
     from ss_asr_tpu.data.index import make_split
 
     corpus = os.path.join(work, "corpus")
     processed = os.path.join(work, "processed")
     lm_corpus = os.path.join(work, "lm.txt")
+
+    if mixed:
+        # mid-error large-vocabulary regime: 40-word inventory, 10 words
+        # held out of audio training, eval mixes trained + held-out words
+        train_words = [w for w in WORDS_LARGE if w not in HELD_OUT_MIXED]
+        eval_corpus = os.path.join(work, "corpus_eval")
+        eval_processed = os.path.join(work, "processed_eval")
+        make_corpus(corpus, n=n_utts, seed=seed, homophones=homophones,
+                    words=train_words)
+        make_corpus(eval_corpus, n=max(n_utts // 3, 32), seed=seed + 1,
+                    homophones=homophones, words=WORDS_LARGE, max_words=2)
+        preprocess_generic(os.path.join(corpus, "txt"),
+                           os.path.join(corpus, "wav"),
+                           processed_dir=processed, sr=8000)
+        preprocess_generic(os.path.join(eval_corpus, "txt"),
+                           os.path.join(eval_corpus, "wav"),
+                           processed_dir=eval_processed, sr=8000)
+        with open(lm_corpus, "w", encoding="utf-8") as fh:
+            fh.write(_lm_text(list(WORDS_LARGE) + 2 * list(HELD_OUT_MIXED),
+                              reps=4000, seed=seed))
+        return {
+            "train_index": os.path.join(processed, "index.tsv"),
+            "eval_index": os.path.join(eval_processed, "index.tsv"),
+            "lm_corpus": lm_corpus,
+        }
 
     if heldout:
         train_words = [w for w in WORDS if w not in HELD_OUT_WORDS]
@@ -135,7 +169,9 @@ def make_config(paths: dict, size: str, epochs: int, batch: int,
 
 def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                       max_steps: int = 60, lm_sweep=None) -> dict:
-    """Decode the eval set three ways; per-utterance CER accumulation.
+    """Decode the eval set three ways; reports CER + the thesis' actual
+    metrics (word error and char accuracy, src/postprocess.py:7-50 / Tables
+    6.6-6.12) per decode mode.
 
     ``lm_sweep``: optional extra fusion weights — each adds one beam+LM
     decode over the SAME trained model (one compile per weight), reported
@@ -150,6 +186,7 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     from ss_asr_tpu.models import charlm, las
     from ss_asr_tpu.utils import checkpoint as ckpt
     from ss_asr_tpu.utils.editdistance import edit_distance
+    from ss_asr_tpu.utils.metrics import char_acc_row, err_rate
 
     c = config["asr"]
     ckpdir = os.path.join(paras.ckpdir, paras.name)
@@ -182,6 +219,8 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
             )
         )(w)
     errs = {m: 0 for m in modes}
+    wers = {m: 0.0 for m in modes}  # sum of per-utt word errors (thesis WER)
+    accs = {m: 0.0 for m in modes}  # sum of per-utt char accuracies
     chars = 0
     n_utts = 0
     hyp_samples = {m: [] for m in modes}
@@ -195,11 +234,17 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
             for i in np.nonzero(valid)[0]:
                 hyp = mapper.translate(toks[i])
                 errs[m] += edit_distance(list(hyp), list(labels[i]))
+                wers[m] += err_rate(hyp, labels[i], "word")
+                accs[m] += char_acc_row(toks[i], b.y[i][1:])
                 if len(hyp_samples[m]) < 3:
                     hyp_samples[m].append({"hyp": hyp, "ref": labels[i]})
         chars += sum(max(len(labels[i]), 1) for i in np.nonzero(valid)[0])
         n_utts += int(valid.sum())
+    nu = max(n_utts, 1)
     out = {f"{m}_cer": round(errs[m] / max(chars, 1), 4) for m in modes}
+    # the thesis' actual table metrics (acc/err pairs, postprocess.py:7-50)
+    out.update({f"{m}_wer": round(wers[m] / nu, 4) for m in modes})
+    out.update({f"{m}_acc": round(accs[m] / nu, 4) for m in modes})
     out.update({f"{m}_char_errors": int(errs[m]) for m in modes})
     out["n_eval_utts"] = n_utts
     out["n_label_chars"] = chars
@@ -207,12 +252,18 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
         out["lm_weight_sweep"] = [
             {
                 "lm_weight": w,
-                "greedy_cer": out["greedy_cer"],
-                f"beam{beam}_cer": out[f"beam{beam}_cer"],
-                f"beam{beam}_lm_cer": out[
-                    f"beam{beam}_lm_cer" if w == lm_weight
-                    else f"beam{beam}_lm@{w:g}_cer"
-                ],
+                **{
+                    f"{tag}_{met}": out[f"{tag}_{met}"]
+                    for tag in ("greedy", f"beam{beam}")
+                    for met in ("cer", "wer", "acc")
+                },
+                **{
+                    f"beam{beam}_lm_{met}": out[
+                        f"beam{beam}_lm_{met}" if w == lm_weight
+                        else f"beam{beam}_lm@{w:g}_{met}"
+                    ]
+                    for met in ("cer", "wer", "acc")
+                },
             }
             for w in sorted(weights)
         ]
@@ -223,12 +274,12 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
 def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         lm_weight: float, batch: int = 8, homophones: bool = False,
         opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
-        lm_sweep=None, augment: dict | None = None) -> dict:
+        mixed: bool = False, lm_sweep=None, augment: dict | None = None) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
     paths = build_corpus(work, n_utts, seed, homophones=homophones,
-                         heldout=heldout)
+                         heldout=heldout, mixed=mixed)
     config = make_config(paths, size, epochs, batch, opt=opt, lr=lr,
                          augment=augment)
     paras = make_paras(name="qp", logdir=os.path.join(work, "runs"),
@@ -244,7 +295,7 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
                         "seed": seed, "lm_weight": lm_weight,
                         "homophones": homophones, "opt": opt, "lr": lr,
-                        "heldout": heldout, "augment": augment}
+                        "heldout": heldout, "mixed": mixed, "augment": augment}
     return result
 
 
@@ -274,6 +325,10 @@ def main():
                     help="hold fig/dig/hide out of ASR audio training; the "
                          "LM still sees their spellings (thesis low-resource "
                          "condition — beam+LM must beat greedy here)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mid-error large-vocabulary regime: 40-word "
+                         "inventory, 10 words held out of audio training, "
+                         "eval mixes trained + held-out words")
     args = ap.parse_args()
 
     sweep = [float(w) for w in args.lm_sweep.split(",")] if args.lm_sweep else None
@@ -281,7 +336,7 @@ def main():
     result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
                  args.lm_weight, homophones=args.homophones,
                  opt=args.opt, lr=args.lr, heldout=args.heldout,
-                 lm_sweep=sweep, augment=augment)
+                 mixed=args.mixed, lm_sweep=sweep, augment=augment)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:

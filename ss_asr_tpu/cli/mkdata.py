@@ -23,6 +23,16 @@ CHAR_MS = 160
 FREQS = {c: 300.0 + 150.0 * i for i, c in enumerate("abcdefghij ")}
 WORDS = ["aba", "bead", "cafe", "dig", "echo", "fig", "gab", "hide", "ice", "jade"]
 
+#: larger inventory over the same tone alphabet — the quality protocol's
+#: mid-error mixed regime needs enough lexical variety that an LM-weight
+#: sweep has gradient signal instead of collapsing onto a handful of flips
+WORDS_LARGE = WORDS + [
+    "bad", "cab", "dice", "edge", "face", "gag", "head", "idea", "jig",
+    "ache", "badge", "cage", "dead", "ebb", "fade", "gibe", "hedge",
+    "beef", "chid", "dab", "egad", "fib", "gad", "hag", "iced", "jab",
+    "bide", "chafe", "deed", "fiche",
+]
+
 #: acoustic homophones: these characters render as ANOTHER character's tone,
 #: making them indistinguishable from audio alone — only a language model can
 #: pick the right spelling (the thesis' beam+LM selling point, Table 6.12,

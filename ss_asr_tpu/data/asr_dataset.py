@@ -124,6 +124,8 @@ class ASRDataset:
         self.frame = load_index(tsv_file)
         if sort_key:
             self.frame = self.frame.sort_values(by=[sort_key], ascending=sort_ascending)
+        self.host_shard = host_shard
+        self._full_frame = self.frame
         if host_shard is not None:
             # multi-host input pipeline: each process reads a strided shard
             self.frame = shard_index_rows(self.frame, *host_shard)
@@ -139,6 +141,23 @@ class ASRDataset:
             self.feature_dim = int(np.load(self.frame.iloc[0]["path_to_fbank"]).shape[1])
         else:
             self.feature_dim = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Rotate the multi-host shard offset each epoch.
+
+        Without rotation the multi-host step cap (Solver.global_min_batches)
+        strands the SAME tail batches on the larger host every epoch — those
+        rows would never be trained on. Rotating the strided offset by the
+        epoch index cycles which rows land on which host, so over
+        ``num_hosts`` epochs every row is seen. No-op without a host shard.
+        """
+        if self.host_shard is None:
+            return
+        host_id, num_hosts = self.host_shard
+        self.frame = shard_index_rows(
+            self._full_frame, (host_id + epoch) % num_hosts, num_hosts
+        )
+        self.num_samples = len(self.frame)
 
     # -- reference API parity helpers ------------------------------------
     def get_char_dim(self) -> int:

@@ -143,11 +143,12 @@ class ASRTrainer(Solver):
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches")
         timer = StepTimer()
-        n_steps = self.global_min_batches(len(self.train_ds))
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
-            # multi-host: every process dispatches the same number of
-            # collective steps (solver.global_min_batches)
+            # multi-host: rotate the host shard (no row stranded by the step
+            # cap forever), then agree on the number of collective steps
+            self.train_ds.set_epoch(epoch)
+            n_steps = self.global_min_batches(len(self.train_ds))
             for b_ind, b in enumerate(self.train_ds.iter_batches()):
                 if b_ind >= n_steps:
                     break

@@ -269,7 +269,16 @@ class Solver:
         import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
-        return int(multihost_utils.process_allgather(jnp.int32(n)).min())
+        m = int(multihost_utils.process_allgather(jnp.int32(n)).min())
+        if m < n:
+            # not silent: these local batches are skipped this epoch (the
+            # per-epoch shard rotation in ASRDataset.set_epoch cycles which
+            # rows are affected, so no row is stranded forever)
+            self.verbose(
+                f"multi-host step cap: skipping {n - m} of {n} local batches "
+                f"this epoch (other hosts have fewer)"
+            )
+        return m
 
     @staticmethod
     def _mh_put(x, sh):

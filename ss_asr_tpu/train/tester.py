@@ -20,31 +20,15 @@ from ss_asr_tpu.decode.greedy import greedy_decode
 from ss_asr_tpu.models import charlm, las
 from ss_asr_tpu.train.solver import Solver
 from ss_asr_tpu.utils import checkpoint as ckpt
-from ss_asr_tpu.utils.editdistance import edit_distance
+from ss_asr_tpu.utils.metrics import char_acc_row, err_rate
 
 
-def _char_acc_row(pred: np.ndarray, label: np.ndarray) -> float:
-    """Reference calc_acc semantics for one row (src/postprocess.py:7-29):
-    positionwise match, counting label positions until the first pad."""
-    n = int(np.argmax(label == 0)) if (label == 0).any() else len(label)
-    if n == 0:
-        return 0.0
-    pred = pred[:n] if len(pred) >= n else np.concatenate(
-        [pred, np.zeros(n - len(pred), dtype=pred.dtype)]
-    )
-    return float(np.mean(pred == label[:n]))
-
-
-def _mean_err(hyps: List[str], refs: List[str], split) -> float:
-    """Mean edit-distance error between token sequences; with ``split=str.split``
-    this is the thesis' word error (src/postprocess.py:31-50, may exceed 1)."""
+def _mean_err(hyps: List[str], refs: List[str], unit: str) -> float:
+    """Mean per-utterance edit-distance error; ``unit="word"`` is the thesis'
+    WER (src/postprocess.py:31-50, may exceed 1), ``unit="char"`` is CER."""
     if not hyps:
         return 0.0
-    ds = [
-        float(edit_distance(split(h), split(r))) / max(len(split(r)), 1)
-        for h, r in zip(hyps, refs)
-    ]
-    return float(np.mean(ds))
+    return float(np.mean([err_rate(h, r, unit) for h, r in zip(hyps, refs)]))
 
 
 class ASRTester(Solver):
@@ -122,7 +106,7 @@ class ASRTester(Solver):
                     continue
                 results.append(self.mapper.translate(toks[i]))
                 refs.append(self.mapper.translate(b.y[i]))
-                accs.append(_char_acc_row(toks[i], b.y[i][1:]))
+                accs.append(char_acc_row(toks[i], b.y[i][1:]))
 
         # aggregate test-set metrics — the numbers thesis Table 6.12 is made
         # of (the reference dumps hyp/ref pairs and computes nothing,
@@ -131,8 +115,8 @@ class ASRTester(Solver):
         self.metrics: Dict[str, float] = {
             "n": len(results),
             "acc": float(np.mean(accs)) if accs else 0.0,
-            "wer": _mean_err(results, refs, lambda s: s.split(" ")),
-            "cer": _mean_err(results, refs, list),
+            "wer": _mean_err(results, refs, "word"),
+            "cer": _mean_err(results, refs, "char"),
         }
 
         out_path = os.path.join(self.ckpdir, self.decode_file + ".txt")

@@ -78,6 +78,32 @@ def calc_cer(predict: np.ndarray, label: np.ndarray, mapper: Mapper) -> float:
     return float(sum(ds) / max(len(ds), 1))
 
 
+def char_acc_row(pred: np.ndarray, label: np.ndarray) -> float:
+    """Reference calc_acc semantics for ONE row (src/postprocess.py:7-29):
+    positionwise match, counting label positions until the first pad (id 0).
+    Callers pass the label WITHOUT its leading SOS so positions align with
+    decoded/predicted ids."""
+    pred = np.asarray(pred)
+    label = np.asarray(label)
+    n = int(np.argmax(label == 0)) if (label == 0).any() else len(label)
+    if n == 0:
+        return 0.0
+    if len(pred) < n:
+        pred = np.concatenate([pred, np.zeros(n - len(pred), dtype=pred.dtype)])
+    return float(np.mean(pred[:n] == label[:n]))
+
+
+def err_rate(hyp: str, ref: str, unit: str = "word") -> float:
+    """Edit-distance error of one hypothesis/reference string pair.
+
+    ``unit="word"`` gives the thesis' per-utterance word error
+    (src/postprocess.py:31-50 — distance over the reference word count, can
+    exceed 1); ``unit="char"`` gives per-utterance CER.
+    """
+    split = (lambda s: s.split(" ")) if unit == "word" else list
+    return float(edit_distance(split(hyp), split(ref))) / max(len(split(ref)), 1)
+
+
 def draw_att(att_maps: np.ndarray, hyps: Sequence[Sequence[int]]) -> List[np.ndarray]:
     """Per-sample [3, decode_steps(trimmed), encode_steps] attention images."""
     att_maps = np.asarray(att_maps)

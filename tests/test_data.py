@@ -173,6 +173,30 @@ def test_host_sharding(tiny_corpus):
     assert list(s0.frame["unpadded_num_frames"]) == sorted(s0.frame["unpadded_num_frames"])
 
 
+def test_host_shard_epoch_rotation(tiny_corpus):
+    """set_epoch rotates the strided offset: every epoch the host pair still
+    partitions the corpus, and over num_hosts epochs each host sees ALL rows
+    (so the multi-host step cap strands no row forever)."""
+    full = ASRDataset(tiny_corpus, batch_size=2)
+    s0 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(0, 2))
+    s1 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(1, 2))
+    all_paths = set(full.frame["path_to_fbank"])
+    seen0 = set()
+    for epoch in range(2):
+        s0.set_epoch(epoch)
+        s1.set_epoch(epoch)
+        p0 = set(s0.frame["path_to_fbank"])
+        p1 = set(s1.frame["path_to_fbank"])
+        assert not (p0 & p1)
+        assert p0 | p1 == all_paths  # still a partition every epoch
+        assert s0.num_samples == len(p0)
+        seen0 |= p0
+    assert seen0 == all_paths  # host 0 saw every row across the cycle
+    # shard-less datasets: set_epoch is a no-op
+    full.set_epoch(3)
+    assert set(full.frame["path_to_fbank"]) == all_paths
+
+
 def test_native_batchloader_matches_numpy(tiny_corpus):
     from ss_asr_tpu.data.asr_dataset import load_fbank_batch_native
 
