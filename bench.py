@@ -14,10 +14,20 @@ The default run measures, and records in docs/BENCH_DETAILS.json:
   kept for comparability).
 * ``frontend_only`` — the batched fbank alone, to show its share.
 * ``decode_latency`` — p50 single-utterance latency for greedy (fixed-step
-  scan), greedy early-exit, and the beam-8 frontier scan. Measured with the
-  in-jit chained methodology (K decodes of distinct inputs inside one jitted
-  program, total/K) — host-side timing through the axon relay measures
-  transfers, not compute (docs/PERF.md).
+  scan), greedy early-exit, the beam-8 frontier scan, and the serving path
+  (waveform -> frontend -> early-exit decode, the Transcriber shape).
+
+Timing methodology (round 3 — supersedes the round-1/2 total/K protocol):
+every program INVOCATION through this environment's relay carries a ~25 ms
+dispatch overhead P, measured in benchmarks/profile_overhead.py (chain
+totals are nearly flat in K; an empty program round-trips in 0.035 ms).
+total/K therefore over-reports step time by P/K. All metrics here use
+two-point differencing — run the same chained program at K_LO and K_HI
+steps and report (t(K_HI) - t(K_LO)) / (K_HI - K_LO) — which cancels P
+exactly and measures the true device step time, i.e. what a production
+host loop (which pipelines dispatch) sustains. Replay defenses kept from
+round 2: trace-time epsilon (fresh executable per run), fresh param
+buffers per rep, median of >=3, physical floors.
 
 ``vs_baseline`` divides e2e throughput by a from-scratch PyTorch
 implementation of the train step on this host's CPU
@@ -59,18 +69,21 @@ def _flagship():
     return cfg, params
 
 
-def _time_chained(chain_fn, make_args, K, reps=3):
-    """Time one jitted program that runs K dependent steps internally.
+#: chain lengths for two-point differencing (see module docstring): the
+#: spread amortizes measurement noise; both chains share replay defenses
+K_LO, K_HI = 6, 22
+
+
+def _time_total(chain_fn, make_args, reps=3):
+    """Median TOTAL seconds of one chained program on fresh buffers.
 
     ``make_args(rep)`` must build FRESH device buffers per rep (re-init the
-    params — it runs outside the timed region). Two relay behaviors force
-    this methodology (PERF.md): host-side step loops get pipelined/replayed
-    (a round-1 sequence re-ran 8x faster than physically possible), and
+    params — it runs outside the timed region). Relay behaviors forcing
+    this (PERF.md): host-side step loops get pipelined/replayed, and
     re-invoking even a chained program on the same buffers is served from a
-    cache (measured 0.5 ms/"step" for an 8-step chain). K dependent steps
-    inside one program on fresh buffers must all execute — verified by
-    K-linearity (K=8 and K=16 measure the same per-step time).
-    Returns (per-step seconds, last output).
+    cache. MEDIAN, not min: previously-seen executables occasionally get
+    one replayed (near-zero) invocation even on fresh inputs.
+    Returns (total seconds, last output).
     """
     import jax
 
@@ -87,12 +100,23 @@ def _time_chained(chain_fn, make_args, K, reps=3):
         t0 = time.perf_counter()
         out = chain_fn(*args)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / K)
-    # MEDIAN, not min: previously-seen executables occasionally get one
-    # replayed (near-zero) invocation even on fresh inputs; the median of
-    # >=3 reps rejects that outlier (see PERF.md round-2 methodology)
+        times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], out
+
+
+def _time_chained_diff(make_chain, make_args, reps=3):
+    """True per-step seconds by two-point differencing over chain length.
+
+    ``make_chain(K)`` builds the jitted K-step chain; the per-program
+    dispatch overhead P cancels in (t(K_HI) - t(K_LO)) / (K_HI - K_LO).
+    Returns (per-step seconds, per-program overhead estimate, last output).
+    """
+    t_lo, _ = _time_total(make_chain(K_LO), make_args, reps)
+    t_hi, out = _time_total(make_chain(K_HI), make_args, reps)
+    dt = (t_hi - t_lo) / (K_HI - K_LO)
+    overhead = t_lo - K_LO * dt
+    return dt, overhead, out
 
 
 def bench_train_step(B: int, T: int, L: int, iters: int = 10) -> float:
@@ -115,7 +139,6 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10) -> float:
     x_lens = jnp.asarray(np.full((B,), T, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
-    K = min(max(iters, 4), 16)
     # trace-time epsilon -> a never-seen-before executable every bench run;
     # the relay replays programs it has seen before (PERF.md round 2)
     eps = float((time.time_ns() % 997) * 1e-12)
@@ -126,26 +149,29 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10) -> float:
     # independent sessions, while arg-passed variants of the same math kept
     # being served replayed results by the relay; main() cross-checks the
     # result against the e2e chain and flags it if it is implausibly fast.
-    @jax.jit
-    def train_chain(params, opt_state, key):
-        def one(carry, k):
-            params, opt_state = carry
+    def make_chain(K):
+        @jax.jit
+        def train_chain(params, opt_state, key):
+            def one(carry, k):
+                params, opt_state = carry
 
-            def loss_fn(p):
-                _, logits, _ = las.asr_forward(
-                    p, cfg, x + eps, x_lens, y.shape[1] - 1, teacher=y, key=k
-                )
-                return losses.masked_ce_per_utt(logits, y[:, 1:], y)
+                def loss_fn(p):
+                    _, logits, _ = las.asr_forward(
+                        p, cfg, x + eps, x_lens, y.shape[1] - 1, teacher=y, key=k
+                    )
+                    return losses.masked_ce_per_utt(logits, y[:, 1:], y)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return (params, opt_state), loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return (params, opt_state), loss
 
-        (params, opt_state), ls = jax.lax.scan(
-            one, (params, opt_state), jax.random.split(key, K)
-        )
-        return ls
+            (params, opt_state), ls = jax.lax.scan(
+                one, (params, opt_state), jax.random.split(key, K)
+            )
+            return ls
+
+        return train_chain
 
     base = int(time.time_ns() % (2**31))
 
@@ -153,11 +179,11 @@ def bench_train_step(B: int, T: int, L: int, iters: int = 10) -> float:
         p = las.init_asr(jax.random.key(base + rep), cfg)
         return p, optim.init(p), jax.random.fold_in(jax.random.key(base), rep)
 
-    log(f"train_only: compiling x{K} chained (B={B}, T={T}, L={L}) on {jax.devices()[0]} ...")
-    dt, out = _time_chained(
-        lambda p, o, k: train_chain(p, o, k), make_args, K
-    )
-    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[-1]):.3f})")
+    log(f"train_only: compiling x{K_LO}+x{K_HI} chained (B={B}, T={T}, L={L}) "
+        f"on {jax.devices()[0]} ...")
+    dt, overhead, out = _time_chained_diff(make_chain, make_args)
+    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s "
+        f"(P~{overhead * 1e3:.1f} ms, loss {float(out[-1]):.3f})")
     return B / dt
 
 
@@ -186,86 +212,89 @@ def bench_e2e_step(B: int, T: int, L: int, iters: int = 10):
     n_samples = jnp.asarray(np.full((B,), N, dtype=np.int32))
     y = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32))
 
-    K = min(max(iters, 4), 16)
     eps = float((time.time_ns() % 997) * 1e-12)  # fresh executable per run
 
-    @jax.jit
-    def e2e_chain(params, opt_state, wav, n_samples, y, key):
-        def one(carry, k):
-            params, opt_state, prev = carry
-            # tie the waveform to the carry so XLA cannot hoist the frontend
-            # out of the scan as loop-invariant (each step must re-run it,
-            # as a real input pipeline would)
-            # pass n_samples even though every bench row fills the buffer:
-            # a real input pipeline pays the per-row reflection patch and
-            # frame masking, so the headline must include that work (the
-            # n_samples=None fast path exists for callers that can prove
-            # full buffers, but benchmarking it would overstate throughput)
-            x, x_lens = frontend.log_mel_fbank_batch(
-                wav * (1.0 + eps + 1e-12 * prev), n_samples, SR
-            )
-
-            def loss_fn(p):
-                _, logits, _ = las.asr_forward(
-                    p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=k
+    def make_chain(K):
+        @jax.jit
+        def e2e_chain(params, opt_state, key):
+            def one(carry, k):
+                params, opt_state, prev = carry
+                # tie the waveform to the carry so XLA cannot hoist the
+                # frontend out of the scan as loop-invariant (each step must
+                # re-run it, as a real input pipeline would)
+                # pass n_samples even though every bench row fills the
+                # buffer: a real input pipeline pays the per-row reflection
+                # patch and frame masking, so the headline must include that
+                # work (the n_samples=None fast path exists for callers that
+                # can prove full buffers, but benchmarking it would
+                # overstate throughput)
+                x, x_lens = frontend.log_mel_fbank_batch(
+                    wav * (1.0 + eps + 1e-12 * prev), n_samples, SR
                 )
-                return losses.masked_ce_per_utt(logits, y[:, 1:], y)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optim.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return (params, opt_state, loss), loss
+                def loss_fn(p):
+                    _, logits, _ = las.asr_forward(
+                        p, cfg, x, x_lens, y.shape[1] - 1, teacher=y, key=k
+                    )
+                    return losses.masked_ce_per_utt(logits, y[:, 1:], y)
 
-        (params, opt_state, _), ls = jax.lax.scan(
-            one, (params, opt_state, jnp.float32(0)), jax.random.split(key, K)
-        )
-        return params, opt_state, ls[-1]
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optim.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return (params, opt_state, loss), loss
 
-    log(f"e2e (fbank+train): compiling x{K} chained (B={B}, N={N} samples -> T={T}, L={L}) ...")
+            (params, opt_state, _), ls = jax.lax.scan(
+                one, (params, opt_state, jnp.float32(0)), jax.random.split(key, K)
+            )
+            return params, opt_state, ls[-1]
+
+        return lambda p, o, k: e2e_chain(p, o, k)
+
+    log(f"e2e (fbank+train): compiling x{K_LO}+x{K_HI} chained "
+        f"(B={B}, N={N} samples -> T={T}, L={L}) ...")
     base = int(time.time_ns() % (2**31))  # see bench_train_step
 
     def make_args(rep):
         p = las.init_asr(jax.random.key(base + rep), cfg)
         return p, optim.init(p), jax.random.fold_in(jax.random.key(base), rep)
 
-    dt, out = _time_chained(
-        lambda p, o, k: e2e_chain(p, o, wav, n_samples, y, k), make_args, K
-    )
-    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s (loss {float(out[2]):.3f})")
+    dt, overhead, out = _time_chained_diff(make_chain, make_args)
+    log(f"  step {dt * 1e3:.2f} ms -> {B / dt:.1f} utt/s "
+        f"(P~{overhead * 1e3:.1f} ms, loss {float(out[2]):.3f})")
 
-    # frontend share: K batches chained inside one jitted program
-    Kf = 8
+    # frontend share: differenced over chain length like everything else
+    def make_fe_chain(K):
+        @jax.jit
+        def fe_chain(wav, seed):
+            def body(c, _):
+                fb, fl = frontend.log_mel_fbank_batch(wav + c + eps, n_samples, SR)
+                return c + fb.mean(), None
+            s, _ = jax.lax.scan(body, seed, None, length=K)
+            return s
 
-    @jax.jit
-    def fe_chain(wav, n_samples, seed):
-        def body(c, _):
-            fb, fl = frontend.log_mel_fbank_batch(wav + c + eps, n_samples, SR)
-            return c + fb.mean(), None
-        s, _ = jax.lax.scan(body, seed, None, length=Kf)
-        return s
+        return fe_chain
 
     fe_base = (time.time_ns() % 10**6) * 1e-9
-    fe_ms, _ = _time_chained(
-        lambda w, seed: fe_chain(w, n_samples, seed),
-        lambda rep: (wav * (1.0 + 1e-6 * rep + fe_base), jnp.float32(rep)), Kf
+    fe_s, _, _ = _time_chained_diff(
+        make_fe_chain,
+        lambda rep: (wav * (1.0 + 1e-6 * rep + fe_base), jnp.float32(rep)),
     )
-    fe_ms *= 1e3
+    fe_ms = fe_s * 1e3
     log(f"  frontend alone: {fe_ms:.2f} ms/batch")
     return B / dt, fe_ms
 
 
 def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
                          iters: int = 3, floor_ms: float | None = None):
-    """p50 single-utterance decode latency via in-jit chaining.
+    """Marginal single-utterance decode latency via differenced in-jit chains.
 
     K decodes of K distinct on-device-generated inputs run inside ONE jitted
-    program; per-decode latency = program time / K. This is the only
-    methodology that survives the axon relay (host-side timing of single
-    calls measures transfers and the relay's identical-call cache —
-    docs/PERF.md). Same replay defense as the train metrics: a p50 under the
-    physical floor (a 200-step flagship decode cannot run in <1 ms on one
-    chip) retries and, if persistent, lands the variant in the returned
-    suspect list. Returns ({variant: p50_ms}, [suspect variants]).
+    program; two chain lengths cancel the per-program dispatch overhead
+    (module docstring). The ``serving_e2e`` variant is the Transcriber shape
+    (ss_asr_tpu/api.py): raw waveform -> batched log-mel frontend ->
+    early-exit greedy decode, i.e. the full serving path per utterance.
+    Physical-floor retries flag replay suspects.
+    Returns ({variant: marginal_ms}, [suspect variants]).
     (Reference decode loop: src/asr.py:112-173, serial python.)
     """
     import jax
@@ -274,22 +303,44 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
     from ss_asr_tpu.decode import beam as beam_mod
     from ss_asr_tpu.decode.greedy import greedy_decode, greedy_decode_early_exit
     from ss_asr_tpu.models import las
+    from ss_asr_tpu.ops import frontend
 
     cfg, params = _flagship()
     xl = jnp.asarray([T], dtype=jnp.int32)
+    n_fft, hop = frontend.frame_params(SR)
+    N = (T - 1) * hop
+    n_samples = jnp.asarray([N], dtype=jnp.int32)
 
     eps = float((time.time_ns() % 997) * 1e-12)  # fresh executable per run
+    k_lo, k_hi = K, 3 * K
 
-    def chain(decode_fn):
+    def chain(decode_fn, k):
         @jax.jit
         def run(key):
-            xs = eps + jax.random.normal(key, (K, 1, T, cfg.feature_dim), jnp.float32)
+            xs = eps + jax.random.normal(key, (k, 1, T, cfg.feature_dim), jnp.float32)
 
             def body(c, x):
                 toks, lens = decode_fn(x)
                 return c + lens.sum(), None
 
             s, _ = jax.lax.scan(body, jnp.int32(0), xs)
+            return s
+
+        return run
+
+    def serving_chain(k):
+        @jax.jit
+        def run(key):
+            wavs = 0.1 * jax.random.normal(key, (k, 1, N), jnp.float32) + eps
+
+            def body(c, w):
+                x, x_lens = frontend.log_mel_fbank_batch(w, n_samples, SR)
+                toks, lens = greedy_decode_early_exit(
+                    params, cfg, x, x_lens, max_steps
+                )
+                return c + lens.sum(), None
+
+            s, _ = jax.lax.scan(body, jnp.int32(0), wavs)
             return s
 
         return run
@@ -302,38 +353,47 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         return toks, hyp_lens.reshape(-1)
 
     variants = {
-        "greedy_scan": chain(lambda x: greedy_decode(params, cfg, x, xl, max_steps)),
-        "greedy_early_exit": chain(
-            lambda x: greedy_decode_early_exit(params, cfg, x, xl, max_steps)
-        ),
-        "beam8_scan": chain(beam_scan_only),
+        "greedy_scan": lambda k: chain(
+            lambda x: greedy_decode(params, cfg, x, xl, max_steps), k),
+        "greedy_early_exit": lambda k: chain(
+            lambda x: greedy_decode_early_exit(params, cfg, x, xl, max_steps), k),
+        "beam8_scan": lambda k: chain(beam_scan_only, k),
+        "serving_e2e": serving_chain,
     }
     if floor_ms is None:
-        floor_ms = 1.0 if max_steps >= 100 else 0.0
+        floor_ms = 0.5 if max_steps >= 100 else 0.0
     out, suspects = {}, []
     base = int(time.time_ns() % (2**31))
-    for name, run in variants.items():
+
+    def run_variant_at(mk, k, key, iters):
+        run = mk(k)
+        jax.block_until_ready(run(key))  # compile
+        lat = []
+        for i in range(iters):
+            kk = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(kk))
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return lat[len(lat) // 2]
+
+    for name, mk in variants.items():
         log(f"decode[{name}]: compiling ...")
         p50 = None
         for attempt in range(3):
             key = jax.random.key(base + 1000 * attempt)
-            jax.block_until_ready(run(key))  # compile
-            lat = []
-            for i in range(iters):
-                k = jax.random.fold_in(key, i)
-                t0 = time.perf_counter()
-                jax.block_until_ready(run(k))
-                lat.append((time.perf_counter() - t0) / K * 1e3)
-            lat.sort()
-            p50 = lat[len(lat) // 2]
+            t_lo = run_variant_at(mk, k_lo, key, iters)
+            t_hi = run_variant_at(mk, k_hi, jax.random.fold_in(key, 7), iters)
+            p50 = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
             if p50 >= floor_ms:
                 break
-            log(f"WARNING: decode[{name}] p50 {p50:.2f} ms below the physical "
-                f"floor — relay replay suspected, retrying ({attempt + 1}/3)")
+            log(f"WARNING: decode[{name}] marginal {p50:.2f} ms below the "
+                f"physical floor — replay suspected, retrying ({attempt + 1}/3)")
         out[name] = p50
         if p50 < floor_ms:
             suspects.append(name)
-        log(f"  p50 {out[name]:.2f} ms/utterance (x{K} chained, {iters} reps)")
+        log(f"  marginal {out[name]:.2f} ms/utterance "
+            f"(K={k_lo} vs {k_hi} differenced, {iters} reps)")
     return out, suspects
 
 
@@ -440,8 +500,11 @@ def main():
         "frontend_ms_per_batch": round(fe_ms, 3),
         "torch_cpu_baseline_utt_per_s": baseline,
         "note": "vs_baseline divides e2e (which includes fbank) by the torch "
-                "train-only number — conservative. Decode p50 uses in-jit "
-                "chained timing (see bench.py docstring).",
+                "train-only number — conservative. All metrics use two-point "
+                "chain-length differencing, which cancels this environment's "
+                "~25 ms per-program dispatch overhead (bench.py docstring, "
+                "docs/PROFILE_OVERHEAD.json); decode values are marginal "
+                "per-utterance device times.",
     })
 
     if args.full:

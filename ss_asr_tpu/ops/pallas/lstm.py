@@ -100,113 +100,149 @@ def lstm_seq_pallas(
 CHUNK = 8
 
 
-def _lstm_fwd_kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
+def _make_fwd_kernel(reverse: bool):
     """Forward over one CHUNK of time steps; streams out h and c states
     (backward residuals).
 
     ``gx``/``whh`` may arrive in bf16 (halved HBM/VMEM traffic, faster MXU
     pass); the recurrent matmul accumulates in f32 and the carries stay f32.
+
+    ``reverse=True`` runs the backward *direction* of a BiLSTM natively:
+    the grid streams chunks newest-first (index_map) and the inner loop
+    mirrors, so time is processed T-1..0. Padding (t >= len) comes first in
+    that order and freezes the zero carry, which is EXACTLY packed-reverse
+    semantics — no reverse_sequence gathers on either side (each one is a
+    [B, T, F] take_along_axis round trip through HBM; with its custom-VJP
+    twin the old path paid four per direction-layer).
     """
-    k = pl.program_id(0)
-    C = gx_ref.shape[0]
 
-    @pl.when(k == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+    def kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
+        k = pl.program_id(0)
+        C = gx_ref.shape[0]
+        Tc = pl.num_programs(0)
 
-    def step(i, _):
-        t = k * C + i
-        h = h_ref[:]
-        c = c_ref[:]
-        gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
-            h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
-        )
-        H = h.shape[-1]
-        ii = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        g = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H :])
-        c2 = f * c + ii * g
-        h2 = o * jnp.tanh(c2)
-        valid = (t < len_ref[:, 0])[:, None]
-        h_new = jnp.where(valid, h2, h)
-        c_new = jnp.where(valid, c2, c)
-        h_ref[:] = h_new
-        c_ref[:] = c_new
-        y_ref[i] = jnp.where(valid, h2, 0.0)
-        cs_ref[i] = c_new
-        return 0
+        @pl.when(k == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
-    jax.lax.fori_loop(0, C, step, 0)
+        def step(j, _):
+            if reverse:
+                i = C - 1 - j
+                t = (Tc - 1 - k) * C + i  # true time index of this row
+            else:
+                i = j
+                t = k * C + i
+            h = h_ref[:]
+            c = c_ref[:]
+            gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            H = h.shape[-1]
+            ii = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            c2 = f * c + ii * g
+            h2 = o * jnp.tanh(c2)
+            valid = (t < len_ref[:, 0])[:, None]
+            h_new = jnp.where(valid, h2, h)
+            c_new = jnp.where(valid, c2, c)
+            h_ref[:] = h_new
+            c_ref[:] = c_new
+            y_ref[i] = jnp.where(valid, h2, 0.0)
+            cs_ref[i] = c_new
+            return 0
+
+        jax.lax.fori_loop(0, C, step, 0)
+
+    return kernel
 
 
-def _lstm_bwd_kernel(len_ref, gx_ref, res_ref, whh_ref, dgx_ref, dh_ref, dc_ref):
-    """Reverse-time backward over one CHUNK (grid streams chunks newest-
-    first); the (dh, dc) carries live in VMEM.  Residuals arrive packed as
-    ``res = [h_prev | c_prev | c_t | dy]`` [C, B, 4H] — one stream instead of
-    four.  dWhh is NOT accumulated here: the streamed dgates make it one big
-    batched matmul outside (sum_t h_{t-1}^T dgates_t)."""
-    k = pl.program_id(0)
-    Tc = pl.num_programs(0)
-    C = gx_ref.shape[0]
+_lstm_fwd_kernel = _make_fwd_kernel(False)
 
-    @pl.when(k == 0)
-    def _():
-        dh_ref[:] = jnp.zeros_like(dh_ref)
-        dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    def step(j, _):
-        i = C - 1 - j  # walk the chunk backwards
-        t = (Tc - 1 - k) * C + i
-        res = res_ref[i]
-        H = dh_ref.shape[-1]
-        h_prev = res[:, :H]
-        c_prev = res[:, H : 2 * H]
-        c_t = res[:, 2 * H : 3 * H]
-        dy = res[:, 3 * H :]
-        # recompute the forward gates from streamed residuals
-        gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
-            h_prev.astype(whh_ref.dtype), whh_ref[:],
-            preferred_element_type=jnp.float32,
-        )
-        ii = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        g = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H :])
-        tanh_c = jnp.tanh(c_t)
+def _make_bwd_kernel(reverse: bool):
+    """Adjoint of the time loop over one CHUNK; the (dh, dc) carries live in
+    VMEM.  Residuals arrive packed as ``res = [h_prev | c_prev | c_t | dy]``
+    [C, B, 4H] — one stream instead of four (h_prev/c_prev are the
+    PROCESSING-predecessor states, so their shift direction depends on the
+    forward direction).  The walk order mirrors the forward: newest-first
+    for the forward direction, oldest-first for ``reverse=True``.  dWhh is
+    NOT accumulated here: the streamed dgates make it one big batched
+    matmul outside (sum_t h_prev_t^T dgates_t)."""
 
-        dh_in = dh_ref[:]
-        dh = dh_in + dy  # dy only contributes where the step was valid
-        dc = dc_ref[:]
-        do = dh * tanh_c
-        dct = dh * o * (1.0 - tanh_c * tanh_c) + dc
-        di = dct * g
-        dg = dct * ii
-        df = dct * c_prev
-        dc_prev = dct * f
-        dgates = jnp.concatenate(
-            [
-                di * ii * (1.0 - ii),
-                df * f * (1.0 - f),
-                dg * (1.0 - g * g),
-                do * o * (1.0 - o),
-            ],
-            axis=-1,
-        )  # [B, 4H]
-        valid = (t < len_ref[:, 0])[:, None]
-        dgates = jnp.where(valid, dgates, 0.0)
-        # dh_{t-1} = dgates @ Whh^T  (contract the 4H axis)
-        dh_prev = jax.lax.dot_general(
-            dgates.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
-        dc_ref[:] = jnp.where(valid, dc_prev, dc)
-        dgx_ref[i] = dgates
-        return 0
+    def kernel(len_ref, gx_ref, res_ref, whh_ref, dgx_ref, dh_ref, dc_ref):
+        k = pl.program_id(0)
+        Tc = pl.num_programs(0)
+        C = gx_ref.shape[0]
 
-    jax.lax.fori_loop(0, C, step, 0)
+        @pl.when(k == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            dc_ref[:] = jnp.zeros_like(dc_ref)
+
+        def step(j, _):
+            if reverse:
+                i = j  # reversed direction: adjoint walks oldest-first
+                t = k * C + i
+            else:
+                i = C - 1 - j  # walk the chunk backwards
+                t = (Tc - 1 - k) * C + i
+            res = res_ref[i]
+            H = dh_ref.shape[-1]
+            h_prev = res[:, :H]
+            c_prev = res[:, H : 2 * H]
+            c_t = res[:, 2 * H : 3 * H]
+            dy = res[:, 3 * H :]
+            # recompute the forward gates from streamed residuals
+            gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
+                h_prev.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            ii = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            tanh_c = jnp.tanh(c_t)
+
+            dh_in = dh_ref[:]
+            dh = dh_in + dy  # dy only contributes where the step was valid
+            dc = dc_ref[:]
+            do = dh * tanh_c
+            dct = dh * o * (1.0 - tanh_c * tanh_c) + dc
+            di = dct * g
+            dg = dct * ii
+            df = dct * c_prev
+            dc_prev = dct * f
+            dgates = jnp.concatenate(
+                [
+                    di * ii * (1.0 - ii),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )  # [B, 4H]
+            valid = (t < len_ref[:, 0])[:, None]
+            dgates = jnp.where(valid, dgates, 0.0)
+            # dh_{t-1} = dgates @ Whh^T  (contract the 4H axis)
+            dh_prev = jax.lax.dot_general(
+                dgates.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh_ref[:] = jnp.where(valid, dh_prev, dh_in)
+            dc_ref[:] = jnp.where(valid, dc_prev, dc)
+            dgx_ref[i] = dgates
+            return 0
+
+        jax.lax.fori_loop(0, C, step, 0)
+
+    return kernel
+
+
+_lstm_bwd_kernel = _make_bwd_kernel(False)
 
 
 #: MXU input dtype for the kernels: "float32" (default) or "bfloat16"
@@ -237,25 +273,25 @@ def _pad_time(a, Tp):
 # replicated. shard_map paths never reach this (mesh axes are Manual there).
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=4)
-def _cp_fwd(interpret: bool):
+@functools.lru_cache(maxsize=8)
+def _cp_fwd(interpret: bool, reverse: bool = False):
     from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
     return batch_partitioned(
-        functools.partial(_fwd_core, interpret=interpret),
+        functools.partial(_fwd_core, interpret=interpret, reverse=reverse),
         in_batch_dims=[0, 1, None],
         out_batch_dims=[1, 1],
         rule="b u, t b g, h g -> t b h1, t b h1",
     )
 
 
-@functools.lru_cache(maxsize=4)
-def _cp_bwd(interpret: bool):
+@functools.lru_cache(maxsize=8)
+def _cp_bwd(interpret: bool, reverse: bool = False):
     from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
     def bwd(lengths2d, gates_x, res, whh):
         # 1-tuple: batch_partitioned infers shardings per output entry
-        return (_bwd_core(lengths2d, gates_x, res, whh, interpret),)
+        return (_bwd_core(lengths2d, gates_x, res, whh, interpret, reverse),)
 
     return batch_partitioned(
         bwd,
@@ -265,22 +301,28 @@ def _cp_bwd(interpret: bool):
     )
 
 
-def _fwd_core(lengths2d, gates_x, whh, interpret):
+def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False):
     """The raw forward pallas_call; shapes read from the (possibly local,
-    under custom_partitioning) operands. gates_x must be CHUNK-padded."""
+    under custom_partitioning) operands. gates_x must be CHUNK-padded.
+    ``reverse``: stream chunks newest-first (backward BiLSTM direction)."""
     Tp, B, G = gates_x.shape
     H = G // 4
+    Tc = Tp // CHUNK
+    if reverse:
+        tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731
+    else:
+        tmap = lambda k: (k, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(Tp // CHUNK,),
+        grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
-            pl.BlockSpec((CHUNK, B, G), lambda k: (k, 0, 0)),
+            pl.BlockSpec((CHUNK, B, G), tmap),
             pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, H), lambda k: (k, 0, 0)),
-            pl.BlockSpec((CHUNK, B, H), lambda k: (k, 0, 0)),
+            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((CHUNK, B, H), tmap),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -288,7 +330,7 @@ def _fwd_core(lengths2d, gates_x, whh, interpret):
         ],
     )
     return pl.pallas_call(
-        _lstm_fwd_kernel,
+        _make_fwd_kernel(reverse),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
@@ -298,7 +340,7 @@ def _fwd_core(lengths2d, gates_x, whh, interpret):
     )(lengths2d, gates_x, whh)
 
 
-def _fwd_pallas(gates_x, whh, lengths, interpret):
+def _fwd_pallas(gates_x, whh, lengths, interpret, reverse=False):
     gates_x = gates_x.astype(_kdt())
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
@@ -308,29 +350,34 @@ def _fwd_pallas(gates_x, whh, lengths, interpret):
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        y, cs = _cp_fwd(interpret)(lengths2d, gates_x, whh)
+        y, cs = _cp_fwd(interpret, reverse)(lengths2d, gates_x, whh)
     else:
-        y, cs = _fwd_core(lengths2d, gates_x, whh, interpret)
+        y, cs = _fwd_core(lengths2d, gates_x, whh, interpret, reverse)
     return y[:T], cs[:T]
 
 
-def _bwd_core(lengths2d, gates_x, res, whh, interpret):
-    """The raw backward pallas_call; gates_x/res must be CHUNK-padded."""
+def _bwd_core(lengths2d, gates_x, res, whh, interpret, reverse=False):
+    """The raw backward pallas_call; gates_x/res must be CHUNK-padded.
+    The adjoint walks opposite to the forward direction: newest chunk first
+    normally, OLDEST first for the reversed direction."""
     Tp, B, G = gates_x.shape
     H = G // 4
     Tc = Tp // CHUNK
-    rev = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest chunk first
+    if reverse:
+        tmap = lambda k: (k, 0, 0)  # noqa: E731 — oldest chunk first
+    else:
+        tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest first
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
-            pl.BlockSpec((CHUNK, B, G), rev),
-            pl.BlockSpec((CHUNK, B, 4 * H), rev),
+            pl.BlockSpec((CHUNK, B, G), tmap),
+            pl.BlockSpec((CHUNK, B, 4 * H), tmap),
             pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, G), rev),
+            pl.BlockSpec((CHUNK, B, G), tmap),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -338,7 +385,7 @@ def _bwd_core(lengths2d, gates_x, res, whh, interpret):
         ],
     )
     (dgx,) = pl.pallas_call(
-        _lstm_bwd_kernel,
+        _make_bwd_kernel(reverse),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, G), jnp.float32),
@@ -348,56 +395,59 @@ def _bwd_core(lengths2d, gates_x, res, whh, interpret):
     return dgx
 
 
-def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret):
+def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse=False):
     gates_x = gates_x.astype(_kdt())
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
     H = G // 4
     Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
-    # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream)
+    # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream).
+    # h_prev/c_prev are the PROCESSING predecessors: t-1 for the forward
+    # direction, t+1 for the reversed direction.
     zrow = jnp.zeros((1, B, H), jnp.float32)
+    if reverse:
+        h_prev_arr = jnp.concatenate([y[1:], zrow], axis=0)
+        c_prev_arr = jnp.concatenate([cs[1:], zrow], axis=0)
+    else:
+        h_prev_arr = jnp.concatenate([zrow, y[:-1]], axis=0)
+        c_prev_arr = jnp.concatenate([zrow, cs[:-1]], axis=0)
     res = jnp.concatenate(
-        [
-            jnp.concatenate([zrow, y[:-1]], axis=0),
-            jnp.concatenate([zrow, cs[:-1]], axis=0),
-            cs,
-            dy.astype(jnp.float32),
-        ],
-        axis=-1,
+        [h_prev_arr, c_prev_arr, cs, dy.astype(jnp.float32)], axis=-1
     )
     gates_x = _pad_time(gates_x, Tp)
     res_p = _pad_time(res, Tp)
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        (dgx,) = _cp_bwd(interpret)(lengths2d, gates_x, res_p, whh)
+        (dgx,) = _cp_bwd(interpret, reverse)(lengths2d, gates_x, res_p, whh)
     else:
-        dgx = _bwd_core(lengths2d, gates_x, res_p, whh, interpret)
+        dgx = _bwd_core(lengths2d, gates_x, res_p, whh, interpret, reverse)
     dgx = dgx[:T]
-    # dWhh = sum_t h_{t-1}^T dgates_t as ONE batched MXU matmul (GSPMD
+    # dWhh = sum_t h_prev_t^T dgates_t as ONE batched MXU matmul (GSPMD
     # all-reduces the batch contraction when dgx is batch-sharded)
-    h_prev = res[:T, :, :H]
-    dwhh = jnp.einsum("tbh,tbg->hg", h_prev, dgx)
+    dwhh = jnp.einsum("tbh,tbg->hg", h_prev_arr, dgx)
     return dgx, dwhh
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def lstm_seq_pallas_vjp(gates_x, whh, lengths, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def lstm_seq_pallas_vjp(gates_x, whh, lengths, reverse=False, interpret=False):
     """Differentiable fused LSTM loop: both directions of the time loop run
-    as Pallas kernels with VMEM-resident carries and dWhh accumulation."""
-    y, _ = _fwd_pallas(gates_x, whh, lengths, interpret)
+    as Pallas kernels with VMEM-resident carries and dWhh accumulation.
+    ``reverse=True`` is the packed backward BiLSTM direction, handled by
+    kernel index mirroring (no reverse_sequence gathers)."""
+    y, _ = _fwd_pallas(gates_x, whh, lengths, interpret, reverse)
     return y
 
 
-def _vjp_fwd(gates_x, whh, lengths, interpret):
-    y, cs = _fwd_pallas(gates_x, whh, lengths, interpret)
+def _vjp_fwd(gates_x, whh, lengths, reverse, interpret):
+    y, cs = _fwd_pallas(gates_x, whh, lengths, interpret, reverse)
     return y, (gates_x, whh, lengths, y, cs)
 
 
-def _vjp_bwd(interpret, res, dy):
+def _vjp_bwd(reverse, interpret, res, dy):
     gates_x, whh, lengths, y, cs = res
-    dgx, dwhh = _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret)
+    dgx, dwhh = _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse)
     return dgx, dwhh, None
 
 
@@ -405,17 +455,20 @@ lstm_seq_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def lstm_scan_pallas_trainable(
-    p, xs: jax.Array, lengths: Optional[jax.Array] = None, interpret: bool = False
+    p, xs: jax.Array, lengths: Optional[jax.Array] = None,
+    interpret: bool = False, reverse: bool = False
 ) -> jax.Array:
     """Differentiable drop-in for ``rnn.lstm_scan(...)[0]`` with Pallas
     forward *and* backward kernels; the input/weight projections stay in XLA
-    (their grads are plain matmuls)."""
+    (their grads are plain matmuls). ``reverse=True`` runs the packed
+    backward direction natively (== reverse_sequence(scan(reverse_sequence))
+    but without the four HBM gather round trips)."""
     B, T, _ = xs.shape
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
     gx = xs @ p["w_ih"] + p["b"]
     gx = jnp.swapaxes(gx, 0, 1)
-    y = lstm_seq_pallas_vjp(gx, p["w_hh"], lengths, interpret)
+    y = lstm_seq_pallas_vjp(gx, p["w_hh"], lengths, reverse, interpret)
     return jnp.swapaxes(y, 0, 1)
 
 

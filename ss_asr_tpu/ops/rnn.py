@@ -325,11 +325,11 @@ def bilstm_scan(
         from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable as plstm
 
         fwd = plstm(p["fwd"], xs, lengths, interpret=itp)
-        if lengths is None:
-            bwd = plstm(p["bwd"], xs[:, ::-1], interpret=itp)[:, ::-1]
-        else:
-            xr = reverse_sequence(xs, lengths)
-            bwd = reverse_sequence(plstm(p["bwd"], xr, lengths, interpret=itp), lengths)
+        # native reversed-direction kernel: time is streamed newest-first by
+        # the grid index_map, so there are NO reverse_sequence gathers (the
+        # old path paid four [B, T, F] take_along_axis HBM round trips per
+        # direction-layer: xs in, y out, and their custom-VJP twins)
+        bwd = plstm(p["bwd"], xs, lengths, interpret=itp, reverse=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
     fwd, _ = lstm_scan(p["fwd"], xs, lengths, reverse=False)
     bwd, _ = lstm_scan(p["bwd"], xs, lengths, reverse=True)

@@ -41,6 +41,56 @@ def test_pallas_vjp_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_pallas_reverse_direction_matches_scan(rng):
+    """reverse=True == the packed backward direction (rnn.lstm_scan
+    reverse=True), with NO reverse_sequence gathers on either side."""
+    from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
+
+    B, T, I, H = 4, 11, 8, 16
+    p = rnn.init_lstm(jax.random.key(7), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    for lens in (jnp.asarray([11, 8, 5, 1], dtype=jnp.int32), None):
+        want, _ = rnn.lstm_scan(p, xs, lengths=lens, reverse=True)
+        got = lstm_scan_pallas_trainable(
+            p, xs, lengths=lens, interpret=True, reverse=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # padding positions are exactly zero
+    got = lstm_scan_pallas_trainable(
+        p, xs, lengths=jnp.asarray([11, 8, 5, 1], jnp.int32),
+        interpret=True, reverse=True,
+    )
+    assert np.all(np.asarray(got)[1, 8:] == 0)
+
+
+def test_pallas_reverse_grads_match_scan(rng):
+    from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
+
+    B, T, I, H = 4, 9, 8, 16
+    p = rnn.init_lstm(jax.random.key(8), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([9, 7, 4, 2], dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def loss_scan(p, xs):
+        y, _ = rnn.lstm_scan(p, xs, lengths=lens, reverse=True)
+        return jnp.sum(y * w)
+
+    def loss_pallas(p, xs):
+        y = lstm_scan_pallas_trainable(
+            p, xs, lengths=lens, interpret=True, reverse=True
+        )
+        return jnp.sum(y * w)
+
+    (gp_s, gx_s) = jax.grad(loss_scan, argnums=(0, 1))(p, xs)
+    (gp_p, gx_p) = jax.grad(loss_pallas, argnums=(0, 1))(p, xs)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-4)
+    for k in ("w_ih", "w_hh", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gp_p[k]), np.asarray(gp_s[k]), atol=1e-4, err_msg=k
+        )
+
+
 def test_pallas_vjp_grads_match_scan(rng):
     from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
 
