@@ -165,15 +165,19 @@ _lstm_fwd_kernel = _make_fwd_kernel(False)
 
 def _make_bwd_kernel(reverse: bool):
     """Adjoint of the time loop over one CHUNK; the (dh, dc) carries live in
-    VMEM.  Residuals arrive packed as ``res = [h_prev | c_prev | c_t | dy]``
-    [C, B, 4H] — one stream instead of four (h_prev/c_prev are the
-    PROCESSING-predecessor states, so their shift direction depends on the
-    forward direction).  The walk order mirrors the forward: newest-first
-    for the forward direction, oldest-first for ``reverse=True``.  dWhh is
-    NOT accumulated here: the streamed dgates make it one big batched
-    matmul outside (sum_t h_prev_t^T dgates_t)."""
+    VMEM.  Residuals stream UNPACKED — y, cs, dy blocks plus one-row
+    boundary sidecars (yb/csb hold the adjacent chunk's edge state) — so the
+    caller never materializes the round-2 ``[T, B, 4H]`` concat nor the
+    shifted copies (~500 MB of pure layout traffic per flagship step).
+    h_prev/c_prev are the PROCESSING predecessors: within the chunk they are
+    the neighboring row of y/cs; at the chunk edge they come from the
+    sidecar; at the sequence edge they are the zero initial state.  The walk
+    order mirrors the forward: newest-first normally, oldest-first for
+    ``reverse=True``.  dWhh is NOT accumulated here: the streamed dgates
+    make it one big batched matmul outside (sum_t h_prev_t^T dgates_t)."""
 
-    def kernel(len_ref, gx_ref, res_ref, whh_ref, dgx_ref, dh_ref, dc_ref):
+    def kernel(len_ref, gx_ref, y_ref, cs_ref, dy_ref, yb_ref, csb_ref,
+               whh_ref, dgx_ref, dh_ref, dc_ref):
         k = pl.program_id(0)
         Tc = pl.num_programs(0)
         C = gx_ref.shape[0]
@@ -186,16 +190,31 @@ def _make_bwd_kernel(reverse: bool):
         def step(j, _):
             if reverse:
                 i = j  # reversed direction: adjoint walks oldest-first
+                kg = k  # true chunk index
                 t = k * C + i
+                # processing predecessor is t+1: row i+1, or the NEXT
+                # chunk's first row (sidecar), or zero at the end
+                in_chunk = i < C - 1
+                at_edge = kg == Tc - 1
+                nb = jnp.minimum(i + 1, C - 1)
             else:
                 i = C - 1 - j  # walk the chunk backwards
-                t = (Tc - 1 - k) * C + i
-            res = res_ref[i]
+                kg = Tc - 1 - k
+                t = kg * C + i
+                # predecessor is t-1: row i-1, the PREVIOUS chunk's last
+                # row (sidecar), or zero at the start
+                in_chunk = i > 0
+                at_edge = kg == 0
+                nb = jnp.maximum(i - 1, 0)
             H = dh_ref.shape[-1]
-            h_prev = res[:, :H]
-            c_prev = res[:, H : 2 * H]
-            c_t = res[:, 2 * H : 3 * H]
-            dy = res[:, 3 * H :]
+            h_nb = y_ref[nb]
+            c_nb = cs_ref[nb]
+            h_prev = jnp.where(in_chunk, h_nb,
+                               jnp.where(at_edge, 0.0, yb_ref[0]))
+            c_prev = jnp.where(in_chunk, c_nb,
+                               jnp.where(at_edge, 0.0, csb_ref[0]))
+            c_t = cs_ref[i]
+            dy = dy_ref[i]
             # recompute the forward gates from streamed residuals
             gates = gx_ref[i].astype(jnp.float32) + jnp.dot(
                 h_prev.astype(whh_ref.dtype), whh_ref[:],
@@ -289,15 +308,16 @@ def _cp_fwd(interpret: bool, reverse: bool = False):
 def _cp_bwd(interpret: bool, reverse: bool = False):
     from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
-    def bwd(lengths2d, gates_x, res, whh):
+    def bwd(lengths2d, gates_x, y, cs, dy, yb, csb, whh):
         # 1-tuple: batch_partitioned infers shardings per output entry
-        return (_bwd_core(lengths2d, gates_x, res, whh, interpret, reverse),)
+        return (_bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh,
+                          interpret, reverse),)
 
     return batch_partitioned(
         bwd,
-        in_batch_dims=[0, 1, 1, None],
+        in_batch_dims=[0, 1, 1, 1, 1, 1, 1, None],
         out_batch_dims=[1],
-        rule="b u, t b g, t b r, h g -> t b g",
+        rule="b u, t b g, t b h1, t b h1, t b h1, c b h1, c b h1, h g -> t b g",
     )
 
 
@@ -356,24 +376,37 @@ def _fwd_pallas(gates_x, whh, lengths, interpret, reverse=False):
     return y[:T], cs[:T]
 
 
-def _bwd_core(lengths2d, gates_x, res, whh, interpret, reverse=False):
-    """The raw backward pallas_call; gates_x/res must be CHUNK-padded.
+def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
+              reverse=False):
+    """The raw backward pallas_call; time arrays must be CHUNK-padded.
     The adjoint walks opposite to the forward direction: newest chunk first
-    normally, OLDEST first for the reversed direction."""
+    normally, OLDEST first for the reversed direction.  ``yb``/``csb`` are
+    [Tc, B, H] chunk-boundary sidecars: for the forward direction row j is
+    y/cs at the LAST step of chunk j (the predecessor of chunk j+1's first
+    step); for the reversed direction row j is y/cs at the FIRST step of
+    chunk j (the predecessor of chunk j-1's last step)."""
     Tp, B, G = gates_x.shape
     H = G // 4
     Tc = Tp // CHUNK
     if reverse:
         tmap = lambda k: (k, 0, 0)  # noqa: E731 — oldest chunk first
+        # predecessor chunk is k+1 (clamped; the at-edge branch masks it)
+        bmap = lambda k: (jnp.minimum(k + 1, Tc - 1), 0, 0)  # noqa: E731
     else:
         tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest first
+        # predecessor chunk is (Tc-1-k)-1 (clamped)
+        bmap = lambda k: (jnp.maximum(Tc - 2 - k, 0), 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
             pl.BlockSpec((CHUNK, B, G), tmap),
-            pl.BlockSpec((CHUNK, B, 4 * H), tmap),
+            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((1, B, H), bmap),
+            pl.BlockSpec((1, B, H), bmap),
             pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
@@ -391,7 +424,7 @@ def _bwd_core(lengths2d, gates_x, res, whh, interpret, reverse=False):
             jax.ShapeDtypeStruct((Tp, B, G), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths2d, gates_x, res, whh)
+    )(lengths2d, gates_x, y, cs, dy, yb, csb, whh)
     return dgx
 
 
@@ -405,28 +438,35 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse=False):
     # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream).
     # h_prev/c_prev are the PROCESSING predecessors: t-1 for the forward
     # direction, t+1 for the reversed direction.
-    zrow = jnp.zeros((1, B, H), jnp.float32)
-    if reverse:
-        h_prev_arr = jnp.concatenate([y[1:], zrow], axis=0)
-        c_prev_arr = jnp.concatenate([cs[1:], zrow], axis=0)
-    else:
-        h_prev_arr = jnp.concatenate([zrow, y[:-1]], axis=0)
-        c_prev_arr = jnp.concatenate([zrow, cs[:-1]], axis=0)
-    res = jnp.concatenate(
-        [h_prev_arr, c_prev_arr, cs, dy.astype(jnp.float32)], axis=-1
-    )
     gates_x = _pad_time(gates_x, Tp)
-    res_p = _pad_time(res, Tp)
+    y_p = _pad_time(y, Tp)
+    cs_p = _pad_time(cs, Tp)
+    dy_p = _pad_time(dy.astype(jnp.float32), Tp)
+    # one-row-per-chunk boundary sidecars (strided slices, ~y_bytes/CHUNK):
+    # forward dir needs each chunk's LAST step, reversed its FIRST
+    if reverse:
+        yb, csb = y_p[0::CHUNK], cs_p[0::CHUNK]
+    else:
+        yb, csb = y_p[CHUNK - 1 :: CHUNK], cs_p[CHUNK - 1 :: CHUNK]
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        (dgx,) = _cp_bwd(interpret, reverse)(lengths2d, gates_x, res_p, whh)
+        (dgx,) = _cp_bwd(interpret, reverse)(
+            lengths2d, gates_x, y_p, cs_p, dy_p, yb, csb, whh
+        )
     else:
-        dgx = _bwd_core(lengths2d, gates_x, res_p, whh, interpret, reverse)
+        dgx = _bwd_core(
+            lengths2d, gates_x, y_p, cs_p, dy_p, yb, csb, whh, interpret, reverse
+        )
     dgx = dgx[:T]
-    # dWhh = sum_t h_prev_t^T dgates_t as ONE batched MXU matmul (GSPMD
-    # all-reduces the batch contraction when dgx is batch-sharded)
-    dwhh = jnp.einsum("tbh,tbg->hg", h_prev_arr, dgx)
+    # dWhh = sum_t h_prev_t^T dgates_t as ONE batched MXU matmul over SLICED
+    # views of y (the t where h_prev is the zero initial state contributes
+    # nothing). GSPMD all-reduces the batch contraction when dgx is
+    # batch-sharded.
+    if reverse:
+        dwhh = jnp.einsum("tbh,tbg->hg", y[1:], dgx[: T - 1])
+    else:
+        dwhh = jnp.einsum("tbh,tbg->hg", y[: T - 1], dgx[1:])
     return dgx, dwhh
 
 
