@@ -186,7 +186,7 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     from ss_asr_tpu.models import charlm, las
     from ss_asr_tpu.utils import checkpoint as ckpt
     from ss_asr_tpu.utils.editdistance import edit_distance
-    from ss_asr_tpu.utils.metrics import char_acc_row, err_rate
+    from ss_asr_tpu.utils.metrics import char_acc_row, err_rate, with_terminal_eos
 
     c = config["asr"]
     ckpdir = os.path.join(paras.ckpdir, paras.name)
@@ -230,12 +230,14 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
         labels = [mapper.translate(r) for r in b.y[:, 1:]]
         for m, fn in modes.items():
             toks, lens = fn(x, xl)
-            toks = np.asarray(toks)
+            toks, lens = np.asarray(toks), np.asarray(lens).reshape(-1)
             for i in np.nonzero(valid)[0]:
                 hyp = mapper.translate(toks[i])
                 errs[m] += edit_distance(list(hyp), list(labels[i]))
                 wers[m] += err_rate(hyp, labels[i], "word")
-                accs[m] += char_acc_row(toks[i], b.y[i][1:])
+                accs[m] += char_acc_row(
+                    with_terminal_eos(toks[i], lens[i]), b.y[i][1:]
+                )
                 if len(hyp_samples[m]) < 3:
                     hyp_samples[m].append({"hyp": hyp, "ref": labels[i]})
         chars += sum(max(len(labels[i]), 1) for i in np.nonzero(valid)[0])

@@ -20,7 +20,7 @@ from ss_asr_tpu.decode.greedy import greedy_decode
 from ss_asr_tpu.models import charlm, las
 from ss_asr_tpu.train.solver import Solver
 from ss_asr_tpu.utils import checkpoint as ckpt
-from ss_asr_tpu.utils.metrics import char_acc_row, err_rate
+from ss_asr_tpu.utils.metrics import char_acc_row, err_rate, with_terminal_eos
 
 
 def _mean_err(hyps: List[str], refs: List[str], unit: str) -> float:
@@ -99,14 +99,16 @@ class ASRTester(Solver):
         accs: List[float] = []
         for b in self.test_ds.iter_batches(drop_last=False, shuffle=False):
             toks, lens = self._decode_batch(b, lm_weight if use_lm else 0.0)
-            toks = np.asarray(toks)
+            toks, lens = np.asarray(toks), np.asarray(lens)
             valid = b.valid if b.valid is not None else np.ones(toks.shape[0], bool)
             for i in range(toks.shape[0]):
                 if not valid[i]:
                     continue
                 results.append(self.mapper.translate(toks[i]))
                 refs.append(self.mapper.translate(b.y[i]))
-                accs.append(char_acc_row(toks[i], b.y[i][1:]))
+                accs.append(char_acc_row(
+                    with_terminal_eos(toks[i], lens[i]), b.y[i][1:]
+                ))
 
         # aggregate test-set metrics — the numbers thesis Table 6.12 is made
         # of (the reference dumps hyp/ref pairs and computes nothing,

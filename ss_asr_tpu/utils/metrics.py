@@ -93,6 +93,24 @@ def char_acc_row(pred: np.ndarray, label: np.ndarray) -> float:
     return float(np.mean(pred[:n] == label[:n]))
 
 
+def with_terminal_eos(toks_row: np.ndarray, length: int) -> np.ndarray:
+    """Reinsert the emitted EOS into a decoded token row.
+
+    The decoders return ``(toks, lengths)`` with the EOS and everything
+    after replaced by pad for clean ``translate()``
+    (decode/greedy.py:_finalize) — but EOS is a predicted symbol the model
+    must place correctly, so positionwise accuracy against a label that
+    contains it must compare it. ``length < len(toks)`` means an EOS was
+    emitted at that position; ``length == len(toks)`` means the decode hit
+    the step cap without EOS (left as-is — the label's EOS then counts as
+    a miss, correctly).
+    """
+    t = np.array(toks_row, copy=True)
+    if 0 <= int(length) < len(t):
+        t[int(length)] = 1  # EOS id (vocab.EOS_ID)
+    return t
+
+
 def err_rate(hyp: str, ref: str, unit: str = "word") -> float:
     """Edit-distance error of one hypothesis/reference string pair.
 

@@ -64,3 +64,21 @@ def test_draw_att_trims_at_eos(rng):
     maps = draw_att(att, hyps)
     assert maps[0].shape == (3, 3, 10)
     assert maps[1].shape == (3, 6, 10)
+
+
+def test_with_terminal_eos_and_decode_acc():
+    """A string-perfect free decode must score positionwise acc 1.0: the
+    decoders strip the emitted EOS from toks (decode/greedy.py:_finalize),
+    so the metric path reinserts it at ``length`` before comparing."""
+    from ss_asr_tpu.utils.metrics import char_acc_row, with_terminal_eos
+
+    label = np.array([8, 11, 9, 1, 0, 0, 0, 0], dtype=np.int32)  # "fig>"
+    toks = np.array([8, 11, 9, 0, 0, 0, 0, 0], dtype=np.int32)  # EOS stripped
+    assert char_acc_row(toks, label) == 0.75  # the raw row misses the EOS
+    fixed = with_terminal_eos(toks, 3)
+    assert fixed[3] == 1 and char_acc_row(fixed, label) == 1.0
+    # step-cap decode (no EOS emitted): length == len(toks) -> unchanged,
+    # and the label's EOS position correctly counts as a miss
+    capped = with_terminal_eos(toks, len(toks))
+    assert np.array_equal(capped, toks)
+    assert char_acc_row(capped, label) == 0.75
