@@ -53,6 +53,14 @@ def _hz_to_mel(f: np.ndarray) -> np.ndarray:
     return mels
 
 
+
+#: MXU precision for the DFT/mel projection matmuls. HIGHEST (6-pass f32
+#: emulation) is the conservative default: the projections feed log-domain
+#: features where single-pass bf16 visibly distorts values. HIGH (3-pass)
+#: is a measured-safe speed knob — see benchmarks/profile_frontend.py /
+#: docs/PROFILE_FRONTEND.json for the recorded numerics + timing A/B.
+DFT_PRECISION = jax.lax.Precision.HIGHEST
+
 def _mel_to_hz(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)
     f_sp = 200.0 / 3
@@ -145,11 +153,11 @@ def log_mel_fbank(
     basis = jnp.asarray(_dft_basis(n_fft))  # [n_fft, 2*n_bins]
     # HIGHEST precision: the DFT/mel projections feed log-domain features, so
     # bf16 MXU passes visibly distort them; fp32 matmul is still MXU-tiled.
-    spec = jnp.dot(frames * window, basis, precision=jax.lax.Precision.HIGHEST)
+    spec = jnp.dot(frames * window, basis, precision=DFT_PRECISION)
     n_bins = 1 + n_fft // 2
     power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    fb = jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST)
+    fb = jnp.dot(power, mel, precision=DFT_PRECISION)
     return jnp.log(fb + LOG_EPS)
 
 
@@ -243,11 +251,11 @@ def log_mel_fbank_batch(
     nf = int(num_frames(y.shape[1], n_fft, hop))
     frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
     wbasis = jnp.asarray(_windowed_dft_basis(n_fft))  # [n_fft, 2*n_bins]
-    spec = jnp.dot(frames, wbasis, precision=jax.lax.Precision.HIGHEST)
+    spec = jnp.dot(frames, wbasis, precision=DFT_PRECISION)
     n_bins = 1 + n_fft // 2
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, nf, n_bins]
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))  # [n_bins, n_mels]
-    fb = jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST)
+    fb = jnp.dot(power, mel, precision=DFT_PRECISION)
     fb = jnp.log(fb + LOG_EPS)
     if n_samples is None:
         return fb, jnp.full((y.shape[0],), nf, dtype=jnp.int32)
@@ -271,11 +279,11 @@ def _fbank_frames_raw(
     nf = (buf.shape[0] - n_fft) // hop + 1
     frames = _frame_by_slices(buf[None, :], nf, n_fft, hop)[0]
     wbasis = jnp.asarray(_windowed_dft_basis(n_fft))
-    spec = jnp.dot(frames, wbasis, precision=jax.lax.Precision.HIGHEST)
+    spec = jnp.dot(frames, wbasis, precision=DFT_PRECISION)
     n_bins = 1 + n_fft // 2
     power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    return jnp.log(jnp.dot(power, mel, precision=jax.lax.Precision.HIGHEST) + LOG_EPS)
+    return jnp.log(jnp.dot(power, mel, precision=DFT_PRECISION) + LOG_EPS)
 
 
 class StreamingFrontend:
