@@ -90,20 +90,18 @@ def main():
         results["precisions"][prec] = {"marginal_ms_per_batch": step_ms}
         log(f"  [{prec}] marginal {step_ms:.3f} ms/batch")
 
-    # numerics vs HIGHEST and vs the float64 oracle (single row)
-    from tests.test_frontend import _np_mel_reference
-
-    row64 = _np_mel_reference(np.asarray(wav[0]), SR)
+    # numerics: cross-precision comparison on the SAME probe signal (the
+    # chain adds a drift offset to the waveform, so a comparison against an
+    # offline oracle of the un-drifted signal would be meaningless — the
+    # cross-precision diffs share the signal exactly). The shipped golden
+    # test tolerance is power-domain rtol 2e-3 ~= log-domain absdiff 2e-3.
     for prec in ("HIGH", "DEFAULT"):
         d = np.abs(outs[prec] - outs["HIGHEST"])
         results["precisions"][prec]["max_absdiff_log_vs_highest"] = float(d.max())
         results["precisions"][prec]["mean_absdiff_log_vs_highest"] = float(d.mean())
-    for prec in ("HIGHEST", "HIGH", "DEFAULT"):
-        d = np.abs(outs[prec][0, : row64.shape[0]] - row64)
-        results["precisions"][prec]["max_absdiff_log_vs_f64_oracle"] = float(d.max())
-        # the shipped test tolerance is power-domain rtol 2e-3 == log-domain
-        # absdiff ~2e-3; record whether each precision would pass it
-        results["precisions"][prec]["passes_test_tolerance"] = bool(d.max() < 2.5e-3)
+        results["precisions"][prec]["within_test_tolerance_of_highest"] = bool(
+            d.max() < 2.5e-3
+        )
 
     with open(OUT_PATH, "w") as f:
         json.dump(results, f, indent=1)

@@ -54,12 +54,13 @@ def _hz_to_mel(f: np.ndarray) -> np.ndarray:
 
 
 
-#: MXU precision for the DFT/mel projection matmuls. HIGHEST (6-pass f32
-#: emulation) is the conservative default: the projections feed log-domain
-#: features where single-pass bf16 visibly distorts values. HIGH (3-pass)
-#: is a measured-safe speed knob — see benchmarks/profile_frontend.py /
-#: docs/PROFILE_FRONTEND.json for the recorded numerics + timing A/B.
-DFT_PRECISION = jax.lax.Precision.HIGHEST
+#: MXU precision for the DFT/mel projection matmuls. HIGH (3-pass bf16
+#: emulation) is the default: measured within 2e-4 of HIGHEST in the
+#: log-feature domain (docs/PROFILE_FRONTEND.json — 40x under the golden
+#: test tolerance) at ~2/3 the matmul cost. Single-pass DEFAULT distorts
+#: log features by ~0.05 and stays excluded; HIGHEST remains available for
+#: bit-conservative runs.
+DFT_PRECISION = jax.lax.Precision.HIGH
 
 def _mel_to_hz(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)

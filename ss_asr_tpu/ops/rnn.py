@@ -4,8 +4,10 @@ XLA has no analogue of cuDNN packed sequences (reference: src/asr.py:410-418),
 so variable length is handled with static shapes + masks:
 
 * Forward scans freeze the carry and zero the outputs once ``t >= length``.
-* Backward (reverse) scans gather-reverse each sample by its own length first,
-  run a forward scan, and reverse back — bit-equivalent to packing.
+* Backward (reverse) scans: the lax.scan path gather-reverses each sample by
+  its own length, runs a forward scan, and reverses back — bit-equivalent to
+  packing; the Pallas kernel path instead streams time newest-first inside
+  the kernel (``reverse=True``), which needs NO gathers (ops/pallas/lstm.py).
 
 TPU-first performance notes:
 
