@@ -38,17 +38,28 @@ class LMDataset:
         self.ids = np.array(
             [self.mapper.mapping.get(c, UNK_ID) for c in self.text], dtype=np.int32
         )
-        n_total = max(0, (len(self.ids) - 1) // self.chunk_size)
-        if host_shard is not None:
+        self._n_total = max(0, (len(self.ids) - 1) // self.chunk_size)
+        self.host_shard = host_shard
+        self._shard(0)
+
+    def _shard(self, epoch: int) -> None:
+        if self.host_shard is not None:
             # multi-host input pipeline: strided per-process chunk shards,
             # TRUNCATED to equal size so every process dispatches the same
             # number of collective train steps (unequal counts would hang
             # the cross-process pmean)
-            host_id, num_hosts = host_shard
-            per = n_total // num_hosts
-            self.chunk_ids = np.arange(n_total)[host_id::num_hosts][:per]
+            host_id, num_hosts = self.host_shard
+            per = self._n_total // num_hosts
+            offset = (host_id + epoch) % num_hosts
+            self.chunk_ids = np.arange(self._n_total)[offset::num_hosts][:per]
         else:
-            self.chunk_ids = np.arange(n_total)
+            self.chunk_ids = np.arange(self._n_total)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Rotate the multi-host shard offset (same fairness contract as
+        ASRDataset.set_epoch: the equal-size truncation drops up to
+        num_hosts-1 tail chunks per epoch; rotation cycles which ones)."""
+        self._shard(epoch)
 
     def get_num_chars(self) -> int:
         return self.mapper.get_dim()

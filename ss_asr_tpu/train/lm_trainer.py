@@ -88,6 +88,9 @@ class CHARLMTrainer(Solver):
         self.verbose(f"Training set total {n_batches} batches.")
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
+            # multi-host: rotate the chunk shard so truncated tail chunks
+            # aren't stranded on the same host forever (ASR-path contract)
+            self.ds.set_epoch(epoch)
             for b_ind, (x, y) in enumerate(
                 self.ds.iter_batches(self.train_batch_size, shuffle=True, seed=epoch)
             ):

@@ -270,6 +270,27 @@ def test_lm_dataset_host_shards_disjoint_and_equal(tmp_path):
     assert x0.shape == (2, 20)
 
 
+def test_lm_shard_epoch_rotation(tmp_path):
+    """LMDataset.set_epoch rotates the strided chunk shard: shards stay
+    disjoint and equal-size each epoch, and one host covers ALL chunks over
+    num_hosts epochs (same fairness contract as ASRDataset.set_epoch)."""
+    from ss_asr_tpu.data.lm_dataset import LMDataset
+
+    text = "abcdefghij " * 30
+    full = set(LMDataset(text=text, chunk_size=20).chunk_ids)
+    s0 = LMDataset(text=text, chunk_size=20, host_shard=(0, 2))
+    s1 = LMDataset(text=text, chunk_size=20, host_shard=(1, 2))
+    seen0 = set()
+    for epoch in range(2):
+        s0.set_epoch(epoch)
+        s1.set_epoch(epoch)
+        c0, c1 = set(s0.chunk_ids), set(s1.chunk_ids)
+        assert not (c0 & c1)
+        assert len(c0) == len(c1)  # equal-size truncation preserved
+        seen0 |= c0
+    assert seen0 == full
+
+
 def test_tae_batches_without_noise(tiny_corpus):
     """drop_rate=0 (a plain noise-free autoencoder) must yield the clean
     text as the 'noised' input, never None into the jitted TAE step."""
