@@ -54,10 +54,13 @@ def time_listener(B: int, mode: str, T: int = 512):
                     h, _ = las.listener_apply(p["encoder"], x, x_lens)
                     v = (h * h).mean()
                 else:
-                    v, _ = jax.value_and_grad(
+                    v, g = jax.value_and_grad(
                         lambda q: (las.listener_apply(q["encoder"], x, x_lens)[0] ** 2).mean()
                     )(p)
-                    v = v
+                    # consume the grads or XLA dead-code-eliminates the
+                    # entire backward pass (verified: an unused-grads probe
+                    # measured exactly the fwd time)
+                    v = v + sum(jnp.sum(l) for l in jax.tree.leaves(g)) * 1e-12
                 return carry + v * 1e-9, v
 
             c, vs = jax.lax.scan(one, jnp.float32(0), jax.random.split(key, K))

@@ -101,22 +101,22 @@ def time_train_chain(B: int, K: int, T: int = 512, L: int = 48, reps: int = 3):
     return ts[len(ts) // 2]
 
 
-def measure_config(dtype: str, chunk: int, B: int):
+def measure_config(dtype: str, chunk: int, B: int, T: int = 512, L: int = 48):
     from ss_asr_tpu.ops.pallas import lstm as plstm
 
     plstm.KERNEL_DTYPE = dtype
     plstm.CHUNK = chunk
-    label = f"dtype={dtype} chunk={chunk} B={B}"
+    label = f"dtype={dtype} chunk={chunk} B={B} T={T} L={L}"
     log(f"  [{label}] K={K_LO} ...")
-    t_lo = time_train_chain(B, K_LO)
+    t_lo = time_train_chain(B, K_LO, T=T, L=L)
     log(f"  [{label}] K={K_HI} ...")
-    t_hi = time_train_chain(B, K_HI)
+    t_hi = time_train_chain(B, K_HI, T=T, L=L)
     step_ms = (t_hi - t_lo) / (K_HI - K_LO) * 1e3
     overhead_ms = (t_lo - K_LO * (t_hi - t_lo) / (K_HI - K_LO)) * 1e3
     log(f"  [{label}] step {step_ms:.2f} ms -> {B / step_ms * 1e3:.0f} utt/s "
         f"(P~{overhead_ms:.1f} ms)")
     return {
-        "dtype": dtype, "chunk": chunk, "B": B,
+        "dtype": dtype, "chunk": chunk, "B": B, "T": T, "L": L,
         "t_total_lo_ms": t_lo * 1e3, "t_total_hi_ms": t_hi * 1e3,
         "K_lo": K_LO, "K_hi": K_HI,
         "step_ms": step_ms, "utt_per_s": B / step_ms * 1e3,
@@ -126,22 +126,31 @@ def measure_config(dtype: str, chunk: int, B: int):
 
 def main():
     results = {"device": str(jax.devices()[0]), "configs": []}
-    plan = [
-        ("float32", 8, 32),    # shipped round-2 config (baseline)
-        ("bfloat16", 8, 32),
-        ("bfloat16", 16, 32),
-        ("float32", 16, 32),
-        ("float32", 8, 64),
-        ("bfloat16", 8, 64),
-        ("bfloat16", 8, 128),
-    ]
-    for dtype, chunk, B in plan:
+    import os
+    plan_env = os.environ.get("PROFILE_OPT_PLAN")
+    if plan_env:
+        # dtype:chunk:B[:T[:L]] — T/L default to the flagship 512/48
+        plan = []
+        for p in plan_env.split(","):
+            f = p.split(":")
+            plan.append((f[0], int(f[1]), int(f[2]),
+                         int(f[3]) if len(f) > 3 else 512,
+                         int(f[4]) if len(f) > 4 else 48))
+    else:
+        plan = [
+            ("float32", 8, 32, 512, 48),   # shipped config (baseline)
+            ("bfloat16", 8, 32, 512, 48),
+            ("float32", 8, 64, 512, 48),
+            ("float32", 8, 128, 512, 48),
+        ]
+    for dtype, chunk, B, T, L in plan:
         try:
-            results["configs"].append(measure_config(dtype, chunk, B))
+            results["configs"].append(measure_config(dtype, chunk, B, T, L))
         except Exception as e:
-            log(f"  [dtype={dtype} chunk={chunk} B={B}] FAILED: {e}")
+            log(f"  [dtype={dtype} chunk={chunk} B={B} T={T}] FAILED: {e}")
             results["configs"].append(
-                {"dtype": dtype, "chunk": chunk, "B": B, "error": str(e)[:300]})
+                {"dtype": dtype, "chunk": chunk, "B": B, "T": T,
+                 "error": str(e)[:300]})
         with open(OUT_PATH, "w") as f:
             json.dump(results, f, indent=1)
     log(f"written {OUT_PATH}")

@@ -275,6 +275,19 @@ def _kdt():
     return _jnp.bfloat16 if KERNEL_DTYPE == "bfloat16" else _jnp.float32
 
 
+def _chunk_for(B: int) -> int:
+    """DMA block length, shrunk for large batches so the double-buffered
+    in/out streams ([C, B, 4H] gx/dgx + three [C, B, H] residual streams)
+    stay inside the 16 MB scoped-VMEM budget. B=128 with CHUNK=8 blocks
+    needs >20 MB and fails compilation (docs/PROFILE_OPT.json); halving the
+    chunk restores the fit with negligible per-step cost (the CHUNK=8 vs 16
+    A/B was noise-level)."""
+    c = CHUNK
+    while c > 2 and B * c > 512:
+        c //= 2
+    return c
+
+
 def _pad_time(a, Tp):
     T = a.shape[0]
     if T == Tp:
@@ -292,26 +305,27 @@ def _pad_time(a, Tp):
 # replicated. shard_map paths never reach this (mesh axes are Manual there).
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
-def _cp_fwd(interpret: bool, reverse: bool = False):
+@functools.lru_cache(maxsize=16)
+def _cp_fwd(interpret: bool, reverse: bool = False, chunk=None):
     from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
     return batch_partitioned(
-        functools.partial(_fwd_core, interpret=interpret, reverse=reverse),
+        functools.partial(_fwd_core, interpret=interpret, reverse=reverse,
+                          chunk=chunk),
         in_batch_dims=[0, 1, None],
         out_batch_dims=[1, 1],
         rule="b u, t b g, h g -> t b h1, t b h1",
     )
 
 
-@functools.lru_cache(maxsize=8)
-def _cp_bwd(interpret: bool, reverse: bool = False):
+@functools.lru_cache(maxsize=16)
+def _cp_bwd(interpret: bool, reverse: bool = False, chunk=None):
     from ss_asr_tpu.ops.pallas.partition import batch_partitioned
 
     def bwd(lengths2d, gates_x, y, cs, dy, yb, csb, whh):
         # 1-tuple: batch_partitioned infers shardings per output entry
         return (_bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh,
-                          interpret, reverse),)
+                          interpret, reverse, chunk),)
 
     return batch_partitioned(
         bwd,
@@ -321,13 +335,14 @@ def _cp_bwd(interpret: bool, reverse: bool = False):
     )
 
 
-def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False):
+def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False, chunk=None):
     """The raw forward pallas_call; shapes read from the (possibly local,
-    under custom_partitioning) operands. gates_x must be CHUNK-padded.
+    under custom_partitioning) operands. gates_x must be chunk-padded.
     ``reverse``: stream chunks newest-first (backward BiLSTM direction)."""
+    CH = chunk or CHUNK
     Tp, B, G = gates_x.shape
     H = G // 4
-    Tc = Tp // CHUNK
+    Tc = Tp // CH
     if reverse:
         tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731
     else:
@@ -337,12 +352,12 @@ def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False):
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
-            pl.BlockSpec((CHUNK, B, G), tmap),
+            pl.BlockSpec((CH, B, G), tmap),
             pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, H), tmap),
-            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((CH, B, H), tmap),
+            pl.BlockSpec((CH, B, H), tmap),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -364,20 +379,21 @@ def _fwd_pallas(gates_x, whh, lengths, interpret, reverse=False):
     gates_x = gates_x.astype(_kdt())
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
-    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    c = _chunk_for(B)
+    Tp = ((T + c - 1) // c) * c
     gates_x = _pad_time(gates_x, Tp)  # padded steps are masked by lengths
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        y, cs = _cp_fwd(interpret, reverse)(lengths2d, gates_x, whh)
+        y, cs = _cp_fwd(interpret, reverse, c)(lengths2d, gates_x, whh)
     else:
-        y, cs = _fwd_core(lengths2d, gates_x, whh, interpret, reverse)
+        y, cs = _fwd_core(lengths2d, gates_x, whh, interpret, reverse, c)
     return y[:T], cs[:T]
 
 
 def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
-              reverse=False):
+              reverse=False, chunk=None):
     """The raw backward pallas_call; time arrays must be CHUNK-padded.
     The adjoint walks opposite to the forward direction: newest chunk first
     normally, OLDEST first for the reversed direction.  ``yb``/``csb`` are
@@ -385,9 +401,10 @@ def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
     y/cs at the LAST step of chunk j (the predecessor of chunk j+1's first
     step); for the reversed direction row j is y/cs at the FIRST step of
     chunk j (the predecessor of chunk j-1's last step)."""
+    CH = chunk or CHUNK
     Tp, B, G = gates_x.shape
     H = G // 4
-    Tc = Tp // CHUNK
+    Tc = Tp // CH
     if reverse:
         tmap = lambda k: (k, 0, 0)  # noqa: E731 — oldest chunk first
         # predecessor chunk is k+1 (clamped; the at-edge branch masks it)
@@ -401,16 +418,16 @@ def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
-            pl.BlockSpec((CHUNK, B, G), tmap),
-            pl.BlockSpec((CHUNK, B, H), tmap),
-            pl.BlockSpec((CHUNK, B, H), tmap),
-            pl.BlockSpec((CHUNK, B, H), tmap),
+            pl.BlockSpec((CH, B, G), tmap),
+            pl.BlockSpec((CH, B, H), tmap),
+            pl.BlockSpec((CH, B, H), tmap),
+            pl.BlockSpec((CH, B, H), tmap),
             pl.BlockSpec((1, B, H), bmap),
             pl.BlockSpec((1, B, H), bmap),
             pl.BlockSpec((H, G), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, G), tmap),
+            pl.BlockSpec((CH, B, G), tmap),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -433,7 +450,8 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse=False):
     whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
     H = G // 4
-    Tp = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    c = _chunk_for(B)
+    Tp = ((T + c - 1) // c) * c
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
     # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream).
     # h_prev/c_prev are the PROCESSING predecessors: t-1 for the forward
@@ -445,18 +463,19 @@ def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse=False):
     # one-row-per-chunk boundary sidecars (strided slices, ~y_bytes/CHUNK):
     # forward dir needs each chunk's LAST step, reversed its FIRST
     if reverse:
-        yb, csb = y_p[0::CHUNK], cs_p[0::CHUNK]
+        yb, csb = y_p[0::c], cs_p[0::c]
     else:
-        yb, csb = y_p[CHUNK - 1 :: CHUNK], cs_p[CHUNK - 1 :: CHUNK]
+        yb, csb = y_p[c - 1 :: c], cs_p[c - 1 :: c]
     from ss_asr_tpu.ops import rnn as _rnn
 
     if _rnn._gspmd_axes_live():
-        (dgx,) = _cp_bwd(interpret, reverse)(
+        (dgx,) = _cp_bwd(interpret, reverse, c)(
             lengths2d, gates_x, y_p, cs_p, dy_p, yb, csb, whh
         )
     else:
         dgx = _bwd_core(
-            lengths2d, gates_x, y_p, cs_p, dy_p, yb, csb, whh, interpret, reverse
+            lengths2d, gates_x, y_p, cs_p, dy_p, yb, csb, whh, interpret,
+            reverse, c
         )
     dgx = dgx[:T]
     # dWhh = sum_t h_prev_t^T dgates_t as ONE batched MXU matmul over SLICED

@@ -95,9 +95,20 @@ def _use_pallas_lstm() -> bool:
     return GSPMD_PARTITION or not _gspmd_axes_live()
 
 
-def _use_pallas_spell() -> bool:
+#: Per-device batch cap for the fused attend-and-spell kernels: their
+#: backward keeps [decode_step, B, 4H] residual blocks in VMEM, which
+#: crosses the 16 MB scoped limit past B~48 (measured superlinear step time
+#: at B=64, scoped-vmem compile OOM at B=128 — docs/PROFILE_OPT.json).
+#: Larger batches use the XLA scan decoder, which has no such cliff.
+SPELL_MAX_BATCH = 48
+
+
+def _use_pallas_spell(batch: Optional[int] = None) -> bool:
     """Gate for the fused attend-and-spell kernels — same dispatch rule as
-    the LSTM kernels (both families carry GSPMD partition rules)."""
+    the LSTM kernels (both families carry GSPMD partition rules), plus the
+    VMEM-driven per-device batch cap."""
+    if batch is not None and batch > SPELL_MAX_BATCH:
+        return False
     return _use_pallas_lstm()
 
 
