@@ -525,8 +525,9 @@ def lstm_scan_pallas_trainable(
     B, T, _ = xs.shape
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
-    gx = xs @ p["w_ih"] + p["b"]
-    gx = jnp.swapaxes(gx, 0, 1)
+    # time-major gates straight out of the projection (einsum output layout)
+    # instead of matmul + swapaxes — lets XLA emit [T, B, 4H] directly
+    gx = jnp.einsum("btf,fg->tbg", xs, p["w_ih"]) + p["b"]
     y = lstm_seq_pallas_vjp(gx, p["w_hh"], lengths, reverse, interpret)
     return jnp.swapaxes(y, 0, 1)
 
