@@ -116,7 +116,11 @@ def measure_config(dtype: str, chunk: int, B: int, T: int = 512, L: int = 48):
     log(f"  [{label}] step {step_ms:.2f} ms -> {B / step_ms * 1e3:.0f} utt/s "
         f"(P~{overhead_ms:.1f} ms)")
     return {
-        "dtype": dtype, "chunk": chunk, "B": B, "T": T, "L": L,
+        "dtype": dtype, "chunk": chunk,
+        # _chunk_for may clamp the requested chunk for large batches —
+        # record what the kernels actually ran with
+        "effective_chunk": min(chunk, plstm._chunk_for(B)),
+        "B": B, "T": T, "L": L,
         "t_total_lo_ms": t_lo * 1e3, "t_total_hi_ms": t_hi * 1e3,
         "K_lo": K_LO, "K_hi": K_HI,
         "step_ms": step_ms, "utt_per_s": B / step_ms * 1e3,

@@ -136,6 +136,7 @@ class ASRDataset:
         self.l_bucket = l_bucket
         self.mapper = Mapper()
         self.rng = np.random.default_rng(seed)
+        self._epoch = 0
         self.num_samples = len(self.frame)
         if not text_only and self.num_samples > 0:
             self.feature_dim = int(np.load(self.frame.iloc[0]["path_to_fbank"]).shape[1])
@@ -143,14 +144,24 @@ class ASRDataset:
             self.feature_dim = 0
 
     def set_epoch(self, epoch: int) -> None:
-        """Rotate the multi-host shard offset each epoch.
+        """Per-epoch fairness rotation (multi-host).
 
-        Without rotation the multi-host step cap (Solver.global_min_batches)
-        strands the SAME tail batches on the larger host every epoch — those
-        rows would never be trained on. Rotating the strided offset by the
-        epoch index cycles which rows land on which host, so over
-        ``num_hosts`` epochs every row is seen. No-op without a host shard.
+        The multi-host step cap (Solver.global_min_batches) makes every host
+        dispatch the same number of batches; whatever a host's iteration
+        order leaves past the cap is skipped that epoch. TWO rotations
+        together guarantee no row is skipped forever:
+
+        * the strided shard offset rotates (which rows live on which host),
+          and
+        * ``iter_batches`` rotates its batch dispatch ORDER by the same
+          epoch index — so the batches dropped by the cap are different
+          ones each epoch (rotating shards alone would be a global no-op:
+          the cap always trims each shard's tail, and the union of trained
+          rows would be epoch-invariant).
+
+        No-op without a host shard.
         """
+        self._epoch = int(epoch)
         if self.host_shard is None:
             return
         host_id, num_hosts = self.host_shard
@@ -261,6 +272,11 @@ class ASRDataset:
         if shuffle:
             rng = np.random.default_rng(seed if seed is not None else self.rng.integers(2**31))
             rng.shuffle(starts)
+        elif self.host_shard is not None and self._epoch and len(starts) > 1:
+            # rotate the dispatch order so the multi-host step cap drops a
+            # DIFFERENT tail each epoch (see set_epoch)
+            r = self._epoch % len(starts)
+            starts = starts[r:] + starts[:r]
         if prefetch <= 0:
             for s in starts:
                 yield self.get_batch(s, pad_to_full=not drop_last)

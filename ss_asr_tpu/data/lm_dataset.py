@@ -47,18 +47,23 @@ class LMDataset:
             # multi-host input pipeline: strided per-process chunk shards,
             # TRUNCATED to equal size so every process dispatches the same
             # number of collective train steps (unequal counts would hang
-            # the cross-process pmean)
+            # the cross-process pmean). The strided list is ROLLED by the
+            # epoch before truncation — truncating the same end every epoch
+            # would strand the same chunks forever (rotating only the shard
+            # offset cannot fix that: the over-long residue class keeps the
+            # same tail chunk whichever host holds it).
             host_id, num_hosts = self.host_shard
             per = self._n_total // num_hosts
             offset = (host_id + epoch) % num_hosts
-            self.chunk_ids = np.arange(self._n_total)[offset::num_hosts][:per]
+            strided = np.arange(self._n_total)[offset::num_hosts]
+            self.chunk_ids = np.roll(strided, -epoch)[:per]
         else:
             self.chunk_ids = np.arange(self._n_total)
 
     def set_epoch(self, epoch: int) -> None:
-        """Rotate the multi-host shard offset (same fairness contract as
-        ASRDataset.set_epoch: the equal-size truncation drops up to
-        num_hosts-1 tail chunks per epoch; rotation cycles which ones)."""
+        """Per-epoch fairness rotation (same contract as
+        ASRDataset.set_epoch): both the shard offset and the truncation
+        window rotate, so no chunk is dropped forever."""
         self._shard(epoch)
 
     def get_num_chars(self) -> int:

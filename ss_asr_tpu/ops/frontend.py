@@ -152,8 +152,9 @@ def log_mel_fbank(
     frames = y[idx]  # [nf, n_fft]
     window = jnp.asarray(_hann_periodic(n_fft))
     basis = jnp.asarray(_dft_basis(n_fft))  # [n_fft, 2*n_bins]
-    # HIGHEST precision: the DFT/mel projections feed log-domain features, so
-    # bf16 MXU passes visibly distort them; fp32 matmul is still MXU-tiled.
+    # DFT_PRECISION (default HIGH, 3-pass): the DFT/mel projections feed
+    # log-domain features, so SINGLE-pass bf16 visibly distorts them; the
+    # 3-pass emulation is within 2e-4 of 6-pass (docs/PROFILE_FRONTEND.json)
     spec = jnp.dot(frames * window, basis, precision=DFT_PRECISION)
     n_bins = 1 + n_fft // 2
     power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2

@@ -103,12 +103,31 @@ def _use_pallas_lstm() -> bool:
 SPELL_MAX_BATCH = 48
 
 
+def _gspmd_data_axis_size() -> int:
+    """Size of the 'data' axis of a live GSPMD mesh (1 otherwise) — the
+    factor by which a traced global batch exceeds the per-device batch."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return 1
+    if am is None or am.empty:
+        return 1
+    from ss_asr_tpu.parallel import mesh as pmesh
+
+    return int(dict(am.shape).get(pmesh.DATA_AXIS, 1))
+
+
 def _use_pallas_spell(batch: Optional[int] = None) -> bool:
     """Gate for the fused attend-and-spell kernels — same dispatch rule as
     the LSTM kernels (both families carry GSPMD partition rules), plus the
-    VMEM-driven per-device batch cap."""
-    if batch is not None and batch > SPELL_MAX_BATCH:
-        return False
+    VMEM-driven batch cap. The cap is PER-DEVICE: under jit+GSPMD the
+    traced ``batch`` is the global one, so it is divided by the mesh's
+    data-axis size before the comparison (under shard_map the kernel sees
+    local arrays and the axis count is 1 by construction)."""
+    if batch is not None:
+        local = max(1, batch // max(_gspmd_data_axis_size(), 1))
+        if local > SPELL_MAX_BATCH:
+            return False
     return _use_pallas_lstm()
 
 

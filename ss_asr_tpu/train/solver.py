@@ -71,9 +71,13 @@ class Solver:
             os.path.join(self.ckpdir, "tracker.json"), module_id,
             writer=self.is_writer,
         )
-        self.lg = MetricLogger(
-            os.path.join(paras.logdir, paras.name, module_id), module_id
-        )
+        # metric streams are per-process too: non-zero processes write into a
+        # rank subdirectory so N hosts sharing one logdir never interleave
+        # into the same metrics.jsonl / tfevents files
+        log_dir = os.path.join(paras.logdir, paras.name, module_id)
+        if not self.is_writer:
+            log_dir = os.path.join(log_dir, f"rank{jax.process_index()}")
+        self.lg = MetricLogger(log_dir, module_id)
 
         # checkpoint backend: flat .npz per module (reference layout parity,
         # src/trainer.py:58-71) or orbax directories (sharded/multi-host
@@ -366,18 +370,37 @@ class Solver:
 
         return jax.tree.map(rep, tree)
 
+    @staticmethod
+    def _save_barrier() -> None:
+        """Cross-process barrier after checkpoint writes.
+
+        Without it a non-writer can immediately read a checkpoint path the
+        writer has not finished (or started) writing — e.g. the Seed
+        pipeline's relay: process 1 finishes TAE, constructs the ADV
+        trainer, and probes asr_2.npz while process 0 is still flushing it,
+        silently initializing fresh params instead. All processes execute
+        the same save call sequence, so a constant barrier name is safe.
+        """
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ss_asr_tpu.save")
+
     def save_tree(self, path: str, tree) -> None:
         """Multi-host-safe checkpoint write for any param pytree.
 
         Non-addressable (TP-sharded) leaves are all-gathered on EVERY
         process (collective — all hosts must call this), then only process 0
         writes npz files; the orbax backend coordinates across hosts itself,
-        so every process calls it. Single-host: a plain save.
+        so every process calls it. A barrier follows the write so
+        non-writers never observe a half-written (or missing) checkpoint.
+        Single-host: a plain save.
         """
         if jax.process_count() > 1:
             tree = self._gather_for_save(tree)
         if path.endswith(ckpt.ORBAX_SUFFIX) or self.is_writer:
             ckpt.save_auto(path, tree)
+        self._save_barrier()
 
     def save_opt(self, path: str, opt_state) -> None:
         """Writer-gated optimizer-state write (same contract as save_tree)."""
@@ -385,6 +408,7 @@ class Solver:
             opt_state = self._gather_for_save(opt_state)
         if self.is_writer:
             ckpt.save_opt_state(path, opt_state)
+        self._save_barrier()
 
     def save_state(self, params, opt_state=None, path: Optional[str] = None) -> None:
         """Save params (and optimizer accumulators) atomically."""

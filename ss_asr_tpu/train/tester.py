@@ -129,7 +129,7 @@ class ASRTester(Solver):
                   "w", encoding="utf-8") as f:
             json.dump(self.metrics, f, indent=1)
         for k in ("acc", "wer", "cer"):
-            self.lg.scalar(f"test_{k}", self.metrics[k], self.metrics["n"])
+            self.lg.scalar(f"test_{k}", self.metrics[k], self.tr.step)
         self.verbose(
             f"Decoded {len(results)} utterances -> {out_path} | "
             f"acc {self.metrics['acc']:.4f} wer {self.metrics['wer']:.4f} "

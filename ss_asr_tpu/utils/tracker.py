@@ -23,8 +23,12 @@ class Tracker:
         if not os.path.exists(self.path):
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             if self.writer:
-                with open(self.path, "w") as f:
+                # atomic create: a concurrent reader on a shared ckpdir must
+                # never observe a half-written (empty) tracker.json
+                tmp = self.path + ".tmp"
+                with open(tmp, "w") as f:
                     f.write("{}")
+                os.replace(tmp, self.path)
         if os.path.exists(self.path):
             with open(self.path, "r") as f:
                 self.data = json.load(f)

@@ -175,8 +175,7 @@ def test_host_sharding(tiny_corpus):
 
 def test_host_shard_epoch_rotation(tiny_corpus):
     """set_epoch rotates the strided offset: every epoch the host pair still
-    partitions the corpus, and over num_hosts epochs each host sees ALL rows
-    (so the multi-host step cap strands no row forever)."""
+    partitions the corpus, and over num_hosts epochs each host sees ALL rows."""
     full = ASRDataset(tiny_corpus, batch_size=2)
     s0 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(0, 2))
     s1 = ASRDataset(tiny_corpus, batch_size=2, host_shard=(1, 2))
@@ -195,6 +194,37 @@ def test_host_shard_epoch_rotation(tiny_corpus):
     # shard-less datasets: set_epoch is a no-op
     full.set_epoch(3)
     assert set(full.frame["path_to_fbank"]) == all_paths
+
+
+def test_step_cap_strands_no_row_forever(tmp_path):
+    """The GLOBAL fairness property under the multi-host step cap: with an
+    uneven corpus (one shard packs more batches than the cap allows), the
+    union of rows actually DISPATCHED by both hosts — batches 0..n_steps-1
+    of each epoch's iteration order — must eventually cover the corpus.
+    Rotating shards alone is a global no-op here (the cap always trims each
+    shard's tail); the dispatch-order rotation in iter_batches is what
+    cycles the dropped batches."""
+    from tests.conftest import write_asr_corpus
+
+    texts = [f"orð{i}" for i in range(11)]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+    s0 = ASRDataset(idx, batch_size=1, host_shard=(0, 2))
+    s1 = ASRDataset(idx, batch_size=1, host_shard=(1, 2))
+    dispatched = set()
+    for epoch in range(4):
+        for ds in (s0, s1):
+            ds.set_epoch(epoch)
+        n_steps = min(len(s0), len(s1))  # global_min_batches
+        assert n_steps == 5  # shards are 6/5 rows -> the cap really bites
+        for ds in (s0, s1):
+            for b_idx, b in enumerate(ds.iter_batches(prefetch=0)):
+                if b_idx >= n_steps:  # the trainers' cap break
+                    break
+                # batch_size=1 + unique texts: the y row identifies the row
+                dispatched.add(ds.mapper.translate(b.y[0]))
+    full_ds = ASRDataset(idx, batch_size=11)
+    all_texts = {full_ds.mapper.translate(r) for r in full_ds.get_batch(0).y}
+    assert dispatched == all_texts  # no row stranded across epochs
 
 
 def test_native_batchloader_matches_numpy(tiny_corpus):
