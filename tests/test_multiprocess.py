@@ -95,11 +95,11 @@ t.lg.text = lambda *a, **kw: None
 t.exec(); t.close()
 multihost_utils.sync_global_devices("saved")  # writer finished before reads
 
-tree = ckpt.load_pytree(t.ckppath)
+tree = ckpt.load_auto(t.ckppath)  # npz file or orbax directory
 out = {
     "is_writer": bool(t.is_writer),
     "step": int(t.tr.step),
-    "ckpt_exists": os.path.exists(t.ckppath),
+    "ckpt_exists": ckpt.exists_auto(t.ckppath),
     "opt_exists": os.path.exists(t.opt_ckppath),
     # a TP-sharded leaf must come back FULL-width (gathered, not a shard)
     "wih_shape": list(np.asarray(tree["encoder"]["pblstm1"]["fwd"]["w_ih"]).shape),
@@ -330,6 +330,56 @@ def test_two_process_shared_ckpdir_tp_save_and_resume(tmp_path):
     assert r0["resumed_step"] == r1["resumed_step"] == r0["step"] == 2
     assert r0["loaded_ckpt"] and r1["loaded_ckpt"]
     # the resumed params equal the trained params, on both processes
+    np.testing.assert_allclose(r0["resumed_w"], r0["w"], rtol=1e-6)
+    np.testing.assert_allclose(r1["resumed_w"], r0["w"], rtol=1e-6)
+
+
+def test_two_process_shared_ckpdir_orbax_save_and_resume(tmp_path):
+    """Same shared-ckpdir contract through the ORBAX backend: every process
+    participates in the coordinated save (orbax is multi-controller-aware),
+    one .orbax directory results, and both processes resume from it."""
+    from tests.conftest import write_asr_corpus
+
+    texts = ["já", "nei", "halló", "takk"]
+    idx = write_asr_corpus(tmp_path, texts, feature_dim=8, t0=24, dt=0, scale=0.1)
+    cfg = _config(idx, batch=2, parallel=True)
+    cfg["checkpoint_backend"] = "orbax"
+    cfg["asr"]["save_step"] = 1
+    cfg["asr"]["n_epochs"] = 2
+    work = str(tmp_path)
+    with open(os.path.join(work, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SS_ASR_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_CKPT, str(i), "2", port, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("orbax shared-ckpdir worker timed out")
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"orbax worker failed:\n{o[-3000:]}"
+
+    r0 = json.load(open(os.path.join(work, "ckout_0.json")))
+    r1 = json.load(open(os.path.join(work, "ckout_1.json")))
+    assert r0["ckpt_exists"] and r1["ckpt_exists"]
+    assert os.path.isdir(os.path.join(work, "ckpt", "mpshare", "asr.orbax"))
+    assert r0["resumed_step"] == r1["resumed_step"] == r0["step"] == 2
+    assert r0["loaded_ckpt"] and r1["loaded_ckpt"]
     np.testing.assert_allclose(r0["resumed_w"], r0["w"], rtol=1e-6)
     np.testing.assert_allclose(r1["resumed_w"], r0["w"], rtol=1e-6)
 
