@@ -1,17 +1,27 @@
-"""Pallas TPU kernel: fused LSTM time loop.
+"""Pallas TPU kernels: fused LSTM time loop, forward AND backward.
 
-The recurrence is the latency-bound core of this framework (pyramidal
-listener = ~1000 sequential cell steps per utterance batch).  XLA's
-``lax.scan`` emits one fused loop, but every step still round-trips the
-[B, 4H] gate block through the generic fusion path.  This kernel keeps the
-recurrent weights ``W_hh`` and the (h, c) carry resident in VMEM for the
-whole sequence and streams the precomputed input projections
+The recurrence is the sequential core of this framework (pyramidal
+listener = ~1000 cell steps per utterance batch).  XLA's ``lax.scan``
+emits one fused loop, but every step still round-trips the [B, 4H] gate
+block through the generic fusion path.  These kernels keep the recurrent
+weights ``W_hh`` and the (h, c) carries resident in VMEM for the whole
+sequence and stream the precomputed input projections
 ``Gx[t] = x_t @ W_ih + b`` through the grid pipeline (auto double-buffered
-HBM->VMEM), so each step is exactly one MXU matmul plus VPU gate math.
+HBM->VMEM), so each step is exactly one MXU matmul plus VPU gate math —
+measured at the MXU row-streaming floor (~0.5 us/step at B=32, H=256;
+docs/PERF.md round 3).
+
+Training path: ``lstm_scan_pallas_trainable`` — custom-VJP with
+hand-written forward and reverse-time backward kernels (unpacked residual
+streams + chunk-boundary sidecars), ``reverse=True`` for the backward
+BiLSTM direction via kernel index mirroring (no reverse_sequence
+gathers), adaptive DMA chunking for large batches (``_chunk_for``), and
+batch-parallel GSPMD partition rules so jit+auto-sharding keeps the
+kernels fused.
 
 Semantics match ``ops.rnn.lstm_scan``: packed-sequence masking (carry
-freezes, outputs zero past each sample's length).  Forward-only — training
-uses the differentiable scan; decode/eval paths can use this kernel.
+freezes, outputs zero past each sample's length).  ``lstm_seq_pallas`` is
+the forward-only variant for decode/eval paths.
 """
 
 from __future__ import annotations
