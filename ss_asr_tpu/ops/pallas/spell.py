@@ -37,6 +37,48 @@ from ss_asr_tpu.vocab import SOS_ID
 
 CHUNK = 8
 
+#: Max rows per kernel batch block: the backward keeps [CHUNK, BB, 4H]
+#: residual blocks (plus the attention streams) double-buffered in VMEM,
+#: which crosses the 16 MB scoped limit past BB~48.  Larger batches run on
+#: a 2-D grid (batch blocks x L chunks) — the recurrence is independent
+#: across rows, so the outer batch-block axis is embarrassingly parallel
+#: and every VMEM-resident block stays at the proven footprint.
+BATCH_BLOCK_MAX = 48
+
+#: Block-row cap past two blocks: XLA's scoped-vmem accounting for the
+#: backward call grows with the grid beyond the per-block footprint — at
+#: B=128 a BB=32 grid overflows the 16 MB scoped limit by 2.4 MB while
+#: BB=16 compiles and holds the linear-scaling throughput (20.12 ms,
+#: 6363 utt/s, on par with the XLA scan; docs/PROFILE_OPT.json phase 3).
+#: Verified points: (B<=48, single block), (B=64, BB=32), (B=128, BB=16).
+BATCH_BLOCK_LARGE = 16
+
+
+def _batch_block(B: int) -> Tuple[int, int]:
+    """(block rows BB, padded batch Bp) for a per-shard batch of B rows.
+    Prefers an exact divisor of B in [16, 48] (capped at 16 past two
+    blocks — see BATCH_BLOCK_LARGE); otherwise pads B up to a block
+    multiple (padded rows carry zero cotangents and are sliced off)."""
+    bbmax = BATCH_BLOCK_MAX
+    if B <= bbmax:
+        return B, B
+    if B > 2 * bbmax:
+        bbmax = min(bbmax, BATCH_BLOCK_LARGE)
+    for bb in range(bbmax, max(bbmax // 3, 1), -1):
+        if B % bb == 0:
+            return bb, B
+    bb = min(32, bbmax)
+    return bb, ((B + bb - 1) // bb) * bb
+
+
+def _pad_B(a, axis: int, Bp: int, fill=0.0):
+    B = a.shape[axis]
+    if B == Bp:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, Bp - B)
+    return jnp.pad(a, widths, constant_values=fill)
+
 
 # ---------------------------------------------------------------------------
 # forward kernel
@@ -48,8 +90,9 @@ def _fwd_kernel(
     ct_w_ref, ct_b_ref, emb_ref,
     logits_ref, a_ref, h1s_ref, c1s_ref, h2s_ref, c2s_ref, fed_ref,
     h1_ref, c1_ref, h2_ref, c2_ref, last_ref,
+    lidx=0,
 ):
-    k = pl.program_id(0)
+    k = pl.program_id(lidx)
     C = gum_ref.shape[0]
     B, S, F = enc_ref.shape
     H = h1_ref.shape[-1]
@@ -141,6 +184,7 @@ def _bwd_kernel(
     phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref, ct_w_ref,
     dg1_ref, dg2_ref, de_ref, dqp_ref, demb_ref,
     dh1_ref, dc1_ref, dh2_ref, dc2_ref,
+    lidx=0,
 ):
     """One reverse chunk.  Streams (suffix p = previous step, i.e. shifted):
     a, h1s..c2s = forward states at t; h1p..c2p = states at t-1; fedp = the
@@ -148,7 +192,7 @@ def _bwd_kernel(
     attention maps (zeros for a plain CE loss).  Outputs per step: dgates1,
     dgates2, de (attention-energy grad), dqpre (pre-tanh attention-query
     grad), demb (grad wrt the embedding fed into step t)."""
-    k = pl.program_id(0)
+    k = pl.program_id(lidx)
     C = a_ref.shape[0]
     B, S, F = enc_ref.shape
     H = dh1_ref.shape[-1]
@@ -299,26 +343,51 @@ def _run_fwd_core(enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
                   phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, ct_br, emb,
                   interpret):
     """Raw forward pallas_call on flat, Lp-padded operands (shapes may be
-    per-shard under custom_partitioning)."""
+    per-shard under custom_partitioning).  Batches past BATCH_BLOCK_MAX run
+    on a 2-D (batch-block, L-chunk) grid; padded rows are sliced off."""
     Lp, B, V = gumbel.shape
     S, F = enc_h.shape[1], enc_h.shape[2]
     H = whh1.shape[0]
     E = emb.shape[1]
     m = phi.shape[1]
 
-    full2 = lambda k: (0, 0)  # noqa: E731
-    full3 = lambda k: (0, 0, 0)  # noqa: E731
-    chunk3 = lambda k: (k, 0, 0)  # noqa: E731
+    BB, Bp = _batch_block(B)
+    if Bp != B:
+        enc_h = _pad_B(enc_h, 0, Bp)
+        comp_h = _pad_B(comp_h, 0, Bp)
+        lens2d = _pad_B(lens2d, 0, Bp, fill=1)
+        gumbel = _pad_B(gumbel, 1, Bp)
+        teacher_emb = _pad_B(teacher_emb, 1, Bp)
+    nb = Bp // BB
+
+    if nb == 1:
+        grid = (Lp // CHUNK,)
+        lidx = 0
+        full2 = lambda k: (0, 0)  # noqa: E731
+        full3 = lambda k: (0, 0, 0)  # noqa: E731
+        bfull3 = full3
+        chunk3 = lambda k: (k, 0, 0)  # noqa: E731
+        tfmap = lambda k: (k, 0)  # noqa: E731
+    else:
+        grid = (nb, Lp // CHUNK)  # L chunks innermost: carries walk L per block
+        lidx = 1
+        full2 = lambda b, k: (0, 0)  # noqa: E731
+        full3 = lambda b, k: (0, 0, 0)  # noqa: E731
+        bfull3 = lambda b, k: (b, 0, 0)  # noqa: E731
+        chunk3 = lambda b, k: (k, b, 0)  # noqa: E731
+        tfmap = lambda b, k: (k, 0)  # noqa: E731
+    blen2 = full2 if nb == 1 else (lambda b, k: (b, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(Lp // CHUNK,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((B, S, F), full3),
-            pl.BlockSpec((B, S, m), full3),
-            pl.BlockSpec((B, 1), full2),
-            pl.BlockSpec((CHUNK, 1), lambda k: (k, 0)),
-            pl.BlockSpec((CHUNK, B, V), chunk3),
-            pl.BlockSpec((CHUNK, B, E), chunk3),
+            pl.BlockSpec((BB, S, F), bfull3),
+            pl.BlockSpec((BB, S, m), bfull3),
+            pl.BlockSpec((BB, 1), blen2),
+            pl.BlockSpec((CHUNK, 1), tfmap),
+            pl.BlockSpec((CHUNK, BB, V), chunk3),
+            pl.BlockSpec((CHUNK, BB, E), chunk3),
             pl.BlockSpec(phi.shape, full2),
             pl.BlockSpec(wih1.shape, full2),
             pl.BlockSpec(whh1.shape, full2),
@@ -331,39 +400,42 @@ def _run_fwd_core(enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
             pl.BlockSpec(emb.shape, full2),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, V), chunk3),  # logits
-            pl.BlockSpec((CHUNK, B, S), chunk3),  # a
-            pl.BlockSpec((CHUNK, B, H), chunk3),  # h1
-            pl.BlockSpec((CHUNK, B, H), chunk3),  # c1
-            pl.BlockSpec((CHUNK, B, H), chunk3),  # h2
-            pl.BlockSpec((CHUNK, B, H), chunk3),  # c2
-            pl.BlockSpec((CHUNK, B, E), chunk3),  # fed
+            pl.BlockSpec((CHUNK, BB, V), chunk3),  # logits
+            pl.BlockSpec((CHUNK, BB, S), chunk3),  # a
+            pl.BlockSpec((CHUNK, BB, H), chunk3),  # h1
+            pl.BlockSpec((CHUNK, BB, H), chunk3),  # c1
+            pl.BlockSpec((CHUNK, BB, H), chunk3),  # h2
+            pl.BlockSpec((CHUNK, BB, H), chunk3),  # c2
+            pl.BlockSpec((CHUNK, BB, E), chunk3),  # fed
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, E), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, E), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        _fwd_kernel,
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, lidx=lidx),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Lp, B, V), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, S), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, E), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, V), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, S), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, E), jnp.float32),
         ],
         interpret=interpret,
     )(
         enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
         phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, ct_br, emb,
     )
+    if Bp != B:
+        outs = [o[:, :B] for o in outs]
+    return outs
 
 
 def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret):
@@ -389,7 +461,10 @@ def _run_fwd(enc_h, comp_h, lens2d, tf_draws, gumbel, teacher_emb, W, interpret)
 def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
                   a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
                   phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w, interpret):
-    """Raw backward pallas_call on flat, Lp-padded operands."""
+    """Raw backward pallas_call on flat, Lp-padded operands.  Same 2-D
+    (batch-block, L-chunk) grid policy as the forward: past BATCH_BLOCK_MAX
+    rows the residual blocks are walked per batch block so the VMEM
+    footprint never exceeds the proven BB<=48 budget."""
     Lp, B, S = a.shape
     F = enc_h.shape[2]
     H = h1s.shape[2]
@@ -397,22 +472,48 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
     m = phi.shape[1]
     V = ct_w.shape[1]
     Lc = Lp // CHUNK
-    full2 = lambda k: (0, 0)  # noqa: E731
-    full3 = lambda k: (0, 0, 0)  # noqa: E731
-    rev3 = lambda k: (Lc - 1 - k, 0, 0)  # noqa: E731
+
+    BB, Bp = _batch_block(B)
+    if Bp != B:
+        enc_h = _pad_B(enc_h, 0, Bp)
+        comp_h = _pad_B(comp_h, 0, Bp)
+        lens2d = _pad_B(lens2d, 0, Bp, fill=1)
+        dlogits = _pad_B(dlogits, 1, Bp)
+        daext = _pad_B(daext, 1, Bp)
+        a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp = (
+            _pad_B(x, 1, Bp)
+            for x in (a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp)
+        )
+    nb = Bp // BB
+
+    if nb == 1:
+        grid = (Lc,)
+        lidx = 0
+        full2 = lambda k: (0, 0)  # noqa: E731
+        bfull3 = lambda k: (0, 0, 0)  # noqa: E731
+        blen2 = full2
+        rev3 = lambda k: (Lc - 1 - k, 0, 0)  # noqa: E731
+    else:
+        grid = (nb, Lc)  # L chunks innermost: dh/dc carries walk L per block
+        lidx = 1
+        full2 = lambda b, k: (0, 0)  # noqa: E731
+        bfull3 = lambda b, k: (b, 0, 0)  # noqa: E731
+        blen2 = lambda b, k: (b, 0)  # noqa: E731
+        rev3 = lambda b, k: (Lc - 1 - k, b, 0)  # noqa: E731
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(Lc,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((B, S, F), full3),
-            pl.BlockSpec((B, S, m), full3),
-            pl.BlockSpec((B, 1), full2),
-            pl.BlockSpec((CHUNK, B, V), rev3),
-            pl.BlockSpec((CHUNK, B, S), rev3),  # daext
+            pl.BlockSpec((BB, S, F), bfull3),
+            pl.BlockSpec((BB, S, m), bfull3),
+            pl.BlockSpec((BB, 1), blen2),
+            pl.BlockSpec((CHUNK, BB, V), rev3),
+            pl.BlockSpec((CHUNK, BB, S), rev3),  # daext
         ]
-        + [pl.BlockSpec((CHUNK, B, S), rev3)]
-        + [pl.BlockSpec((CHUNK, B, H), rev3)] * 8
-        + [pl.BlockSpec((CHUNK, B, E), rev3)]
+        + [pl.BlockSpec((CHUNK, BB, S), rev3)]
+        + [pl.BlockSpec((CHUNK, BB, H), rev3)] * 8
+        + [pl.BlockSpec((CHUNK, BB, E), rev3)]
         + [
             pl.BlockSpec(phi.shape, full2),
             pl.BlockSpec(wih1.shape, full2),
@@ -424,28 +525,28 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
             pl.BlockSpec(ct_w.shape, full2),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, 4 * H), rev3),  # dgates1
-            pl.BlockSpec((CHUNK, B, 4 * H), rev3),  # dgates2
-            pl.BlockSpec((CHUNK, B, S), rev3),  # de
-            pl.BlockSpec((CHUNK, B, m), rev3),  # dqpre
-            pl.BlockSpec((CHUNK, B, E), rev3),  # demb
+            pl.BlockSpec((CHUNK, BB, 4 * H), rev3),  # dgates1
+            pl.BlockSpec((CHUNK, BB, 4 * H), rev3),  # dgates2
+            pl.BlockSpec((CHUNK, BB, S), rev3),  # de
+            pl.BlockSpec((CHUNK, BB, m), rev3),  # dqpre
+            pl.BlockSpec((CHUNK, BB, E), rev3),  # demb
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        _bwd_kernel,
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, lidx=lidx),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Lp, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, S), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, m), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, B, E), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, S), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, m), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, E), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -453,6 +554,9 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
         a, h1s, c1s, h2s, c2s, h1p, c1p, h2p, c2p, fedp,
         phi, wih1, whh1, b1r, wih2, whh2, b2r, ct_w,
     )
+    if Bp != B:
+        outs = [o[:, :B] for o in outs]
+    return outs
 
 
 def _run_bwd(enc_h, comp_h, lens2d, dlogits, daext, streams, W, interpret):

@@ -95,39 +95,14 @@ def _use_pallas_lstm() -> bool:
     return GSPMD_PARTITION or not _gspmd_axes_live()
 
 
-#: Per-device batch cap for the fused attend-and-spell kernels: their
-#: backward keeps [decode_step, B, 4H] residual blocks in VMEM, which
-#: crosses the 16 MB scoped limit past B~48 (measured superlinear step time
-#: at B=64, scoped-vmem compile OOM at B=128 — docs/PROFILE_OPT.json).
-#: Larger batches use the XLA scan decoder, which has no such cliff.
-SPELL_MAX_BATCH = 48
-
-
-def _gspmd_data_axis_size() -> int:
-    """Size of the 'data' axis of a live GSPMD mesh (1 otherwise) — the
-    factor by which a traced global batch exceeds the per-device batch."""
-    try:
-        am = jax.sharding.get_abstract_mesh()
-    except Exception:
-        return 1
-    if am is None or am.empty:
-        return 1
-    from ss_asr_tpu.parallel import mesh as pmesh
-
-    return int(dict(am.shape).get(pmesh.DATA_AXIS, 1))
-
-
 def _use_pallas_spell(batch: Optional[int] = None) -> bool:
     """Gate for the fused attend-and-spell kernels — same dispatch rule as
-    the LSTM kernels (both families carry GSPMD partition rules), plus the
-    VMEM-driven batch cap. The cap is PER-DEVICE: under jit+GSPMD the
-    traced ``batch`` is the global one, so it is divided by the mesh's
-    data-axis size before the comparison (under shard_map the kernel sees
-    local arrays and the axis count is 1 by construction)."""
-    if batch is not None:
-        local = max(1, batch // max(_gspmd_data_axis_size(), 1))
-        if local > SPELL_MAX_BATCH:
-            return False
+    the LSTM kernels (both families carry GSPMD partition rules).  The old
+    per-device batch cap (SPELL_MAX_BATCH=48, routing large batches to the
+    XLA scan) is gone: the kernels now run a 2-D (batch-block, L-chunk)
+    grid past ``spell.BATCH_BLOCK_MAX`` rows, so any batch keeps the proven
+    VMEM footprint (docs/PROFILE_OPT.json phase 3)."""
+    del batch
     return _use_pallas_lstm()
 
 

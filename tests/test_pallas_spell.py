@@ -130,3 +130,72 @@ def test_attention_map_cotangent_matches_scan(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5, err_msg="/".join(path)
         )
+
+
+@pytest.mark.parametrize("B", [6, 5])  # 6: exact-divisor blocks; 5: padded
+def test_batch_blocked_grid_matches_scan(rng, monkeypatch, B):
+    """Past BATCH_BLOCK_MAX rows the kernels run a 2-D (batch-block, L-chunk)
+    grid; values AND grads must match the scan through both the exact-divisor
+    and the padded-batch routes."""
+    from ss_asr_tpu.ops.pallas import spell as spell_mod
+
+    monkeypatch.setattr(spell_mod, "BATCH_BLOCK_MAX", 4)
+    S, L = 12, 9
+    params = las.init_asr(jax.random.key(0), CFG)
+    enc_h = jnp.asarray(rng.standard_normal((B, S, CFG.enc_out_dim)).astype(np.float32))
+    enc_lens = jnp.asarray([S - (i % 4) for i in range(B)])
+    y = jnp.asarray(rng.integers(1, VOCAB_SIZE, (B, L + 1)).astype(np.int32))
+    key = jax.random.key(5)
+
+    bb, bp = spell_mod._batch_block(B)
+    assert bb <= 4 and (bp > B) == (B == 5)
+
+    want_logits, want_a = las.attend_and_spell(
+        params, CFG, enc_h, enc_lens, L, teacher=y, key=key
+    )
+    got_logits, got_a = attend_and_spell_pallas(
+        params, CFG, enc_h, enc_lens, L, teacher=y, key=key, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), atol=2e-5)
+
+    def make_loss(spell_fn, **kw):
+        def loss(p, eh):
+            logits, _ = spell_fn(
+                p, CFG, eh, enc_lens, L, teacher=y, key=key, tf_rate=0.5, **kw
+            )
+            return losses.masked_ce_per_utt(logits, y[:, 1:], y)
+        return loss
+
+    (gp_s, ge_s) = jax.grad(make_loss(las.attend_and_spell), argnums=(0, 1))(params, enc_h)
+    (gp_p, ge_p) = jax.grad(
+        make_loss(attend_and_spell_pallas, interpret=True), argnums=(0, 1)
+    )(params, enc_h)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=2e-5)
+    for path in (
+        ("attention", "phi", "w"), ("attention", "psi", "w"),
+        ("decoder", "layer1", "w_ih"), ("decoder", "layer1", "w_hh"),
+        ("decoder", "layer2", "w_ih"), ("decoder", "layer2", "w_hh"),
+        ("char_trans", "w"), ("embed", "table"),
+    ):
+        a, b = gp_p, gp_s
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg="/".join(path)
+        )
+
+
+def test_batch_block_policy():
+    """Block-size policy pins the on-chip verified points: whole-batch
+    blocks to 48 rows, <=48-row divisor blocks to two blocks, 16-row
+    blocks beyond (B=128 @ BB=32 overflows scoped vmem; see spell.py)."""
+    from ss_asr_tpu.ops.pallas import spell as spell_mod
+
+    assert spell_mod._batch_block(32) == (32, 32)
+    assert spell_mod._batch_block(48) == (48, 48)
+    assert spell_mod._batch_block(64) == (32, 64)
+    assert spell_mod._batch_block(96) == (48, 96)
+    assert spell_mod._batch_block(128) == (16, 128)
+    bb, bp = spell_mod._batch_block(100)  # no divisor in range: padded
+    assert bb <= 16 and bp >= 100 and bp % bb == 0
