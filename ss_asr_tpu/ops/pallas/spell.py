@@ -45,30 +45,39 @@ CHUNK = 8
 #: and every VMEM-resident block stays at the proven footprint.
 BATCH_BLOCK_MAX = 48
 
-#: Block-row cap past two blocks: XLA's scoped-vmem accounting for the
-#: backward call grows with the grid beyond the per-block footprint — at
-#: B=128 a BB=32 grid overflows the 16 MB scoped limit by 2.4 MB while
-#: BB=16 compiles and holds the linear-scaling throughput (20.12 ms,
-#: 6363 utt/s, on par with the XLA scan; docs/PROFILE_OPT.json phase 3).
-#: Verified points: (B<=48, single block), (B=64, BB=32), (B=128, BB=16).
+#: Block-row cap for multi-block grids: a 48-row block inside a 2-D grid
+#: trips an internal Mosaic compile error on real TPU (B=96/BB=48 probe,
+#: round 3) even though the single-block BB=48 call compiles fine; BB=32
+#: compiles and holds the linear-scaling throughput (B=96: 14.61 ms,
+#: 6573 utt/s — the best recorded utt/s point).
+BATCH_BLOCK_MULTI = 32
+
+#: Block-row cap past two BATCH_BLOCK_MAX blocks: XLA's scoped-vmem
+#: accounting for the backward call grows with the grid beyond the
+#: per-block footprint — at B=128 a BB=32 grid overflows the 16 MB scoped
+#: limit by 2.4 MB while BB=16 compiles and holds throughput (20.12 ms,
+#: 6363 utt/s; B=256: 43.66 ms, 5864 utt/s; docs/PROFILE_OPT.json
+#: phase 3).  Verified points: (B<=48, single block), (B=64, BB=32),
+#: (B=96, BB=32), (B=128, BB=16), (B=256, BB=16).
 BATCH_BLOCK_LARGE = 16
 
 
 def _batch_block(B: int) -> Tuple[int, int]:
     """(block rows BB, padded batch Bp) for a per-shard batch of B rows.
-    Prefers an exact divisor of B in [16, 48] (capped at 16 past two
-    blocks — see BATCH_BLOCK_LARGE); otherwise pads B up to a block
-    multiple (padded rows carry zero cotangents and are sliced off)."""
-    bbmax = BATCH_BLOCK_MAX
-    if B <= bbmax:
+    Single block up to BATCH_BLOCK_MAX rows; multi-block grids prefer a
+    sublane-aligned (multiple-of-8) exact divisor of B capped at
+    BATCH_BLOCK_MULTI (BATCH_BLOCK_LARGE past two max blocks); otherwise
+    B pads up to a block multiple (padded rows carry zero cotangents and
+    are sliced off)."""
+    if B <= BATCH_BLOCK_MAX:
         return B, B
-    if B > 2 * bbmax:
+    bbmax = min(BATCH_BLOCK_MULTI, BATCH_BLOCK_MAX)
+    if B > 2 * BATCH_BLOCK_MAX:
         bbmax = min(bbmax, BATCH_BLOCK_LARGE)
-    for bb in range(bbmax, max(bbmax // 3, 1), -1):
-        if B % bb == 0:
+    for bb in range(bbmax, bbmax // 2 - 1, -1):
+        if B % bb == 0 and (bb % 8 == 0 or bbmax < 8):
             return bb, B
-    bb = min(32, bbmax)
-    return bb, ((B + bb - 1) // bb) * bb
+    return bbmax, ((B + bbmax - 1) // bbmax) * bbmax
 
 
 def _pad_B(a, axis: int, Bp: int, fill=0.0):
@@ -372,7 +381,6 @@ def _run_fwd_core(enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
         grid = (nb, Lp // CHUNK)  # L chunks innermost: carries walk L per block
         lidx = 1
         full2 = lambda b, k: (0, 0)  # noqa: E731
-        full3 = lambda b, k: (0, 0, 0)  # noqa: E731
         bfull3 = lambda b, k: (b, 0, 0)  # noqa: E731
         chunk3 = lambda b, k: (k, b, 0)  # noqa: E731
         tfmap = lambda b, k: (k, 0)  # noqa: E731

@@ -95,14 +95,13 @@ def _use_pallas_lstm() -> bool:
     return GSPMD_PARTITION or not _gspmd_axes_live()
 
 
-def _use_pallas_spell(batch: Optional[int] = None) -> bool:
+def _use_pallas_spell() -> bool:
     """Gate for the fused attend-and-spell kernels — same dispatch rule as
     the LSTM kernels (both families carry GSPMD partition rules).  The old
     per-device batch cap (SPELL_MAX_BATCH=48, routing large batches to the
     XLA scan) is gone: the kernels now run a 2-D (batch-block, L-chunk)
     grid past ``spell.BATCH_BLOCK_MAX`` rows, so any batch keeps the proven
     VMEM footprint (docs/PROFILE_OPT.json phase 3)."""
-    del batch
     return _use_pallas_lstm()
 
 

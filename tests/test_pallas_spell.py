@@ -188,14 +188,19 @@ def test_batch_blocked_grid_matches_scan(rng, monkeypatch, B):
 
 def test_batch_block_policy():
     """Block-size policy pins the on-chip verified points: whole-batch
-    blocks to 48 rows, <=48-row divisor blocks to two blocks, 16-row
-    blocks beyond (B=128 @ BB=32 overflows scoped vmem; see spell.py)."""
+    blocks to 48 rows, 32-row blocks to two max blocks (48-row blocks in
+    a multi-block grid trip a Mosaic internal error on real TPU — B=96
+    probe), 16-row blocks beyond (B=128 @ BB=32 overflows scoped vmem;
+    see spell.py)."""
     from ss_asr_tpu.ops.pallas import spell as spell_mod
 
     assert spell_mod._batch_block(32) == (32, 32)
     assert spell_mod._batch_block(48) == (48, 48)
     assert spell_mod._batch_block(64) == (32, 64)
-    assert spell_mod._batch_block(96) == (48, 96)
+    assert spell_mod._batch_block(96) == (32, 96)
     assert spell_mod._batch_block(128) == (16, 128)
-    bb, bp = spell_mod._batch_block(100)  # no divisor in range: padded
-    assert bb <= 16 and bp >= 100 and bp % bb == 0
+    assert spell_mod._batch_block(256) == (16, 256)
+    bb, bp = spell_mod._batch_block(101)  # prime: no divisor, padded route
+    assert bb == 16 and bp == 112 and bp % bb == 0
+    bb, bp = spell_mod._batch_block(100)  # 10 divides but is unaligned: pad
+    assert bb == 16 and bp == 112
