@@ -58,6 +58,51 @@ def test_zero_width_masks_are_identity(rng):
     np.testing.assert_array_equal(out, np.asarray(x))
 
 
+def test_adaptive_ratio_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="adaptive_size_ratio"):
+        SpecAugmentConfig.from_dict({"adaptive_size_ratio": 1.5})
+    with pytest.raises(ValueError, match="adaptive_number_ratio"):
+        SpecAugmentConfig.from_dict({"adaptive_number_ratio": -0.1})
+    c = SpecAugmentConfig.from_dict(
+        {"adaptive_size_ratio": 0.5, "adaptive_number_ratio": 0.1}
+    )
+    assert c.adaptive_size_ratio == 0.5 and c.adaptive_number_ratio == 0.1
+
+
+def test_adaptive_size_caps_width_per_utterance(rng):
+    """p_S > 0: each time mask's width is bounded by floor(p_S * len) for
+    THAT utterance — short rows get proportionally narrow masks."""
+    x, lens = _x(rng)  # lens = [20, 14, 8]
+    cfg = SpecAugmentConfig(n_freq_masks=0, freq_mask_width=0,
+                            n_time_masks=1, time_mask_width=1000,
+                            adaptive_size_ratio=0.5)
+    ln = np.asarray(lens)
+    for seed in range(8):
+        out = np.asarray(spec_augment(jax.random.key(seed), x, lens, cfg))
+        changed_t = (out != np.asarray(x)).any(axis=-1)  # [B, T]
+        for b in range(x.shape[0]):
+            assert changed_t[b].sum() <= int(0.5 * ln[b])
+
+
+def test_adaptive_number_skips_short_utterances(rng):
+    """p_M > 0: rows with floor(p_M * len) == 0 receive NO time masks while
+    longer rows still can; n_time_masks stays the static cap."""
+    x, lens = _x(rng)  # lens = [20, 14, 8]
+    cfg = SpecAugmentConfig(n_freq_masks=0, freq_mask_width=0,
+                            n_time_masks=4, time_mask_width=6,
+                            adaptive_number_ratio=0.1)
+    # floor(0.1 * len) = [2, 1, 0] active masks
+    long_rows_masked = False
+    for seed in range(8):
+        out = np.asarray(spec_augment(jax.random.key(seed), x, lens, cfg))
+        changed = out != np.asarray(x)
+        assert not changed[2].any(), "len-8 row must receive zero masks"
+        long_rows_masked |= bool(changed[0].any())
+    assert long_rows_masked, "len-20 rows must get masked across seeds"
+
+
 def test_trainer_runs_with_augment(tmp_path):
     from tests.conftest import write_asr_corpus
     from ss_asr_tpu.train import ASRTrainer, make_paras
