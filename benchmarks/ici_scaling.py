@@ -148,7 +148,17 @@ def measure_config(n_data, n_model, cfg, per_chip_b, T, L, reps=3):
     t_hi = _time_sharded_chain(mesh, cfg, per_chip_b, K_HI, T, L, reps)
     step_ms = (t_hi - t_lo) / (K_HI - K_LO) * 1e3
     B = per_chip_b * n_data
-    utt_per_s = B / step_ms * 1e3 if step_ms > 0 else float("nan")
+    if step_ms <= 0:
+        # differencing noise (possible at reps=1 on a loaded host): keep the
+        # artifact strict-JSON parseable — no NaN tokens
+        log(f"  [{label}] NON-POSITIVE differenced step ({step_ms:.3f} ms) — "
+            "timing noise; raise --reps")
+        return {
+            "n_data": n_data, "n_model": n_model, "global_B": B,
+            "step_ms": round(step_ms, 3), "utt_per_s": None,
+            "noise_suspect": True,
+        }
+    utt_per_s = B / step_ms * 1e3
     log(f"  [{label}] step {step_ms:.2f} ms -> {utt_per_s:.0f} utt/s global")
     return {
         "n_data": n_data, "n_model": n_model, "global_B": B,
@@ -156,7 +166,7 @@ def measure_config(n_data, n_model, cfg, per_chip_b, T, L, reps=3):
     }
 
 
-def run(n_devices, tiny=False, per_chip_b=32, T=512, L=48, reps=3,
+def run(n_devices, tiny=False, per_chip_b=None, T=512, L=48, reps=3,
         out_path=None):
     import jax
 
@@ -167,9 +177,12 @@ def run(n_devices, tiny=False, per_chip_b=32, T=512, L=48, reps=3,
             encoder_state_size=16, decoder_state_size=16, mlp_out_size=16,
             feature_dim=8,
         )
-        per_chip_b, T, L = 2, 16, 7
+        # an explicit per_chip_b still wins; only the unset default shrinks
+        per_chip_b = 2 if per_chip_b is None else per_chip_b
+        T, L = 16, 7
     else:
         cfg = las.ASRConfig()
+        per_chip_b = 32 if per_chip_b is None else per_chip_b
 
     results = {
         "device": str(jax.devices()[0]),
@@ -182,26 +195,34 @@ def run(n_devices, tiny=False, per_chip_b=32, T=512, L=48, reps=3,
         "configs": [],
     }
 
-    # weak-scaling DP sweep over powers of two
-    d = 1
+    # weak-scaling DP sweep: powers of two, always ending at the full slice
+    # (non-power-of-two topologies measure their true N headline point)
+    dp_points, d = [], 1
+    while d < n_devices:
+        dp_points.append(d)
+        d *= 2
+    dp_points.append(n_devices)
+
+    def eff(r, n_chips, dp1):
+        if dp1 and r["utt_per_s"]:
+            return round(r["utt_per_s"] / (dp1 * n_chips), 3)
+        return None
+
     dp1 = None
-    while d <= n_devices:
+    for d in dp_points:
         r = measure_config(d, 1, cfg, per_chip_b, T, L, reps)
         if d == 1:
             dp1 = r["utt_per_s"]
-        r["efficiency"] = round(r["utt_per_s"] / (dp1 * d), 3) if dp1 else None
+        r["efficiency"] = eff(r, d, dp1)
         results["configs"].append(r)
         _write(results, out_path)
-        d *= 2
 
     # data x model TP points
     for n_model in (2, 4):
         if n_devices % n_model == 0 and n_devices // n_model >= 1 and n_model <= n_devices:
             r = measure_config(n_devices // n_model, n_model, cfg,
                                per_chip_b, T, L, reps)
-            r["efficiency"] = (
-                round(r["utt_per_s"] / (dp1 * n_devices), 3) if dp1 else None
-            )
+            r["efficiency"] = eff(r, n_devices, dp1)
             results["configs"].append(r)
             _write(results, out_path)
 
@@ -220,11 +241,19 @@ def main(argv=None):
                     help="re-exec on N virtual CPU devices (smoke mode)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + shapes (CI smoke)")
-    ap.add_argument("--per-chip-b", type=int, default=32)
+    ap.add_argument("--per-chip-b", type=int, default=None,
+                    help="per-chip batch (default 32; 2 under --tiny)")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--out", default=os.path.join(REPO, "docs",
-                                                  "ICI_SCALING.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path; defaults to docs/ICI_SCALING.json "
+                         "for real-hardware runs and ICI_SCALING_SMOKE.json "
+                         "under --virtual/--tiny (so a smoke never clobbers "
+                         "the recorded real-chip artifact)")
     args = ap.parse_args(argv)
+    if args.out is None:
+        name = ("ICI_SCALING_SMOKE.json" if (args.virtual or args.tiny)
+                else "ICI_SCALING.json")
+        args.out = os.path.join(REPO, "docs", name)
 
     if args.virtual and not os.environ.get(_CHILD_ENV):
         env = dict(os.environ)
@@ -237,9 +266,10 @@ def main(argv=None):
         env["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={args.virtual}"
         ).strip()
-        child_args = ["--per-chip-b", str(args.per_chip_b),
-                      "--reps", str(args.reps), "--out", args.out,
+        child_args = ["--reps", str(args.reps), "--out", args.out,
                       "--virtual", str(args.virtual)]
+        if args.per_chip_b is not None:
+            child_args += ["--per-chip-b", str(args.per_chip_b)]
         if args.tiny:
             child_args.append("--tiny")
         # the config knob beats any sitecustomize platform override (same

@@ -73,6 +73,14 @@ class SpecAugmentConfig:
         return cfg
 
 
+def _floor_ratio(p: float, lens) -> "jax.Array":
+    """floor(p * lens) as int32. f32 products can land one ulp below an
+    exact integer (e.g. f32(0.13)*900 = 116.99999...), truncating to
+    floor-1; nudge before truncation to keep the documented floor(p*len)
+    semantics."""
+    return jnp.floor(p * lens.astype(jnp.float32) + 1e-3).astype(jnp.int32)
+
+
 def _interval_mask(key, n_masks: int, max_widths, size: int, limits,
                    active=None):
     """[B, size] bool — True where any of n_masks random intervals covers the
@@ -115,16 +123,13 @@ def spec_augment(
         F, jnp.full((B,), F, dtype=jnp.int32),
     )[:, None, :]  # [B, 1, F]
     if cfg.adaptive_size_ratio > 0.0:
-        t_widths = (cfg.adaptive_size_ratio * lens_i.astype(jnp.float32)
-                    ).astype(jnp.int32)
+        t_widths = _floor_ratio(cfg.adaptive_size_ratio, lens_i)
     else:
         t_widths = jnp.full((B,), cfg.time_mask_width, jnp.int32)
     t_active = None
     if cfg.adaptive_number_ratio > 0.0:
         t_active = jnp.minimum(
-            cfg.n_time_masks,
-            (cfg.adaptive_number_ratio * lens_i.astype(jnp.float32)
-             ).astype(jnp.int32),
+            cfg.n_time_masks, _floor_ratio(cfg.adaptive_number_ratio, lens_i)
         )
     tmask = _interval_mask(
         kt, cfg.n_time_masks, t_widths, T, lens_i, active=t_active

@@ -103,6 +103,18 @@ def test_adaptive_number_skips_short_utterances(rng):
     assert long_rows_masked, "len-20 rows must get masked across seeds"
 
 
+def test_floor_ratio_exact_integer_products():
+    """f32(p)*len can land one ulp below an exact integer (0.13*900 ->
+    116.99999...); _floor_ratio must still return the true floor."""
+    from ss_asr_tpu.ops.augment import _floor_ratio
+
+    lens = jnp.asarray([900, 300, 100, 7], dtype=jnp.int32)
+    got = np.asarray(_floor_ratio(0.13, lens))
+    np.testing.assert_array_equal(got, [117, 39, 13, 0])
+    got = np.asarray(_floor_ratio(0.21, lens))
+    np.testing.assert_array_equal(got, [189, 63, 21, 1])
+
+
 def test_trainer_runs_with_augment(tmp_path):
     from tests.conftest import write_asr_corpus
     from ss_asr_tpu.train import ASRTrainer, make_paras

@@ -154,6 +154,35 @@ def _config(idx: str, batch: int, parallel: bool) -> dict:
     return c
 
 
+def _run_workers(work: str, worker_src: str, fail_msg: str, nproc: int = 2):
+    """Spawn ``nproc`` jax.distributed worker processes (2 CPU devices
+    each) on a fresh coordinator port, wait with a timeout (killing the
+    stragglers on expiry), and assert every worker exited cleanly."""
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SS_ASR_REPO"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker_src, str(i), str(nproc), port, work],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(fail_msg)
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"{fail_msg}:\n{o[-3000:]}"
+
+
 def test_two_process_dp_matches_single_process(tmp_path):
     from tests.conftest import write_asr_corpus
 
@@ -167,29 +196,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     with open(os.path.join(work, "config.json"), "w") as f:
         json.dump(_config(idx, batch=4, parallel=True), f)
 
-    port = str(_free_port())
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["SS_ASR_REPO"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multi-process worker timed out")
-        outs.append(stdout.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    _run_workers(work, _WORKER, "multi-process worker failed")
 
     r0 = json.load(open(os.path.join(work, "out_0.json")))
     r1 = json.load(open(os.path.join(work, "out_1.json")))
@@ -243,29 +250,7 @@ def test_two_process_tp_mesh_trains(tmp_path):
     with open(os.path.join(work, "config.json"), "w") as f:
         json.dump(cfg, f)
 
-    port = str(_free_port())
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["SS_ASR_REPO"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multi-process TP worker timed out")
-        outs.append(stdout.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"TP worker failed:\n{o[-3000:]}"
+    _run_workers(work, _WORKER, "multi-process TP worker failed")
     r0 = json.load(open(os.path.join(work, "out_0.json")))
     r1 = json.load(open(os.path.join(work, "out_1.json")))
     np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
@@ -293,29 +278,7 @@ def test_two_process_shared_ckpdir_tp_save_and_resume(tmp_path):
     with open(os.path.join(work, "config.json"), "w") as f:
         json.dump(cfg, f)
 
-    port = str(_free_port())
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["SS_ASR_REPO"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER_CKPT, str(i), "2", port, work],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("shared-ckpdir worker timed out")
-        outs.append(stdout.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"shared-ckpdir worker failed:\n{o[-3000:]}"
+    _run_workers(work, _WORKER_CKPT, "shared-ckpdir worker failed")
 
     r0 = json.load(open(os.path.join(work, "ckout_0.json")))
     r1 = json.load(open(os.path.join(work, "ckout_1.json")))
@@ -350,29 +313,7 @@ def test_two_process_shared_ckpdir_orbax_save_and_resume(tmp_path):
     with open(os.path.join(work, "config.json"), "w") as f:
         json.dump(cfg, f)
 
-    port = str(_free_port())
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["SS_ASR_REPO"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER_CKPT, str(i), "2", port, work],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("orbax shared-ckpdir worker timed out")
-        outs.append(stdout.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"orbax worker failed:\n{o[-3000:]}"
+    _run_workers(work, _WORKER_CKPT, "orbax shared-ckpdir worker failed")
 
     r0 = json.load(open(os.path.join(work, "ckout_0.json")))
     r1 = json.load(open(os.path.join(work, "ckout_1.json")))
@@ -397,29 +338,8 @@ def test_uneven_corpus_does_not_deadlock(tmp_path):
     with open(os.path.join(work, "config.json"), "w") as f:
         json.dump(_config(idx, batch=4, parallel=True), f)
 
-    port = str(_free_port())
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["SS_ASR_REPO"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), "2", port, work],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("uneven-corpus run deadlocked (global step-count cap broken)")
-        outs.append(stdout.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    _run_workers(work, _WORKER,
+                 "uneven-corpus run deadlocked (global step-count cap broken)")
     r0 = json.load(open(os.path.join(work, "out_0.json")))
     r1 = json.load(open(os.path.join(work, "out_1.json")))
     # shards really were uneven, yet both dispatched the same (min) steps
