@@ -1,0 +1,97 @@
+"""Batch transcription CLI over the serving-path API (beyond-reference:
+the upstream has no inference entry point at all — decoding a file
+requires hand-assembling an ASRTester; reference src/trainer.py:547-592
+only decodes a preprocessed test index).
+
+    python -m ss_asr_tpu.cli.transcribe CKPT utt1.wav utt2.wav ...
+    python -m ss_asr_tpu.cli.transcribe CKPT --config conf/exp.yaml \
+        --lm result/exp/char_lm.npz --beam 8 --lm-weight 0.1 \
+        --out hyps.tsv fbank1.npy utt2.wav
+
+Inputs may be ``.wav`` files (any sample rate; resampled to --sr) or
+precomputed ``[T, n_mels]`` ``.npy`` log-mel fbanks (as written by
+``cli/preprocess.py``). Waveform inputs run through the in-program
+frontend; all inputs are decoded in batches of ``--batch`` through one
+jitted early-exit greedy (default) or beam-search program. Output is
+``path<TAB>transcript`` per line, to stdout or ``--out``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="ss_asr_tpu.transcribe")
+    parser.add_argument("checkpoint", help="ASR checkpoint (.npz or .orbax)")
+    parser.add_argument("inputs", nargs="+", help=".wav or fbank .npy files")
+    parser.add_argument("--config", default=None,
+                        help="experiment yaml (asr.mdl sizes, decode params, "
+                             "char_lm.mdl); omit for the flagship defaults")
+    parser.add_argument("--lm", default=None,
+                        help="char-LM checkpoint for shallow fusion")
+    parser.add_argument("--beam", type=int, default=None,
+                        help="beam size (default: config decode_beam_size, "
+                             "else greedy)")
+    parser.add_argument("--lm-weight", type=float, default=None,
+                        help="fusion weight (default: config decode_lm_weight)")
+    parser.add_argument("--max-steps", type=int, default=200)
+    parser.add_argument("--sr", type=int, default=22050,
+                        help="frontend sample rate (wavs are resampled)")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="decode batch size")
+    parser.add_argument("--out", default=None,
+                        help="write path<TAB>transcript lines here "
+                             "(default stdout)")
+    args = parser.parse_args(argv)
+
+    config = {}
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            config = yaml.safe_load(f) or {}
+
+    from ss_asr_tpu.api import Transcriber
+    from ss_asr_tpu.ops.frontend import compute_fbank
+    from ss_asr_tpu.data.audio import load_wav
+
+    kw = {"max_steps": args.max_steps, "sr": args.sr}
+    if args.beam is not None:
+        kw["beam_size"] = args.beam
+    if args.lm_weight is not None:
+        kw["lm_weight"] = args.lm_weight
+    t = Transcriber.from_checkpoint(
+        args.checkpoint, config=config, lm_path=args.lm, **kw
+    )
+
+    def to_fbank(path):
+        if path.endswith(".npy"):
+            fb = np.load(path)
+            if fb.ndim != 2 or fb.shape[1] != t.cfg.feature_dim:
+                raise SystemExit(
+                    f"{path}: expected [T, {t.cfg.feature_dim}] fbank, "
+                    f"got shape {fb.shape}"
+                )
+            return fb.astype(np.float32)
+        sr, y = load_wav(path, target_sr=args.sr)
+        return compute_fbank(np.asarray(y, dtype=np.float32), sr,
+                             n_mels=t.cfg.feature_dim)
+
+    sink = open(args.out, "w") if args.out else sys.stdout
+    try:
+        for i in range(0, len(args.inputs), args.batch):
+            chunk = args.inputs[i : i + args.batch]
+            hyps = t.transcribe_fbank([to_fbank(p) for p in chunk])
+            for path, hyp in zip(chunk, hyps):
+                print(f"{path}\t{hyp}", file=sink, flush=True)
+    finally:
+        if args.out:
+            sink.close()
+
+
+if __name__ == "__main__":
+    main()

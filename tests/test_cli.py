@@ -211,6 +211,54 @@ def test_generate_and_lm_predict_clis(tmp_path):
     pred_cli.main(args + ["--text", "halló heimur"])
 
 
+def test_transcribe_cli(tmp_path, rng, capsys):
+    """Batch transcription CLI: mixed wav + precomputed-fbank inputs decode
+    through one Transcriber; output is path<TAB>transcript per line (the
+    reference has NO inference entry point — src/trainer.py:547-592 only
+    decodes a preprocessed index)."""
+    import wave
+
+    import jax
+    import yaml
+
+    from ss_asr_tpu.cli import transcribe as tr_cli
+    from ss_asr_tpu.models import las
+    from ss_asr_tpu.utils import checkpoint as ckpt
+
+    mdl = {"encoder_state_size": 8, "decoder_state_size": 8,
+           "mlp_out_size": 8, "feature_dim": 40}
+    params = las.init_asr(jax.random.key(0), las.ASRConfig.from_dict(mdl))
+    ckp = str(tmp_path / "asr.npz")
+    ckpt.save_pytree(ckp, params)
+    conf_path = tmp_path / "conf.yaml"
+    conf_path.write_text(yaml.safe_dump({"asr": {"mdl": mdl}}), encoding="utf-8")
+
+    wav = tmp_path / "u.wav"
+    y = (0.1 * rng.standard_normal(8000) * 32767).astype(np.int16)
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(y.tobytes())
+    fb = tmp_path / "f.npy"
+    np.save(fb, rng.standard_normal((30, 40)).astype(np.float32))
+
+    out_path = tmp_path / "hyps.tsv"
+    tr_cli.main([ckp, str(wav), str(fb), "--config", str(conf_path),
+                 "--sr", "8000", "--max-steps", "6", "--batch", "2",
+                 "--out", str(out_path)])
+    lines = out_path.read_text(encoding="utf-8").splitlines()
+    assert len(lines) == 2
+    assert lines[0].split("\t")[0] == str(wav)
+    assert lines[1].split("\t")[0] == str(fb)
+
+    # stdout path + feature-dim validation
+    tr_cli.main([ckp, str(fb), "--config", str(conf_path), "--max-steps", "4"])
+    assert capsys.readouterr().out.startswith(str(fb) + "\t")
+    bad = tmp_path / "bad.npy"
+    np.save(bad, rng.standard_normal((10, 7)).astype(np.float32))
+    with pytest.raises(SystemExit, match="expected"):
+        tr_cli.main([ckp, str(bad), "--config", str(conf_path)])
+
+
 def test_step_timer_rolling_stats():
     import time as _time
 
