@@ -193,7 +193,19 @@ def _frame_by_slices(yp: jax.Array, nf: int, n_fft: int, hop: int) -> jax.Array:
     return jnp.concatenate(blocks, axis=-1)[..., :n_fft]  # [B, nf, n_fft]
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_mels", "win_ms", "stride_ms"))
+#: Batched-frontend implementation. "pallas" opts into the fused Pallas
+#: kernel (ops/pallas/frontend.py — the north-star fused
+#: STFT+mel+log kernel); measured a TIE with this XLA matmul pipeline on
+#: v5e (marginal 0.500 vs 0.494 ms/batch, e2e inside the run-to-run band;
+#: docs/PROFILE_FRONTEND.json fused_kernel_ab and the kernel module's
+#: docstring for why), so "auto" resolves to the XLA path.
+FRONTEND_IMPL = "auto"
+
+
+def _use_pallas_frontend() -> bool:
+    return FRONTEND_IMPL == "pallas"
+
+
 def log_mel_fbank_batch(
     y: jax.Array,
     n_samples: jax.Array,
@@ -223,8 +235,26 @@ def log_mel_fbank_batch(
     vmapped ``dynamic_update_slice`` (O(B·pad), not a full-width gather —
     a per-row take_along_axis over the whole buffer measured 10x slower
     than ``jnp.pad`` on v5e). Framing is slice-based (``_frame_by_slices``),
-    then ONE fused window·DFT matmul and the mel matmul — both MXU.
+    then ONE fused window·DFT matmul and the mel matmul — both MXU; on TPU
+    the frame/DFT/power/mel/log pipeline instead runs as ONE fused Pallas
+    kernel (``FRONTEND_IMPL``, ops/pallas/frontend.py) that keeps every
+    intermediate VMEM-resident.
     """
+    impl = "pallas" if _use_pallas_frontend() else "xla"
+    interpret = impl == "pallas" and jax.default_backend() != "tpu"
+    return _log_mel_fbank_batch(
+        y, n_samples, sr, n_mels, win_ms, stride_ms, impl, interpret
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_mels", "win_ms", "stride_ms", "impl",
+                     "interpret"),
+)
+def _log_mel_fbank_batch(
+    y, n_samples, sr, n_mels, win_ms, stride_ms, impl="xla", interpret=False
+):
     n_fft, hop = frame_params(sr, win_ms, stride_ms)
     pad = n_fft // 2
     y = y.astype(jnp.float32)
@@ -251,14 +281,20 @@ def log_mel_fbank_batch(
             lambda row, p, n: jax.lax.dynamic_update_slice(row, p, (n + pad,))
         )(yp, patch, ns[:, 0])
     nf = int(num_frames(y.shape[1], n_fft, hop))
-    frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
     wbasis = jnp.asarray(_windowed_dft_basis(n_fft))  # [n_fft, 2*n_bins]
-    spec = jnp.dot(frames, wbasis, precision=DFT_PRECISION)
-    n_bins = 1 + n_fft // 2
-    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2  # [B, nf, n_bins]
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))  # [n_bins, n_mels]
-    fb = jnp.dot(power, mel, precision=DFT_PRECISION)
-    fb = jnp.log(fb + LOG_EPS)
+    if impl == "pallas":
+        from ss_asr_tpu.ops.pallas.frontend import fbank_pallas
+
+        fb = fbank_pallas(yp, wbasis, mel, nf, n_fft, hop,
+                          interpret=interpret)
+    else:
+        frames = _frame_by_slices(yp, nf, n_fft, hop)  # [B, nf, n_fft]
+        spec = jnp.dot(frames, wbasis, precision=DFT_PRECISION)
+        n_bins = 1 + n_fft // 2
+        power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+        fb = jnp.dot(power, mel, precision=DFT_PRECISION)
+        fb = jnp.log(fb + LOG_EPS)
     if n_samples is None:
         return fb, jnp.full((y.shape[0],), nf, dtype=jnp.int32)
     frame_lens = num_frames(n_samples, n_fft, hop).astype(jnp.int32)

@@ -253,3 +253,49 @@ def test_batch_short_signals_match_one_shot():
         got = np.asarray(fb[b])[: int(fl[b])]
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("sr", [16000, 22050])
+def test_pallas_fused_kernel_matches_xla(sr, rng):
+    """The opt-in fused Pallas frontend kernel (ops/pallas/frontend.py)
+    matches the XLA matmul pipeline — interpret mode on CPU; the same
+    parity was measured on-chip at 2e-4 (HIGH-precision emulation;
+    docs/PROFILE_FRONTEND.json fused_kernel_ab)."""
+    import jax.numpy as jnp
+
+    B, N = 3, 2 * sr // 3
+    y = rng.standard_normal((B, N)).astype(np.float32)
+    ns = jnp.asarray([N, N - 777, N // 3], dtype=np.int32)
+    fb_x, fl_x = frontend._log_mel_fbank_batch(
+        jnp.asarray(y), ns, sr, 40, 25, 10, "xla", False
+    )
+    fb_p, fl_p = frontend._log_mel_fbank_batch(
+        jnp.asarray(y), ns, sr, 40, 25, 10, "pallas", True
+    )
+    np.testing.assert_array_equal(np.asarray(fl_x), np.asarray(fl_p))
+    np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), atol=5e-5)
+
+
+def test_pallas_fused_kernel_multi_cell_grid(rng):
+    """nf > NF_BLOCK walks the (B, frame-chunk) grid; chunk boundaries must
+    be seamless (every cell re-reads its k-1 overlap rows)."""
+    import jax.numpy as jnp
+
+    from ss_asr_tpu.ops.pallas import frontend as pfe
+
+    old = pfe.NF_BLOCK
+    pfe.NF_BLOCK = 32  # force several cells at a small test size
+    try:
+        sr = 16000
+        B, N = 2, 16000
+        y = rng.standard_normal((B, N)).astype(np.float32)
+        ns = jnp.asarray([N, N - 2048], dtype=np.int32)
+        fb_x, _ = frontend._log_mel_fbank_batch(
+            jnp.asarray(y), ns, sr, 40, 25, 10, "xla", False
+        )
+        fb_p, _ = frontend._log_mel_fbank_batch(
+            jnp.asarray(y), ns, sr, 40, 25, 10, "pallas", True
+        )
+        np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), atol=5e-5)
+    finally:
+        pfe.NF_BLOCK = old
