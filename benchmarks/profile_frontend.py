@@ -50,7 +50,7 @@ def main():
     outs = {}
     for prec in ("HIGHEST", "HIGH", "DEFAULT"):
         frontend.DFT_PRECISION = getattr(jax.lax.Precision, prec)
-        frontend.log_mel_fbank_batch.clear_cache()
+        frontend._log_mel_fbank_batch.clear_cache()
 
         def make_chain(K):
             @jax.jit

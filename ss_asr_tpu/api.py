@@ -133,7 +133,8 @@ class Transcriber:
         return ["" if e else o for e, o in zip(empty, out)]
 
     def transcribe_signal(self, y: np.ndarray, sr: Optional[int] = None) -> str:
-        fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr)
+        fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr,
+                           n_mels=self.cfg.feature_dim)
         return self.transcribe_fbank(fb)[0]
 
     def transcribe_stream(self, chunks, sr: Optional[int] = None) -> str:

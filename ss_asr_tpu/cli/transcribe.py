@@ -56,7 +56,7 @@ def main(argv=None):
             config = yaml.safe_load(f) or {}
 
     from ss_asr_tpu.api import Transcriber
-    from ss_asr_tpu.ops.frontend import compute_fbank
+    from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
     from ss_asr_tpu.data.audio import load_wav
 
     kw = {"max_steps": args.max_steps, "sr": args.sr}
@@ -68,24 +68,58 @@ def main(argv=None):
         args.checkpoint, config=config, lm_path=args.lm, **kw
     )
 
-    def to_fbank(path):
-        if path.endswith(".npy"):
-            fb = np.load(path)
-            if fb.ndim != 2 or fb.shape[1] != t.cfg.feature_dim:
-                raise SystemExit(
-                    f"{path}: expected [T, {t.cfg.feature_dim}] fbank, "
-                    f"got shape {fb.shape}"
-                )
-            return fb.astype(np.float32)
-        sr, y = load_wav(path, target_sr=args.sr)
-        return compute_fbank(np.asarray(y, dtype=np.float32), sr,
-                             n_mels=t.cfg.feature_dim)
+    def chunk_fbanks(chunk):
+        """Per-chunk fbanks: .npy rows load directly; wav rows run ONE
+        bucketed batched frontend call (real corpora have a distinct
+        length per file, so the per-file jitted frontend would recompile
+        for every wav — log_mel_fbank_batch's frames are numerically
+        identical to the per-row true-length signal, and padding the
+        signal buffer to a half-second grid and the row count to --batch
+        bounds the compile count by the bucket count)."""
+        fbs = [None] * len(chunk)
+        wav_rows, sigs = [], []
+        for j, path in enumerate(chunk):
+            if path.endswith(".npy"):
+                fb = np.load(path)
+                if fb.ndim != 2 or fb.shape[1] != t.cfg.feature_dim:
+                    raise SystemExit(
+                        f"{path}: expected [T, {t.cfg.feature_dim}] fbank, "
+                        f"got shape {fb.shape}"
+                    )
+                fbs[j] = fb.astype(np.float32)
+                continue
+            _, y = load_wav(path, target_sr=args.sr)
+            y = np.asarray(y, dtype=np.float32)
+            if y.size == 0:
+                # header-only / corrupt wav: empty transcript, like the
+                # zero-frame fbank path in Transcriber.transcribe_fbank
+                fbs[j] = np.zeros((0, t.cfg.feature_dim), np.float32)
+                continue
+            wav_rows.append(j)
+            sigs.append(y)
+        if sigs:
+            step = max(args.sr // 2, 1)
+            bucket = -(-max(len(s) for s in sigs) // step) * step
+            rows = max(len(sigs), args.batch)
+            buf = np.zeros((rows, bucket), np.float32)
+            ns = np.zeros((rows,), np.int32)
+            for r, s in enumerate(sigs):
+                buf[r, : len(s)] = s
+                ns[r] = len(s)
+            ns[len(sigs):] = 1  # padded rows: 1 sample, output discarded
+            fb, fl = log_mel_fbank_batch(
+                buf, ns, args.sr, n_mels=t.cfg.feature_dim
+            )
+            fb, fl = np.asarray(fb), np.asarray(fl)
+            for r, j in enumerate(wav_rows):
+                fbs[j] = fb[r, : fl[r]]
+        return fbs
 
     sink = open(args.out, "w") if args.out else sys.stdout
     try:
         for i in range(0, len(args.inputs), args.batch):
             chunk = args.inputs[i : i + args.batch]
-            hyps = t.transcribe_fbank([to_fbank(p) for p in chunk])
+            hyps = t.transcribe_fbank(chunk_fbanks(chunk))
             for path, hyp in zip(chunk, hyps):
                 print(f"{path}\t{hyp}", file=sink, flush=True)
     finally:

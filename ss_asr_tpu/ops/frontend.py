@@ -27,6 +27,7 @@ Semantics parity with librosa 0.6 ``melspectrogram``:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -198,12 +199,14 @@ def _frame_by_slices(yp: jax.Array, nf: int, n_fft: int, hop: int) -> jax.Array:
 #: STFT+mel+log kernel); measured a TIE with this XLA matmul pipeline on
 #: v5e (marginal 0.500 vs 0.494 ms/batch, e2e inside the run-to-run band;
 #: docs/PROFILE_FRONTEND.json fused_kernel_ab and the kernel module's
-#: docstring for why), so "auto" resolves to the XLA path.
+#: docstring for why), so "auto" resolves to the XLA path. Settable as
+#: the module global or the FRONTEND_IMPL environment variable (the env
+#: var wins; checked per call, so it also works after import).
 FRONTEND_IMPL = "auto"
 
 
 def _use_pallas_frontend() -> bool:
-    return FRONTEND_IMPL == "pallas"
+    return os.environ.get("FRONTEND_IMPL", FRONTEND_IMPL) == "pallas"
 
 
 def log_mel_fbank_batch(

@@ -49,7 +49,10 @@ from jax.experimental import pallas as pl
 
 #: Frames per grid cell. 512 rows keeps the frame block (~1 MB at 16 kHz)
 #: plus spectrum (~0.8 MB) and basis (~0.8 MB) comfortably inside VMEM
-#: while covering the flagship T=512 in one cell per row.
+#: while covering the flagship T=512 in one cell per row. Read at trace
+#: time (not part of the jit cache key): mutate + ``clear_cache()`` on
+#: ``fbank_pallas`` and ``ops.frontend._log_mel_fbank_batch``, the same
+#: discipline DFT_PRECISION A/Bs use (benchmarks/profile_frontend.py).
 NF_BLOCK = 512
 
 
@@ -80,17 +83,18 @@ def _dot(a, b, prec):
 
 def _fe_kernel(*refs, k, nfb, log_eps, prec):
     (*x_refs, wb_ref, mel_ref, out_ref) = refs
-    t = pl.program_id(1)
     # frame assembly: frame t is the lane-concat of hop-blocks t..t+k-1.
     # The k inputs are hop-pre-shifted views of the SAME signal (x_refs[j]
     # row r = hop-block r+j), so this cell's frames are k aligned
-    # [nfb, hop] loads at the same row offset — Mosaic cannot lane-concat
+    # [nfb, hop] blocks at the same row offset — Mosaic cannot lane-concat
     # sublane-shifted slices of one buffer ("offset mismatch on non-concat
-    # dimension"), but concat of these offset-0 loads is legal, and ONE
+    # dimension"), but concat of these whole-block loads is legal, and ONE
     # full-width dot keeps the XLA path's MXU tile count (the k
     # slab-decomposed dots pay +50% K-tile padding — measured slower).
+    # Each cell's BlockSpec carves its own nfb rows out of every view, so
+    # multi-cell grids DMA O(nf) total, not O(nt * nf).
     frames = jnp.concatenate(
-        [x_ref[0, pl.ds(t * nfb, nfb), :] for x_ref in x_refs], axis=1
+        [x_ref[0] for x_ref in x_refs], axis=1
     )  # [nfb, k*hop]
     spec = _dot(frames, wb_ref[...], prec)  # [nfb, 2*n_bins]
     n_bins = spec.shape[1] // 2
@@ -144,7 +148,7 @@ def fbank_pallas(
         ),
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, rows, hop), lambda b, t: (b, 0, 0))
+            pl.BlockSpec((1, nfb, hop), lambda b, t: (b, t, 0))
             for _ in range(k)
         ] + [
             pl.BlockSpec(wb.shape, lambda b, t: (0, 0)),

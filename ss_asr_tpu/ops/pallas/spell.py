@@ -62,18 +62,32 @@ BATCH_BLOCK_MULTI = 32
 BATCH_BLOCK_LARGE = 16
 
 
-def _batch_block(B: int) -> Tuple[int, int]:
+def _batch_block(B: int, H: int = 256) -> Tuple[int, int]:
     """(block rows BB, padded batch Bp) for a per-shard batch of B rows.
     Single block up to BATCH_BLOCK_MAX rows; multi-block grids prefer a
     sublane-aligned (multiple-of-8) exact divisor of B capped at
     BATCH_BLOCK_MULTI (BATCH_BLOCK_LARGE past two max blocks); otherwise
     B pads up to a block multiple (padded rows carry zero cotangents and
-    are sliced off)."""
-    if B <= BATCH_BLOCK_MAX:
+    are sliced off).
+
+    The three caps were VMEM-calibrated at the flagship H=256; the
+    per-row residual footprint scales ~linearly in H, so wider decoders
+    scale every cap down by ceil(H/256) (floor 8 = one sublane tile).
+    Probe-verified at H=512 on v5e: B=32 with BB=16 multi-block compiles
+    and runs; the unscaled BB=32 single block crashes the compiler."""
+    scale = max(1, -(-H // 256))
+
+    def scaled(cap: int) -> int:
+        # floor at one sublane tile, but never raise a (possibly
+        # test-patched) cap above its configured value
+        return max(min(8, cap), cap // scale)
+
+    bmax = scaled(BATCH_BLOCK_MAX)
+    if B <= bmax:
         return B, B
-    bbmax = min(BATCH_BLOCK_MULTI, BATCH_BLOCK_MAX)
-    if B > 2 * BATCH_BLOCK_MAX:
-        bbmax = min(bbmax, BATCH_BLOCK_LARGE)
+    bbmax = min(scaled(BATCH_BLOCK_MULTI), bmax)
+    if B > 2 * bmax:
+        bbmax = min(bbmax, scaled(BATCH_BLOCK_LARGE))
     for bb in range(bbmax, bbmax // 2 - 1, -1):
         if B % bb == 0 and (bb % 8 == 0 or bbmax < 8):
             return bb, B
@@ -360,7 +374,7 @@ def _run_fwd_core(enc_h, comp_h, lens2d, tf2d, gumbel, teacher_emb,
     E = emb.shape[1]
     m = phi.shape[1]
 
-    BB, Bp = _batch_block(B)
+    BB, Bp = _batch_block(B, H)
     if Bp != B:
         enc_h = _pad_B(enc_h, 0, Bp)
         comp_h = _pad_B(comp_h, 0, Bp)
@@ -481,7 +495,7 @@ def _run_bwd_core(enc_h, comp_h, lens2d, dlogits, daext,
     V = ct_w.shape[1]
     Lc = Lp // CHUNK
 
-    BB, Bp = _batch_block(B)
+    BB, Bp = _batch_block(B, H)
     if Bp != B:
         enc_h = _pad_B(enc_h, 0, Bp)
         comp_h = _pad_B(comp_h, 0, Bp)

@@ -241,14 +241,21 @@ def test_transcribe_cli(tmp_path, rng, capsys):
     fb = tmp_path / "f.npy"
     np.save(fb, rng.standard_normal((30, 40)).astype(np.float32))
 
+    empty_wav = tmp_path / "empty.wav"
+    with wave.open(str(empty_wav), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+
     out_path = tmp_path / "hyps.tsv"
-    tr_cli.main([ckp, str(wav), str(fb), "--config", str(conf_path),
+    tr_cli.main([ckp, str(wav), str(fb), str(empty_wav),
+                 "--config", str(conf_path),
                  "--sr", "8000", "--max-steps", "6", "--batch", "2",
                  "--out", str(out_path)])
     lines = out_path.read_text(encoding="utf-8").splitlines()
-    assert len(lines) == 2
+    assert len(lines) == 3
     assert lines[0].split("\t")[0] == str(wav)
     assert lines[1].split("\t")[0] == str(fb)
+    # header-only wav: clean empty transcript, not a crash mid-batch
+    assert lines[2].split("\t") == [str(empty_wav), ""]
 
     # stdout path + feature-dim validation
     tr_cli.main([ckp, str(fb), "--config", str(conf_path), "--max-steps", "4"])

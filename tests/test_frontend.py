@@ -278,13 +278,18 @@ def test_pallas_fused_kernel_matches_xla(sr, rng):
 
 def test_pallas_fused_kernel_multi_cell_grid(rng):
     """nf > NF_BLOCK walks the (B, frame-chunk) grid; chunk boundaries must
-    be seamless (every cell re-reads its k-1 overlap rows)."""
+    be seamless (the hop-pre-shifted views hand every cell its k
+    boundary-spanning hop-blocks)."""
     import jax.numpy as jnp
 
     from ss_asr_tpu.ops.pallas import frontend as pfe
 
     old = pfe.NF_BLOCK
+    # NF_BLOCK (like DFT_PRECISION) is read at trace time — mutate + clear
+    # the jit caches, the same discipline benchmarks/profile_frontend.py uses
     pfe.NF_BLOCK = 32  # force several cells at a small test size
+    pfe.fbank_pallas.clear_cache()
+    frontend._log_mel_fbank_batch.clear_cache()
     try:
         sr = 16000
         B, N = 2, 16000
@@ -299,3 +304,5 @@ def test_pallas_fused_kernel_multi_cell_grid(rng):
         np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_x), atol=5e-5)
     finally:
         pfe.NF_BLOCK = old
+        pfe.fbank_pallas.clear_cache()
+        frontend._log_mel_fbank_batch.clear_cache()
