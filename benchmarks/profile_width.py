@@ -142,12 +142,18 @@ def time_chain(chain, make_args, reps: int = 3) -> float:
 
 def measure_width(H: int, B: int, T: int = 512, L: int = 48):
     from ss_asr_tpu.models import las
+    from ss_asr_tpu.ops import rnn
     from ss_asr_tpu.train.optim import make_optimizer
 
     cfg = las.ASRConfig(encoder_state_size=H, decoder_state_size=H,
                         mlp_out_size=H // 2)
+    # At H >= 512 the spell backward kernel + any recurrent listener
+    # backward in one program crashes the TPU compiler (each compiles in
+    # isolation; see ops/rnn.py SPELL_IMPL) — wide widths measure the
+    # shipped wide-decoder config: fused listener kernels + scan decoder.
+    rnn.SPELL_IMPL = "auto" if H <= 256 else "scan"
     optim = make_optimizer("Adadelta", 1.0)
-    label = f"H={H} B={B} T={T} L={L}"
+    label = f"H={H} B={B} T={T} L={L} spell={rnn.SPELL_IMPL}"
 
     log(f"  [{label}] K={K_LO} ...")
     chain_lo, margs_lo = build_chain(cfg, optim, B, K_LO, T, L)
@@ -165,7 +171,7 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
         f"{step_flops / 1e9:.0f} GFLOP/step, {tflops_s:.1f} TFLOP/s "
         f"= {mfu * 100:.1f}% MFU")
     return {
-        "H": H, "B": B, "T": T, "L": L,
+        "H": H, "B": B, "T": T, "L": L, "spell_impl": rnn.SPELL_IMPL,
         "t_total_lo_ms": t_lo * 1e3, "t_total_hi_ms": t_hi * 1e3,
         "K_lo": K_LO, "K_hi": K_HI,
         "step_ms": step_ms, "utt_per_s": B / step_ms * 1e3,

@@ -84,6 +84,16 @@ def _gspmd_axes_live() -> bool:
 #: axes instead.
 GSPMD_PARTITION = True
 
+#: Attend-and-spell implementation, mirroring LSTM_IMPL: "auto" follows the
+#: LSTM gate, "scan"/"pallas" force one path. Known limit (v5e, round 3):
+#: at decoder widths H >= 512 a program containing BOTH the spell backward
+#: kernel and any recurrent listener backward (kernel or lax.scan) crashes
+#: the TPU compiler (isolated spell grad — incl. enc-h cotangents — and
+#: listener grads each compile fine; a non-recurrent traced producer also
+#: composes fine; docs/PROFILE_WIDTH.json). Wide-decoder training should
+#: set SPELL_IMPL = "scan".
+SPELL_IMPL = "auto"
+
 
 def _use_pallas_lstm() -> bool:
     if LSTM_IMPL == "pallas":
@@ -102,6 +112,10 @@ def _use_pallas_spell() -> bool:
     XLA scan) is gone: the kernels now run a 2-D (batch-block, L-chunk)
     grid past ``spell.BATCH_BLOCK_MAX`` rows, so any batch keeps the proven
     VMEM footprint (docs/PROFILE_OPT.json phase 3)."""
+    if SPELL_IMPL == "pallas":
+        return True
+    if SPELL_IMPL == "scan":
+        return False
     return _use_pallas_lstm()
 
 

@@ -204,3 +204,17 @@ def test_batch_block_policy():
     assert bb == 16 and bp == 112 and bp % bb == 0
     bb, bp = spell_mod._batch_block(100)  # 10 divides but is unaligned: pad
     assert bb == 16 and bp == 112
+
+
+def test_spell_impl_knob(monkeypatch):
+    """SPELL_IMPL mirrors LSTM_IMPL: "scan"/"pallas" force a path, "auto"
+    follows the LSTM gate. Escape hatch for the wide-decoder (H>=512)
+    compiler crash documented on the knob (ops/rnn.py)."""
+    from ss_asr_tpu.ops import rnn
+
+    monkeypatch.setattr(rnn, "SPELL_IMPL", "pallas")
+    assert rnn._use_pallas_spell()
+    monkeypatch.setattr(rnn, "SPELL_IMPL", "scan")
+    assert not rnn._use_pallas_spell()
+    monkeypatch.setattr(rnn, "SPELL_IMPL", "auto")
+    assert rnn._use_pallas_spell() == rnn._use_pallas_lstm()
