@@ -151,9 +151,16 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
     # backward in one program crashes the TPU compiler (each compiles in
     # isolation; see ops/rnn.py SPELL_IMPL) — wide widths measure the
     # shipped wide-decoder config: fused listener kernels + scan decoder.
-    rnn.SPELL_IMPL = "auto" if H <= 256 else "scan"
+    # The LSTM kernels compile at H=512 but crash the compiler at H=768
+    # (VMEM weight/stream footprint; ops/rnn.py LSTM_KERNEL_MAX_H), so
+    # wider listeners fall back to the lax.scan path. Both boundaries are
+    # also encoded as H-aware auto-gating in ops/rnn.py; they're set
+    # explicitly here so the artifact records the impls measured.
+    rnn.SPELL_IMPL = "auto" if H <= rnn.SPELL_KERNEL_MAX_H else "scan"
+    rnn.LSTM_IMPL = "auto" if H <= rnn.LSTM_KERNEL_MAX_H else "scan"
     optim = make_optimizer("Adadelta", 1.0)
-    label = f"H={H} B={B} T={T} L={L} spell={rnn.SPELL_IMPL}"
+    label = (f"H={H} B={B} T={T} L={L} "
+             f"spell={rnn.SPELL_IMPL} lstm={rnn.LSTM_IMPL}")
 
     log(f"  [{label}] K={K_LO} ...")
     chain_lo, margs_lo = build_chain(cfg, optim, B, K_LO, T, L)
@@ -171,7 +178,8 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
         f"{step_flops / 1e9:.0f} GFLOP/step, {tflops_s:.1f} TFLOP/s "
         f"= {mfu * 100:.1f}% MFU")
     return {
-        "H": H, "B": B, "T": T, "L": L, "spell_impl": rnn.SPELL_IMPL,
+        "H": H, "B": B, "T": T, "L": L,
+        "spell_impl": rnn.SPELL_IMPL, "lstm_impl": rnn.LSTM_IMPL,
         "t_total_lo_ms": t_lo * 1e3, "t_total_hi_ms": t_hi * 1e3,
         "K_lo": K_LO, "K_hi": K_HI,
         "step_ms": step_ms, "utt_per_s": B / step_ms * 1e3,
@@ -182,9 +190,24 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
 
 
 def main():
+    # merge into an existing artifact so single-config reruns
+    # (PROFILE_WIDTH_PLAN=1024:32) refresh one point, not the file
     results = {"device": str(jax.devices()[0]),
                "peak_tflops_assumed": V5E_BF16_PEAK_TFLOPS,
                "configs": []}
+    if os.path.exists(OUT_PATH):
+        try:
+            with open(OUT_PATH) as f:
+                results["configs"] = json.load(f).get("configs", [])
+        except Exception:
+            pass
+
+    def put(entry):
+        key = (entry.get("H"), entry.get("B"), entry.get("T"))
+        results["configs"] = [
+            c for c in results["configs"]
+            if (c.get("H"), c.get("B"), c.get("T")) != key
+        ] + [entry]
     plan_env = os.environ.get("PROFILE_WIDTH_PLAN")  # H:B[:T[:L]],...
     if plan_env:
         plan = []
@@ -197,11 +220,10 @@ def main():
         plan = [(256, 32, 512, 48), (512, 32, 512, 48), (1024, 32, 512, 48)]
     for H, B, T, L in plan:
         try:
-            results["configs"].append(measure_width(H, B, T=T, L=L))
+            put(measure_width(H, B, T=T, L=L))
         except Exception as e:
             log(f"  [H={H} B={B}] FAILED: {e}")
-            results["configs"].append(
-                {"H": H, "B": B, "T": T, "error": str(e)[:300]})
+            put({"H": H, "B": B, "T": T, "error": str(e)[:300]})
         with open(OUT_PATH, "w") as f:
             json.dump(results, f, indent=1)
     log(f"written {OUT_PATH}")

@@ -214,7 +214,7 @@ def attend_and_spell(
     # TPU fast path: the fused Pallas attend-and-spell kernels (fwd+bwd for
     # teacher mode, greedy-feedback fwd for eval); the TAE's tf_cutoff_last
     # quirk stays on the scan.
-    if rnn._use_pallas_spell() and not tf_cutoff_last:
+    if rnn._use_pallas_spell(cfg.decoder_state_size) and not tf_cutoff_last:
         if teacher is not None:
             from ss_asr_tpu.ops.pallas.spell import attend_and_spell_pallas
 

@@ -95,17 +95,32 @@ GSPMD_PARTITION = True
 SPELL_IMPL = "auto"
 
 
-def _use_pallas_lstm() -> bool:
+#: Widest hidden size the fused LSTM kernels auto-dispatch at. H=512 is
+#: the widest probe-verified width on v5e (full listener fwd+bwd compiles
+#: and runs); H=768 already crashes the TPU compiler — the VMEM-resident
+#: weight/stream footprint grows with H and the exact ceiling sits between
+#: the two. "auto" falls back to scan above this; "pallas" still forces.
+LSTM_KERNEL_MAX_H = 512
+
+#: Widest decoder the spell kernels auto-dispatch at: past 256, a program
+#: with BOTH the spell backward kernel and any recurrent listener backward
+#: crashes the TPU compiler (see SPELL_IMPL) — "auto" falls back to scan.
+SPELL_KERNEL_MAX_H = 256
+
+
+def _use_pallas_lstm(hidden_size: Optional[int] = None) -> bool:
     if LSTM_IMPL == "pallas":
         return True
     if LSTM_IMPL == "scan":
         return False
     if jax.default_backend() != "tpu":
         return False
+    if hidden_size is not None and hidden_size > LSTM_KERNEL_MAX_H:
+        return False
     return GSPMD_PARTITION or not _gspmd_axes_live()
 
 
-def _use_pallas_spell() -> bool:
+def _use_pallas_spell(hidden_size: Optional[int] = None) -> bool:
     """Gate for the fused attend-and-spell kernels — same dispatch rule as
     the LSTM kernels (both families carry GSPMD partition rules).  The old
     per-device batch cap (SPELL_MAX_BATCH=48, routing large batches to the
@@ -115,6 +130,8 @@ def _use_pallas_spell() -> bool:
     if SPELL_IMPL == "pallas":
         return True
     if SPELL_IMPL == "scan":
+        return False
+    if hidden_size is not None and hidden_size > SPELL_KERNEL_MAX_H:
         return False
     return _use_pallas_lstm()
 
@@ -334,7 +351,7 @@ def bilstm_scan(
     On TPU the per-direction sequence runs through the fused Pallas kernels
     (see ``LSTM_IMPL``).
     """
-    if _use_pallas_lstm():
+    if _use_pallas_lstm(int(p["fwd"]["w_hh"].shape[0])):
         itp = PALLAS_INTERPRET
         # the fused dual-direction kernel has NO GSPMD partition rule, so it
         # must not be dispatched under live GSPMD axes

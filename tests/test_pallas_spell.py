@@ -218,3 +218,12 @@ def test_spell_impl_knob(monkeypatch):
     assert not rnn._use_pallas_spell()
     monkeypatch.setattr(rnn, "SPELL_IMPL", "auto")
     assert rnn._use_pallas_spell() == rnn._use_pallas_lstm()
+    # H-aware auto gating: wide decoders fall back to scan (compiler
+    # crash boundary), wide LSTMs past the VMEM weight limit likewise;
+    # explicit "pallas" still forces the kernel
+    assert not rnn._use_pallas_spell(rnn.SPELL_KERNEL_MAX_H + 1)
+    assert not rnn._use_pallas_lstm(rnn.LSTM_KERNEL_MAX_H + 1)
+    monkeypatch.setattr(rnn, "SPELL_IMPL", "pallas")
+    assert rnn._use_pallas_spell(rnn.SPELL_KERNEL_MAX_H + 1)
+    monkeypatch.setattr(rnn, "LSTM_IMPL", "pallas")
+    assert rnn._use_pallas_lstm(rnn.LSTM_KERNEL_MAX_H + 1)
