@@ -19,4 +19,22 @@ training and char-LM shallow fusion), designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Restore standard JAX env-var semantics: an external platform plugin's
+    # boot hook (e.g. the axon TPU relay's sitecustomize) may have set the
+    # jax_platforms *config* knob, which silently outranks the JAX_PLATFORMS
+    # env var. When the plugin's backend hangs at init (relay down), that
+    # override turns an explicit `JAX_PLATFORMS=cpu` run into a deadlock.
+    # Re-assert the env var through the config knob; harmless no-op when the
+    # two already agree or when backends are initialized.
+    import jax as _jax
+
+    try:
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from ss_asr_tpu import vocab  # noqa: F401
