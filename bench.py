@@ -74,6 +74,7 @@ def _flagship():
 K_LO, K_HI = 6, 22
 
 
+
 def _time_total(chain_fn, make_args, reps=3):
     """Median TOTAL seconds of one chained program on fresh buffers.
 
@@ -101,6 +102,7 @@ def _time_total(chain_fn, make_args, reps=3):
         out = chain_fn(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+        log(f"  rep {rep}: {times[-1]:.3f}s")  # also the supervisor heartbeat
     times.sort()
     return times[len(times) // 2], out
 
@@ -368,6 +370,7 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
     def run_variant_at(mk, k, key, iters):
         run = mk(k)
         jax.block_until_ready(run(key))  # compile
+        log("    compiled")  # supervisor heartbeat
         lat = []
         for i in range(iters):
             kk = jax.random.fold_in(key, i)
@@ -418,6 +421,103 @@ def get_torch_baseline(B: int, T: int, L: int, allow_measure: bool) -> float | N
     return val
 
 
+_FELL_BACK_ENV = "_SS_ASR_BENCH_PLATFORM_FALLBACK"
+_CHILD_ENV = "_SS_ASR_BENCH_CHILD"
+
+
+def _supervise() -> int:
+    """Run the real bench in a child process; on hang, re-run it on CPU.
+
+    The axon sitecustomize registers an external TPU platform whose PJRT
+    bring-up — or any later compile/dispatch — blocks indefinitely when the
+    relay tunnel drops, and the hung RPC does NOT release the GIL: no
+    in-process watchdog thread can ever fire, so the hung process is
+    unrecoverable from inside. Hence this supervisor: the parent never
+    touches jax; it spawns the actual benchmark as a child (same argv,
+    ``_SS_ASR_BENCH_CHILD=1``), forwards its stderr live, and treats
+    "no stderr output for SS_ASR_BENCH_STALL_S seconds" (default 300;
+    every compile and every timing rep logs a line, so healthy gaps are
+    bounded by one compile) as a relay hang: the child's process group is
+    killed and the bench re-runs once with JAX_PLATFORMS=cpu, whose JSON
+    then carries ``platform_fallback: "cpu"`` so a CPU number can never
+    masquerade as a TPU record. An explicit JAX_PLATFORMS env var is the
+    caller's decision — supervision is skipped entirely then.
+    """
+    import selectors
+    import signal
+    import subprocess
+
+    stall_s = float(os.environ.get("SS_ASR_BENCH_STALL_S", 300))
+    poll_s = min(10.0, max(0.25, stall_s / 4))
+
+    for platform in (None, "cpu"):
+        env = dict(os.environ)
+        env[_CHILD_ENV] = "1"
+        if platform:
+            env["JAX_PLATFORMS"] = platform
+            env[_FELL_BACK_ENV] = "1"
+            # the axon sitecustomize dials the relay at INTERPRETER startup
+            # when this is set — the fallback child must never touch it
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            log(f"supervisor: re-running bench on {platform}")
+        proc = subprocess.Popen(
+            [sys.executable, "-u", sys.argv[0], *sys.argv[1:]],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            start_new_session=True,  # killpg must not reach the supervisor
+        )
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stderr, selectors.EVENT_READ)
+        last = time.time()
+        stalled = False
+        while True:
+            if sel.select(timeout=poll_s):
+                data = os.read(proc.stderr.fileno(), 65536)
+                if data:
+                    sys.stderr.buffer.write(data)
+                    sys.stderr.flush()
+                    last = time.time()
+                elif proc.poll() is not None:
+                    break  # EOF + exited
+            if proc.poll() is not None and sel.select(timeout=0) == []:
+                break
+            if platform is None and time.time() - last > stall_s:
+                # CPU runs are local compute: slow is possible, hung is not
+                stalled = True
+                log(f"supervisor: no output from the bench child for "
+                    f">{stall_s:.0f}s (TPU relay hung?); killing it")
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                break
+        sel.close()
+        try:
+            rc = proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            rc = -9
+        out = proc.stdout.read() or b""
+        if rc == 0 and out.strip():
+            sys.stdout.buffer.write(out)
+            sys.stdout.flush()
+            return 0
+        if not stalled:
+            log(f"supervisor: bench child exited rc={rc} with"
+                f"{'out' if not out.strip() else ''} output")
+        if platform == "cpu":
+            # last resort: an explicit error artifact beats silence
+            print(json.dumps({
+                "metric": "e2e_fbank_train_step_throughput",
+                "value": 0.0,
+                "unit": "utt/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"bench failed on relay and on cpu (rc={rc})",
+            }))
+            return 1
+    return 1  # pragma: no cover
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI/CPU)")
@@ -432,6 +532,14 @@ def main():
         default="e2e",
     )
     args = ap.parse_args()
+
+    # Supervise unless the caller explicitly forced a non-relay backend
+    # (the driver env pre-sets JAX_PLATFORMS=axon — that still needs the
+    # supervisor; an explicit =cpu means a local run that cannot hang).
+    if (not os.environ.get(_CHILD_ENV)
+            and os.environ.get("JAX_PLATFORMS", "axon") in ("", "axon")):
+        sys.exit(_supervise())
+    fallback = "cpu" if os.environ.get(_FELL_BACK_ENV) else None
 
     if args.quick:
         B, T, L = 8, 64, 16
@@ -451,6 +559,8 @@ def main():
         }
         if "greedy_early_exit" in suspects:
             out["replay_suspect"] = True
+        if fallback:
+            out["platform_fallback"] = fallback
         print(json.dumps(out))
         return
 
@@ -471,6 +581,8 @@ def main():
         }
         if B / value * 1e3 < floor_ms:
             out["replay_suspect"] = True
+        if fallback:
+            out["platform_fallback"] = fallback
         print(json.dumps(out))
         return
 
@@ -535,7 +647,8 @@ def main():
         # --full metrics so a mixed artifact cannot pass as one measurement
         details["full_metrics_from_previous_run"] = True
 
-    if not args.quick:  # quick (CI) shapes must not clobber the TPU record
+    if not args.quick and not fallback:  # quick (CI) shapes / a CPU-fallback
+        # run must not clobber the TPU record
         os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
         with open(DETAILS_PATH, "w") as f:
             json.dump(details, f, indent=1)
@@ -549,6 +662,8 @@ def main():
     }
     if e2e_suspect:
         headline["replay_suspect"] = True
+    if fallback:
+        headline["platform_fallback"] = fallback
     print(json.dumps(headline))
 
 
