@@ -1,0 +1,283 @@
+"""Dynamic-batching serving runtime over the Transcriber API.
+
+The reference decodes serially, one utterance at a time, in the tester loop
+(reference src/trainer.py:587-591 — its ``decode_jobs`` knob is read but
+never used); it has no serving surface at all. This module is the TPU-native
+production-serving piece: concurrent requests are coalesced into ONE decode
+program invocation, which is what actually matters on this hardware —
+
+* every decode program is specialized on its padded (B, T) shape, so the
+  batch-size axis is padded UP a small power-of-two lattice and the time
+  axis rides Transcriber's ``t_bucket`` rounding: the number of distinct
+  executables (compiles) is bounded by |B lattice| x |T buckets|, and every
+  batch after warm-up hits the executable cache;
+* one batched invocation amortizes the per-program dispatch overhead and
+  fills MXU rows (a B=1 decode streams 1 of 128 MXU rows; B=16 streams 16
+  at the same per-step cost — see docs/PERF.md on row-streaming).
+
+Usage::
+
+    t = Transcriber.from_checkpoint("asr.npz", config)
+    with BatchingTranscriber(t, max_batch=16, max_wait_ms=5) as bt:
+        futs = [bt.submit(fb) for fb in fbanks]   # from any thread
+        texts = [f.result() for f in futs]
+
+``serve_http`` wraps it in a stdlib threaded HTTP server (POST /transcribe
+with a WAV body -> {"text": ...}); batching emerges from concurrent request
+threads sharing one BatchingTranscriber. See cli/serve.py.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class ServeStats:
+    """Counters for observing batching behavior (guarded by the owner's
+    lock; read them after close() or treat reads as approximate)."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0  # lattice fill rows (wasted compute, bounded)
+    batch_sizes: List[int] = field(default_factory=list)  # padded sizes
+    wait_ms: List[float] = field(default_factory=list)  # queue wait per batch
+
+    def as_dict(self) -> dict:
+        d = {
+            "requests": self.requests,
+            "batches": self.batches,
+            "padded_rows": self.padded_rows,
+        }
+        if self.batch_sizes:
+            d["mean_batch"] = sum(self.batch_sizes) / len(self.batch_sizes)
+        if self.wait_ms:
+            w = sorted(self.wait_ms)
+            d["queue_wait_p50_ms"] = round(w[len(w) // 2], 3)
+            d["queue_wait_p99_ms"] = round(w[min(len(w) - 1,
+                                                 int(len(w) * 0.99))], 3)
+        return d
+
+
+def _lattice(max_batch: int) -> tuple:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+class BatchingTranscriber:
+    """Thread-safe dynamic batcher in front of a Transcriber.
+
+    ``submit`` enqueues one ``[T, feature_dim]`` fbank and returns a Future
+    resolving to its transcript. A worker thread drains the queue: it takes
+    the oldest request, waits up to ``max_wait_ms`` for the batch to fill to
+    ``max_batch`` (the wait is skipped when the queue already holds a full
+    batch), pads the row count up the power-of-two lattice with zero-frame
+    rows (decoded transcripts of pad rows are discarded; Transcriber maps
+    zero-frame rows to ""), and resolves the futures in submission order.
+
+    Exceptions from the underlying decode fail that batch's futures, not
+    the server. ``close()`` drains the queue before stopping.
+    """
+
+    def __init__(
+        self,
+        transcriber,
+        max_batch: int = 16,
+        max_wait_ms: float = 5.0,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._t = transcriber
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._lattice = _lattice(self.max_batch)
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self.stats = ServeStats()
+        self._worker = threading.Thread(
+            target=self._run, name="ss-asr-serve-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------
+    def submit(self, fbank: np.ndarray) -> Future:
+        """Enqueue one [T, feature_dim] fbank; returns Future[str]."""
+        fbank = np.asarray(fbank, dtype=np.float32)
+        if fbank.ndim != 2 or fbank.shape[1] != self._t.cfg.feature_dim:
+            raise ValueError(
+                f"expected [T, {self._t.cfg.feature_dim}] fbank, "
+                f"got shape {fbank.shape}"
+            )
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingTranscriber is closed")
+            self._q.append((fbank, fut, time.perf_counter()))
+            self.stats.requests += 1
+            self._cv.notify()
+        return fut
+
+    def transcribe_fbank(self, fbanks: Sequence[np.ndarray]) -> List[str]:
+        """Batched convenience with Transcriber's signature."""
+        futs = [self.submit(f) for f in fbanks]
+        return [f.result() for f in futs]
+
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Stop accepting work, drain the queue, join the worker."""
+        with self._cv:
+            if self._closed:
+                return
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker side ----------------------------------------------------
+    def _take_batch(self):
+        """Block for the first request, then linger up to max_wait_s for a
+        full batch. Returns a list of (fbank, future, t_submit) or None on
+        shutdown with an empty queue."""
+        with self._cv:
+            while not self._q and not self._closed:
+                self._cv.wait()
+            if not self._q:
+                return None  # closed and drained
+            deadline = time.perf_counter() + self.max_wait_s
+            while (len(self._q) < self.max_batch and not self._closed):
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                self._cv.wait(timeout=left)
+            n = min(len(self._q), self.max_batch)
+            return [self._q.popleft() for _ in range(n)]
+
+    def _run(self):
+        feat = self._t.cfg.feature_dim
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            fbanks = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            now = time.perf_counter()
+            waits = [(now - b[2]) * 1e3 for b in batch]
+            padded = next(b for b in self._lattice if b >= len(fbanks))
+            n_pad = padded - len(fbanks)
+            fbanks.extend(
+                np.zeros((0, feat), np.float32) for _ in range(n_pad)
+            )
+            try:
+                texts = self._t.transcribe_fbank(fbanks)
+            except Exception as e:  # noqa: BLE001 — fail the batch, not the server
+                for f in futs:
+                    if not f.cancelled():
+                        f.set_exception(e)
+                continue
+            with self._cv:
+                self.stats.batches += 1
+                self.stats.padded_rows += n_pad
+                self.stats.batch_sizes.append(padded)
+                self.stats.wait_ms.extend(waits)
+            for f, text in zip(futs, texts):
+                if not f.cancelled():
+                    f.set_result(text)
+
+
+# ----------------------------------------------------------------------
+def serve_http(
+    batcher: BatchingTranscriber,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    sr: Optional[int] = None,
+    ready_event: Optional[threading.Event] = None,
+):
+    """Blocking threaded HTTP server over a BatchingTranscriber.
+
+    POST /transcribe   body = WAV bytes -> {"text": "..."}
+    GET  /healthz      -> {"ok": true}
+    GET  /stats        -> batching counters (ServeStats.as_dict)
+
+    Each request thread computes the frontend for its own utterance and
+    parks on the batcher future, so decode batching emerges from concurrent
+    clients. Returns the server object if ``ready_event`` is given (caller
+    drives serve_forever); otherwise serves until interrupted.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ss_asr_tpu.data.audio import read_wav, resample
+    from ss_asr_tpu.ops.frontend import compute_fbank
+
+    target_sr = sr or batcher._t.sr
+    feat = batcher._t.cfg.feature_dim
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats carry the signal
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                with batcher._cv:
+                    d = batcher.stats.as_dict()
+                self._reply(200, d)
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                wav_sr, y = read_wav(io.BytesIO(self.rfile.read(n)))
+                if wav_sr != target_sr:
+                    y = resample(y, wav_sr, target_sr)
+                if y.size == 0:
+                    self._reply(200, {"text": ""})
+                    return
+                fb = np.asarray(
+                    compute_fbank(np.asarray(y, np.float32), target_sr,
+                                  n_mels=feat)
+                )
+                text = batcher.submit(fb).result()
+                self._reply(200, {"text": text})
+            except Exception as e:  # noqa: BLE001 — bad input must not kill the server
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    if ready_event is not None:
+        ready_event.set()
+        return server
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
