@@ -20,6 +20,7 @@ semantics the reference intended.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -51,9 +52,9 @@ def beam_decode(
     ``length_norm`` selects the final hypothesis by score / length instead of
     raw log-prob sum — counters the short-hypothesis bias of un-normalized
     beam scores (the Google-NMT-style simple normalization)."""
-    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
-    toks, parents, final_scores, final_done, hyp_lens = _beam_scan(
-        params, cfg, enc_h, enc_lens, beam_size, max_steps, lm_params, lm_cfg, lm_weight
+    toks, parents, final_scores, final_done, hyp_lens = _beam_device(
+        params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_cfg,
+        lm_weight,
     )
     scores = np.asarray(final_scores)
     if length_norm:
@@ -64,6 +65,24 @@ def beam_decode(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight")
+)
+def _beam_device(params, cfg, x, x_lens, K, max_steps, lm_params, lm_cfg,
+                 lm_weight):
+    """Listener + beam frontier scan as ONE cached executable — an eager
+    call here would re-trace and dispatch op-by-op per request (see
+    decode/greedy.py on why the entry points jit at the source)."""
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    return _beam_scan(
+        params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg,
+        lm_weight,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight")
+)
 def _beam_scan(
     params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg, lm_weight
 ):

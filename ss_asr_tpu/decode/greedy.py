@@ -11,6 +11,7 @@ decodes in a single ``lax.scan`` with per-sample done flags, on device.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -21,7 +22,18 @@ from ss_asr_tpu.models import las
 from ss_asr_tpu.ops import rnn
 from ss_asr_tpu.vocab import EOS_ID, SOS_ID
 
+#: the public entry points are jitted HERE so every caller (Transcriber,
+#: tester, serving) gets the cached executable — an eager call re-traces
+#: and dispatches op-by-op on every invocation, which costs ~seconds per
+#: call and is what a serving path can least afford. Configs are frozen
+#: dataclasses (hashable), so they ride as static args; one executable is
+#: cached per (B, T, max_steps, lm on/off, lm_weight) combination.
+_jit_decode = functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "lm_cfg", "lm_weight")
+)
 
+
+@_jit_decode
 def greedy_decode(
     params: Dict,
     cfg: las.ASRConfig,
@@ -44,6 +56,7 @@ def greedy_decode(
     )
 
 
+@_jit_decode
 def fused_decode_from_memory(
     params: Dict,
     cfg: las.ASRConfig,
@@ -103,6 +116,7 @@ def _finalize(toks: jax.Array, max_steps: int) -> Tuple[jax.Array, jax.Array]:
     return toks, lengths
 
 
+@_jit_decode
 def greedy_decode_early_exit(
     params: Dict,
     cfg: las.ASRConfig,

@@ -165,6 +165,9 @@ def _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret):
     return jnp.swapaxes(toks, 0, 1)  # [B, max_steps]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "interpret")
+)
 def greedy_decode_pallas(
     params: Dict,
     cfg: las.ASRConfig,
@@ -174,7 +177,8 @@ def greedy_decode_pallas(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel greedy decode; same contract as ``greedy.greedy_decode``
-    without LM fusion."""
+    without LM fusion. Jitted whole (listener + precompute + kernel) so
+    serving calls hit one cached executable — see decode/greedy.py."""
     from ss_asr_tpu.decode.greedy import _finalize
 
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
@@ -382,6 +386,9 @@ def _decode_lm_pallas(enc_h, comp_h, enc_lens, weights, lm_weights, lm_weight,
     return jnp.swapaxes(toks, 0, 1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "interpret")
+)
 def greedy_decode_lm_pallas(
     params: Dict,
     cfg: las.ASRConfig,
@@ -394,7 +401,9 @@ def greedy_decode_lm_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel greedy decode WITH char-LM shallow fusion — the
     reference's default serving configuration, one kernel per utterance
-    batch (parity: decode.greedy.greedy_decode with lm_params)."""
+    batch (parity: decode.greedy.greedy_decode with lm_params). Jitted
+    whole (listener + precompute + kernel; lm_weight rides as a traced
+    scalar) so serving calls hit one cached executable."""
     from ss_asr_tpu.decode.greedy import _finalize
 
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
