@@ -57,21 +57,27 @@ def build_transcriber(quick: bool):
 
 
 def run_level(t, concurrency: int, requests: int, lens, max_batch: int,
-              max_wait_ms: float, rng) -> dict:
+              max_wait_ms: float, rng, mode: str = "signal") -> dict:
     from ss_asr_tpu.serve import BatchingTranscriber, _lattice
 
     feat = t.cfg.feature_dim
+    hop = t.sr // 100  # 10 ms stride: frames -> samples
+
+    def make_item(r, L):
+        if mode == "signal":
+            return r.standard_normal(int(L) * hop).astype(np.float32)
+        return r.standard_normal((int(L), feat)).astype(np.float32)
+
     with BatchingTranscriber(t, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms) as bt:
+                             max_wait_ms=max_wait_ms, mode=mode) as bt:
         # pre-warm EVERY lattice (B, T-bucket) executable outside the timed
         # region — exactly what a production server does at startup; the
         # measurement is steady-state serving, not cold compiles
         for B in _lattice(max_batch):
             for L in lens:
-                bt.transcribe_fbank([
-                    rng.standard_normal((int(L), feat)).astype(np.float32)
-                    for _ in range(B)
-                ])
+                fs = [bt.submit(make_item(rng, L)) for _ in range(B)]
+                for f in fs:
+                    f.result()
 
         with bt._cv:  # steady-state stats only: drop the warmup batches
             bt.stats = type(bt.stats)()
@@ -85,10 +91,9 @@ def run_level(t, concurrency: int, requests: int, lens, max_batch: int,
             mine = []
             barrier.wait()
             for _ in range(requests):
-                fb = crng.standard_normal(
-                    (int(crng.choice(lens)), feat)).astype(np.float32)
+                item = make_item(crng, crng.choice(lens))
                 t0 = time.perf_counter()
-                bt.submit(fb).result()
+                bt.submit(item).result()
                 mine.append(time.perf_counter() - t0)
             with lock:
                 lat.extend(mine)
@@ -131,6 +136,9 @@ def main():
                     help="requests per client")
     ap.add_argument("--max-batch", type=int, default=None)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--mode", choices=["signal", "fbank"], default="signal",
+                    help="signal: fused frontend+decode per batch (the "
+                         "serving default); fbank: decode-only batching")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
@@ -154,7 +162,8 @@ def main():
         f"window={args.max_wait_ms}ms, lens={lens})")
 
     results = [
-        run_level(t, c, requests, lens, max_batch, args.max_wait_ms, rng)
+        run_level(t, c, requests, lens, max_batch, args.max_wait_ms, rng,
+                  mode=args.mode)
         for c in levels
     ]
 
@@ -164,11 +173,12 @@ def main():
         "quick": bool(args.quick),
         "max_batch": max_batch,
         "max_wait_ms": args.max_wait_ms,
+        "mode": args.mode,
         "utterance_frames": lens,
         "levels": results,
         "note": "closed-loop; p50@C=1 includes real per-dispatch overhead "
                 "(not comparable to the differenced marginals in "
-                "BENCH_DETAILS.json); fresh random fbanks per request",
+                "BENCH_DETAILS.json); fresh random payloads per request",
     }
     if not args.no_record and not args.quick and dev.platform != "cpu":
         os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)

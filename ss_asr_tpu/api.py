@@ -11,6 +11,7 @@ fusion when configured.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Union
 
 import jax
@@ -21,9 +22,37 @@ from ss_asr_tpu.data.asr_dataset import round_up
 from ss_asr_tpu.data.audio import load_wav
 from ss_asr_tpu.models import charlm as charlm_mod
 from ss_asr_tpu.models import las
-from ss_asr_tpu.ops.frontend import compute_fbank
+from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
 from ss_asr_tpu.utils import checkpoint as ckpt
 from ss_asr_tpu.vocab import Mapper
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sr", "max_steps", "lm_cfg", "lm_weight", "impl"),
+)
+def _fused_signal_greedy(params, cfg, buf, n_samples, sr, max_steps,
+                         lm_params, lm_cfg, lm_weight, impl="xla"):
+    """Waveforms -> frontend -> greedy decode as ONE cached executable —
+    the serving_e2e shape bench.py measures; one dispatch per batch instead
+    of frontend + decode programs per call."""
+    fb, fl = log_mel_fbank_batch(buf, n_samples, sr, n_mels=cfg.feature_dim)
+    if impl == "pallas":
+        from ss_asr_tpu.ops.pallas.decode import (
+            greedy_decode_lm_pallas, greedy_decode_pallas,
+        )
+
+        if lm_params is not None:
+            return greedy_decode_lm_pallas(
+                params, cfg, fb, fl, lm_params, lm_weight, max_steps=max_steps
+            )
+        return greedy_decode_pallas(params, cfg, fb, fl, max_steps=max_steps)
+    from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+
+    return greedy_decode_early_exit(
+        params, cfg, fb, fl, max_steps=max_steps, lm_params=lm_params,
+        lm_cfg=lm_cfg, lm_weight=lm_weight,
+    )
 
 
 class Transcriber:
@@ -132,10 +161,59 @@ class Transcriber:
         # makes it attend to one padding step) — its transcript is ""
         return ["" if e else o for e, o in zip(empty, out)]
 
+    def transcribe_signal_batch(
+        self,
+        signals: Sequence[np.ndarray],
+        sr: Optional[int] = None,
+        s_bucket_ms: int = 500,
+    ) -> List[str]:
+        """Batch of raw waveforms -> transcripts.
+
+        Greedy configurations run frontend + decode as ONE fused program
+        (beam runs the batched frontend then the beam program — its
+        backtrack is host-side). Signal buffers bucket to an
+        ``s_bucket_ms`` grid so the executable lattice stays small.
+        """
+        sr = sr or self.sr
+        signals = [np.asarray(s, dtype=np.float32).reshape(-1)
+                   for s in signals]
+        if not signals:
+            return []
+        lens = np.array([len(s) for s in signals], dtype=np.int32)
+        if int(lens.max()) == 0:
+            return ["" for _ in signals]
+        step = max(int(sr * s_bucket_ms) // 1000, 1)
+        S = -(-int(lens.max()) // step) * step
+        buf = np.zeros((len(signals), S), dtype=np.float32)
+        for i, s in enumerate(signals):
+            buf[i, : len(s)] = s
+        buf, jlens = jnp.asarray(buf), jnp.asarray(lens)
+
+        use_lm = self.lm_params is not None and self.lm_weight != 0.0
+        if self.beam_size > 1:
+            from ss_asr_tpu.decode.beam import beam_decode
+
+            fb, fl = log_mel_fbank_batch(buf, jlens, sr,
+                                         n_mels=self.cfg.feature_dim)
+            toks, _ = beam_decode(
+                self.params, self.cfg, fb, fl,
+                beam_size=self.beam_size, max_steps=self.max_steps,
+                lm_params=self.lm_params if use_lm else None,
+                lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
+            )
+        else:
+            toks, _ = _fused_signal_greedy(
+                self.params, self.cfg, buf, jlens, sr, self.max_steps,
+                self.lm_params if use_lm else None, self.lm_cfg,
+                self.lm_weight,
+                impl="pallas" if self.use_pallas_kernel else "xla",
+            )
+        out = [self.mapper.translate(t) for t in np.asarray(toks)]
+        # a zero-sample row has no audio (same contract as transcribe_fbank)
+        return ["" if n == 0 else o for n, o in zip(lens, out)]
+
     def transcribe_signal(self, y: np.ndarray, sr: Optional[int] = None) -> str:
-        fb = compute_fbank(np.asarray(y, dtype=np.float32), sr or self.sr,
-                           n_mels=self.cfg.feature_dim)
-        return self.transcribe_fbank(fb)[0]
+        return self.transcribe_signal_batch([y], sr=sr)[0]
 
     def transcribe_stream(self, chunks, sr: Optional[int] = None) -> str:
         """Long-form audio from an iterable of sample chunks.

@@ -39,6 +39,13 @@ def main(argv=None):
     parser.add_argument("--max-wait-ms", type=float, default=5.0,
                         help="batching window: how long the first request "
                              "in a batch waits for company")
+    parser.add_argument("--mode", choices=["signal", "fbank"],
+                        default="signal",
+                        help="signal: waveforms batch through the fused "
+                             "frontend+decode program (zero per-request "
+                             "device dispatches; beam runs frontend + beam "
+                             "programs); fbank: per-request frontend, "
+                             "decode-only batching")
     args = parser.parse_args(argv)
 
     config = {}
@@ -60,11 +67,12 @@ def main(argv=None):
         args.checkpoint, config=config, lm_path=args.lm, **kw
     )
     with BatchingTranscriber(
-        t, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        t, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        mode=args.mode
     ) as bt:
         print(f"serving on http://{args.host}:{args.port} "
-              f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms)",
-              flush=True)
+              f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms, "
+              f"mode={args.mode})", flush=True)
         serve_http(bt, host=args.host, port=args.port, sr=args.sr)
 
 

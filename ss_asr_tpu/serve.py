@@ -41,16 +41,30 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+#: recent-window length for the percentile/mix deques below — the exact
+#: counters never truncate, so accounting invariants hold at any uptime
+STATS_WINDOW = 4096
+
+
 @dataclass
 class ServeStats:
     """Counters for observing batching behavior (guarded by the owner's
-    lock; read them after close() or treat reads as approximate)."""
+    lock; read them after close() or treat reads as approximate).
+
+    ``requests``/``batches``/``padded_rows``/``rows_sum`` are exact over
+    the server's lifetime (``rows_sum`` counts padded batch rows, so
+    ``rows_sum == requests + padded_rows`` always); ``batch_sizes`` and
+    ``wait_ms`` are bounded recent windows so a long-running server's
+    memory stays flat."""
 
     requests: int = 0
     batches: int = 0
     padded_rows: int = 0  # lattice fill rows (wasted compute, bounded)
-    batch_sizes: List[int] = field(default_factory=list)  # padded sizes
-    wait_ms: List[float] = field(default_factory=list)  # queue wait per batch
+    rows_sum: int = 0  # sum of padded batch sizes (exact)
+    batch_sizes: deque = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW)
+    )
+    wait_ms: deque = field(default_factory=lambda: deque(maxlen=STATS_WINDOW))
 
     def as_dict(self) -> dict:
         d = {
@@ -58,8 +72,8 @@ class ServeStats:
             "batches": self.batches,
             "padded_rows": self.padded_rows,
         }
-        if self.batch_sizes:
-            d["mean_batch"] = sum(self.batch_sizes) / len(self.batch_sizes)
+        if self.batches:
+            d["mean_batch"] = self.rows_sum / self.batches
         if self.wait_ms:
             w = sorted(self.wait_ms)
             d["queue_wait_p50_ms"] = round(w[len(w) // 2], 3)
@@ -97,10 +111,14 @@ class BatchingTranscriber:
         transcriber,
         max_batch: int = 16,
         max_wait_ms: float = 5.0,
+        mode: str = "fbank",
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if mode not in ("fbank", "signal"):
+            raise ValueError(f"mode must be 'fbank' or 'signal', got {mode!r}")
         self._t = transcriber
+        self.mode = mode
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._lattice = _lattice(self.max_batch)
@@ -114,19 +132,27 @@ class BatchingTranscriber:
         self._worker.start()
 
     # -- client side ---------------------------------------------------
-    def submit(self, fbank: np.ndarray) -> Future:
-        """Enqueue one [T, feature_dim] fbank; returns Future[str]."""
-        fbank = np.asarray(fbank, dtype=np.float32)
-        if fbank.ndim != 2 or fbank.shape[1] != self._t.cfg.feature_dim:
+    def submit(self, item: np.ndarray) -> Future:
+        """Enqueue one request — a [T, feature_dim] fbank in 'fbank' mode,
+        a 1-D waveform in 'signal' mode (decoded via the fused
+        frontend+decode program). Returns Future[str]."""
+        item = np.asarray(item, dtype=np.float32)
+        if self.mode == "signal":
+            if item.ndim != 1:
+                raise ValueError(
+                    f"expected 1-D waveform in signal mode, got shape "
+                    f"{item.shape}"
+                )
+        elif item.ndim != 2 or item.shape[1] != self._t.cfg.feature_dim:
             raise ValueError(
                 f"expected [T, {self._t.cfg.feature_dim}] fbank, "
-                f"got shape {fbank.shape}"
+                f"got shape {item.shape}"
             )
         fut: Future = Future()
         with self._cv:
             if self._closed:
                 raise RuntimeError("BatchingTranscriber is closed")
-            self._q.append((fbank, fut, time.perf_counter()))
+            self._q.append((item, fut, time.perf_counter()))
             self.stats.requests += 1
             self._cv.notify()
         return fut
@@ -172,21 +198,23 @@ class BatchingTranscriber:
 
     def _run(self):
         feat = self._t.cfg.feature_dim
+        pad_row = (np.zeros((0,), np.float32) if self.mode == "signal"
+                   else np.zeros((0, feat), np.float32))
+        decode = (self._t.transcribe_signal_batch if self.mode == "signal"
+                  else self._t.transcribe_fbank)
         while True:
             batch = self._take_batch()
             if batch is None:
                 return
-            fbanks = [b[0] for b in batch]
+            items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             now = time.perf_counter()
             waits = [(now - b[2]) * 1e3 for b in batch]
-            padded = next(b for b in self._lattice if b >= len(fbanks))
-            n_pad = padded - len(fbanks)
-            fbanks.extend(
-                np.zeros((0, feat), np.float32) for _ in range(n_pad)
-            )
+            padded = next(b for b in self._lattice if b >= len(items))
+            n_pad = padded - len(items)
+            items.extend(pad_row for _ in range(n_pad))
             try:
-                texts = self._t.transcribe_fbank(fbanks)
+                texts = decode(items)
             except Exception as e:  # noqa: BLE001 — fail the batch, not the server
                 for f in futs:
                     if not f.cancelled():
@@ -195,6 +223,7 @@ class BatchingTranscriber:
             with self._cv:
                 self.stats.batches += 1
                 self.stats.padded_rows += n_pad
+                self.stats.rows_sum += padded
                 self.stats.batch_sizes.append(padded)
                 self.stats.wait_ms.extend(waits)
             for f, text in zip(futs, texts):
@@ -216,8 +245,11 @@ def serve_http(
     GET  /healthz      -> {"ok": true}
     GET  /stats        -> batching counters (ServeStats.as_dict)
 
-    Each request thread computes the frontend for its own utterance and
-    parks on the batcher future, so decode batching emerges from concurrent
+    In 'signal' mode (the default for cli/serve.py) the raw waveform goes
+    straight into the batcher and the frontend rides the fused
+    frontend+decode program with the batch — zero per-request device
+    dispatches. In 'fbank' mode each request thread computes its own
+    frontend first. Either way decode batching emerges from concurrent
     clients. Returns the server object if ``ready_event`` is given (caller
     drives serve_forever); otherwise serves until interrupted.
     """
@@ -263,11 +295,14 @@ def serve_http(
                 if y.size == 0:
                     self._reply(200, {"text": ""})
                     return
-                fb = np.asarray(
-                    compute_fbank(np.asarray(y, np.float32), target_sr,
-                                  n_mels=feat)
-                )
-                text = batcher.submit(fb).result()
+                if batcher.mode == "signal":
+                    item = np.asarray(y, np.float32)
+                else:
+                    item = np.asarray(
+                        compute_fbank(np.asarray(y, np.float32), target_sr,
+                                      n_mels=feat)
+                    )
+                text = batcher.submit(item).result()
                 self._reply(200, {"text": text})
             except Exception as e:  # noqa: BLE001 — bad input must not kill the server
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})

@@ -94,7 +94,8 @@ def test_lattice_padding_counted(rng):
     assert len(got) == 3
     # 3 rows ride a 4-row lattice batch (or smaller batches if the window
     # split them; padding must account exactly for the difference)
-    assert sum(stats.batch_sizes) == stats.requests + stats.padded_rows
+    assert stats.rows_sum == stats.requests + stats.padded_rows
+    assert stats.rows_sum == sum(stats.batch_sizes)  # window not yet full
 
 
 def test_decode_failure_fails_batch_not_server(rng):
