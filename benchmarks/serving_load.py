@@ -72,12 +72,16 @@ def run_level(t, concurrency: int, requests: int, lens, max_batch: int,
                              max_wait_ms=max_wait_ms, mode=mode) as bt:
         # pre-warm EVERY lattice (B, T-bucket) executable outside the timed
         # region — exactly what a production server does at startup; the
-        # measurement is steady-state serving, not cold compiles
+        # measurement is steady-state serving, not cold compiles. Warm via
+        # DIRECT transcriber calls (the batcher pads to the same lattice
+        # shapes, so it hits these exact executables): warming through
+        # submit() would race the batch window and can leave large-B
+        # executables cold if the window splits the warmup batch.
+        warm = (t.transcribe_signal_batch if mode == "signal"
+                else t.transcribe_fbank)
         for B in _lattice(max_batch):
             for L in lens:
-                fs = [bt.submit(make_item(rng, L)) for _ in range(B)]
-                for f in fs:
-                    f.result()
+                warm([make_item(rng, L) for _ in range(B)])
 
         with bt._cv:  # steady-state stats only: drop the warmup batches
             bt.stats = type(bt.stats)()

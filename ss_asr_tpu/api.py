@@ -27,15 +27,29 @@ from ss_asr_tpu.utils import checkpoint as ckpt
 from ss_asr_tpu.vocab import Mapper
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "sr", "max_steps", "lm_cfg", "lm_weight", "impl"),
-)
 def _fused_signal_greedy(params, cfg, buf, n_samples, sr, max_steps,
                          lm_params, lm_cfg, lm_weight, impl="xla"):
     """Waveforms -> frontend -> greedy decode as ONE cached executable —
     the serving_e2e shape bench.py measures; one dispatch per batch instead
     of frontend + decode programs per call."""
+    from ss_asr_tpu.ops import rnn
+    from ss_asr_tpu.ops.frontend import _use_pallas_frontend
+
+    salt = rnn.impl_salt() + (_use_pallas_frontend(),)
+    return _fused_signal_greedy_jit(
+        params, cfg, buf, n_samples, sr, max_steps, lm_params, lm_cfg,
+        lm_weight, impl, _salt=salt,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sr", "max_steps", "lm_cfg", "lm_weight", "impl",
+                     "_salt"),
+)
+def _fused_signal_greedy_jit(params, cfg, buf, n_samples, sr, max_steps,
+                             lm_params, lm_cfg, lm_weight, impl="xla",
+                             *, _salt=None):
     fb, fl = log_mel_fbank_batch(buf, n_samples, sr, n_mels=cfg.feature_dim)
     if impl == "pallas":
         from ss_asr_tpu.ops.pallas.decode import (

@@ -68,7 +68,7 @@ def main(argv=None):
     )
     with BatchingTranscriber(
         t, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        mode=args.mode
+        mode=args.mode, sr=args.sr
     ) as bt:
         print(f"serving on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms, "

@@ -54,7 +54,7 @@ def beam_decode(
     beam scores (the Google-NMT-style simple normalization)."""
     toks, parents, final_scores, final_done, hyp_lens = _beam_device(
         params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_cfg,
-        lm_weight,
+        lm_weight, _salt=rnn.impl_salt(),
     )
     scores = np.asarray(final_scores)
     if length_norm:
@@ -66,25 +66,29 @@ def beam_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight")
+    jax.jit,
+    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight", "_salt"),
 )
 def _beam_device(params, cfg, x, x_lens, K, max_steps, lm_params, lm_cfg,
-                 lm_weight):
+                 lm_weight, *, _salt=None):
     """Listener + beam frontier scan as ONE cached executable — an eager
     call here would re-trace and dispatch op-by-op per request (see
-    decode/greedy.py on why the entry points jit at the source)."""
+    decode/greedy.py on why the entry points jit at the source and why
+    ``_salt`` carries the impl-gate state)."""
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
     return _beam_scan(
         params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg,
-        lm_weight,
+        lm_weight, _salt=_salt,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight")
+    jax.jit,
+    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight", "_salt"),
 )
 def _beam_scan(
-    params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg, lm_weight
+    params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg, lm_weight,
+    *, _salt=None,
 ):
     B, S, F = enc_h.shape
     use_lm = lm_params is not None and lm_weight != 0.0

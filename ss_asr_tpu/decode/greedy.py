@@ -27,13 +27,16 @@ from ss_asr_tpu.vocab import EOS_ID, SOS_ID
 #: and dispatches op-by-op on every invocation, which costs ~seconds per
 #: call and is what a serving path can least afford. Configs are frozen
 #: dataclasses (hashable), so they ride as static args; one executable is
-#: cached per (B, T, max_steps, lm on/off, lm_weight) combination.
+#: cached per (B, T, max_steps, lm on/off, lm_weight, impl-gate state)
+#: combination — the ``_salt`` static arg carries ``rnn.impl_salt()`` so
+#: flipping the module-level impl knobs (LSTM_IMPL etc.) invalidates the
+#: cache instead of silently serving the old implementation.
 _jit_decode = functools.partial(
-    jax.jit, static_argnames=("cfg", "max_steps", "lm_cfg", "lm_weight")
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "lm_cfg", "lm_weight", "_salt"),
 )
 
 
-@_jit_decode
 def greedy_decode(
     params: Dict,
     cfg: las.ASRConfig,
@@ -50,13 +53,24 @@ def greedy_decode(
     ``lengths`` counts emitted chars *before* EOS (EOS itself and anything
     after are padded with SOS=0, which ``Mapper.translate`` strips).
     """
-    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
-    return fused_decode_from_memory(
-        params, cfg, enc_h, enc_lens, max_steps, lm_params, lm_cfg, lm_weight
+    return _greedy_decode_jit(
+        params, cfg, x, x_lens, max_steps, lm_params, lm_cfg, lm_weight,
+        _salt=rnn.impl_salt(),
     )
 
 
 @_jit_decode
+def _greedy_decode_jit(
+    params, cfg, x, x_lens, max_steps, lm_params, lm_cfg, lm_weight,
+    *, _salt=None,
+):
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    return _fused_decode_jit(
+        params, cfg, enc_h, enc_lens, max_steps, lm_params, lm_cfg,
+        lm_weight, _salt=_salt,
+    )
+
+
 def fused_decode_from_memory(
     params: Dict,
     cfg: las.ASRConfig,
@@ -66,6 +80,26 @@ def fused_decode_from_memory(
     lm_params: Optional[Dict] = None,
     lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
     lm_weight: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode from precomputed listener memory (see :func:`greedy_decode`)."""
+    return _fused_decode_jit(
+        params, cfg, enc_h, enc_lens, max_steps, lm_params, lm_cfg,
+        lm_weight, _salt=rnn.impl_salt(),
+    )
+
+
+@_jit_decode
+def _fused_decode_jit(
+    params: Dict,
+    cfg: las.ASRConfig,
+    enc_h: jax.Array,
+    enc_lens: jax.Array,
+    max_steps: int,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+    *,
+    _salt=None,
 ) -> Tuple[jax.Array, jax.Array]:
     B, S, _ = enc_h.shape
     comp_h = las.attention_precompute(params["attention"], enc_h)
@@ -116,7 +150,6 @@ def _finalize(toks: jax.Array, max_steps: int) -> Tuple[jax.Array, jax.Array]:
     return toks, lengths
 
 
-@_jit_decode
 def greedy_decode_early_exit(
     params: Dict,
     cfg: las.ASRConfig,
@@ -130,6 +163,17 @@ def greedy_decode_early_exit(
     """Latency-optimized greedy decode: ``lax.while_loop`` that stops as soon
     as every sample in the batch has emitted EOS (the scan variant always
     runs ``max_steps``).  Same outputs as :func:`greedy_decode`."""
+    return _greedy_early_exit_jit(
+        params, cfg, x, x_lens, max_steps, lm_params, lm_cfg, lm_weight,
+        _salt=rnn.impl_salt(),
+    )
+
+
+@_jit_decode
+def _greedy_early_exit_jit(
+    params, cfg, x, x_lens, max_steps, lm_params, lm_cfg, lm_weight,
+    *, _salt=None,
+):
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
     B, S, _ = enc_h.shape
     comp_h = las.attention_precompute(params["attention"], enc_h)

@@ -165,9 +165,6 @@ def _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret):
     return jnp.swapaxes(toks, 0, 1)  # [B, max_steps]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_steps", "interpret")
-)
 def greedy_decode_pallas(
     params: Dict,
     cfg: las.ASRConfig,
@@ -179,6 +176,19 @@ def greedy_decode_pallas(
     """Fused-kernel greedy decode; same contract as ``greedy.greedy_decode``
     without LM fusion. Jitted whole (listener + precompute + kernel) so
     serving calls hit one cached executable — see decode/greedy.py."""
+    from ss_asr_tpu.ops import rnn
+
+    return _greedy_decode_pallas_jit(
+        params, cfg, x, x_lens, max_steps, interpret, _salt=rnn.impl_salt()
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "interpret", "_salt")
+)
+def _greedy_decode_pallas_jit(
+    params, cfg, x, x_lens, max_steps, interpret, *, _salt=None
+):
     from ss_asr_tpu.decode.greedy import _finalize
 
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
@@ -386,9 +396,6 @@ def _decode_lm_pallas(enc_h, comp_h, enc_lens, weights, lm_weights, lm_weight,
     return jnp.swapaxes(toks, 0, 1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_steps", "interpret")
-)
 def greedy_decode_lm_pallas(
     params: Dict,
     cfg: las.ASRConfig,
@@ -404,6 +411,21 @@ def greedy_decode_lm_pallas(
     batch (parity: decode.greedy.greedy_decode with lm_params). Jitted
     whole (listener + precompute + kernel; lm_weight rides as a traced
     scalar) so serving calls hit one cached executable."""
+    from ss_asr_tpu.ops import rnn
+
+    return _greedy_decode_lm_pallas_jit(
+        params, cfg, x, x_lens, lm_params, lm_weight, max_steps, interpret,
+        _salt=rnn.impl_salt(),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "interpret", "_salt")
+)
+def _greedy_decode_lm_pallas_jit(
+    params, cfg, x, x_lens, lm_params, lm_weight, max_steps, interpret,
+    *, _salt=None,
+):
     from ss_asr_tpu.decode.greedy import _finalize
 
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)

@@ -108,6 +108,19 @@ LSTM_KERNEL_MAX_H = 512
 SPELL_KERNEL_MAX_H = 256
 
 
+def impl_salt() -> tuple:
+    """Current impl-gate state, as a static jit-cache key component.
+
+    The module-level jitted decode entry points (decode/greedy.py,
+    decode/beam.py, ops/pallas/decode.py, api._fused_signal_greedy) bake
+    these globals into their traces; without the salt, flipping
+    ``LSTM_IMPL``/``SPELL_IMPL``/``PALLAS_INTERPRET`` after a shape has
+    been traced would silently keep serving the old implementation for
+    that shape. (Trainer jits are per-instance closures and don't need
+    this.)"""
+    return (LSTM_IMPL, SPELL_IMPL, PALLAS_INTERPRET, GSPMD_PARTITION)
+
+
 def _use_pallas_lstm(hidden_size: Optional[int] = None) -> bool:
     if LSTM_IMPL == "pallas":
         return True

@@ -112,6 +112,7 @@ class BatchingTranscriber:
         max_batch: int = 16,
         max_wait_ms: float = 5.0,
         mode: str = "fbank",
+        sr: Optional[int] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
@@ -119,6 +120,10 @@ class BatchingTranscriber:
             raise ValueError(f"mode must be 'fbank' or 'signal', got {mode!r}")
         self._t = transcriber
         self.mode = mode
+        #: sample rate of submitted waveforms (signal mode); defaults to the
+        #: transcriber's — callers resampling to a different rate MUST pass
+        #: it here or the frontend runs with the wrong window/hop/mels
+        self.sr = sr or transcriber.sr
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._lattice = _lattice(self.max_batch)
@@ -198,14 +203,26 @@ class BatchingTranscriber:
 
     def _run(self):
         feat = self._t.cfg.feature_dim
-        pad_row = (np.zeros((0,), np.float32) if self.mode == "signal"
-                   else np.zeros((0, feat), np.float32))
-        decode = (self._t.transcribe_signal_batch if self.mode == "signal"
-                  else self._t.transcribe_fbank)
+        if self.mode == "signal":
+            pad_row = np.zeros((0,), np.float32)
+
+            def decode(items):
+                return self._t.transcribe_signal_batch(items, sr=self.sr)
+        else:
+            pad_row = np.zeros((0, feat), np.float32)
+            decode = self._t.transcribe_fbank
         while True:
             batch = self._take_batch()
             if batch is None:
                 return
+            # transition every future to RUNNING now: a client cancel()
+            # after this point is a no-op, so set_result/set_exception below
+            # can never race a cancellation into InvalidStateError (which
+            # would kill this worker and silently hang all later requests);
+            # futures cancelled while still queued drop out of the batch
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             now = time.perf_counter()
@@ -217,8 +234,7 @@ class BatchingTranscriber:
                 texts = decode(items)
             except Exception as e:  # noqa: BLE001 — fail the batch, not the server
                 for f in futs:
-                    if not f.cancelled():
-                        f.set_exception(e)
+                    f.set_exception(e)
                 continue
             with self._cv:
                 self.stats.batches += 1
@@ -227,8 +243,7 @@ class BatchingTranscriber:
                 self.stats.batch_sizes.append(padded)
                 self.stats.wait_ms.extend(waits)
             for f, text in zip(futs, texts):
-                if not f.cancelled():
-                    f.set_result(text)
+                f.set_result(text)
 
 
 # ----------------------------------------------------------------------
@@ -258,7 +273,18 @@ def serve_http(
     from ss_asr_tpu.data.audio import read_wav, resample
     from ss_asr_tpu.ops.frontend import compute_fbank
 
-    target_sr = sr or batcher._t.sr
+    if batcher.mode == "signal":
+        # the batcher's worker decodes at batcher.sr; resampling requests to
+        # any other rate would silently run the frontend at the wrong rate
+        if sr is not None and sr != batcher.sr:
+            raise ValueError(
+                f"serve_http sr={sr} != batcher sr={batcher.sr} (signal "
+                "mode decodes at the batcher's rate; pass sr= to "
+                "BatchingTranscriber instead)"
+            )
+        target_sr = batcher.sr
+    else:
+        target_sr = sr or batcher._t.sr
     feat = batcher._t.cfg.feature_dim
 
     class Handler(BaseHTTPRequestHandler):
@@ -287,11 +313,15 @@ def serve_http(
             if self.path != "/transcribe":
                 self._reply(404, {"error": "not found"})
                 return
-            try:
+            try:  # client-side failures: unparseable body -> 400
                 n = int(self.headers.get("Content-Length", 0))
                 wav_sr, y = read_wav(io.BytesIO(self.rfile.read(n)))
                 if wav_sr != target_sr:
                     y = resample(y, wav_sr, target_sr)
+            except Exception as e:  # noqa: BLE001 — bad input must not kill the server
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:  # server-side failures: frontend/decode/shutdown -> 500
                 if y.size == 0:
                     self._reply(200, {"text": ""})
                     return
@@ -304,8 +334,8 @@ def serve_http(
                     )
                 text = batcher.submit(item).result()
                 self._reply(200, {"text": text})
-            except Exception as e:  # noqa: BLE001 — bad input must not kill the server
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 — a failed batch is a 5xx, not a crash
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.daemon_threads = True

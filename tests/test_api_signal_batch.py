@@ -48,8 +48,7 @@ def test_signal_batch_beam_path(rng):
     from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
     import jax.numpy as jnp
 
-    S = 8000  # 5200 -> 1.5s bucket at 500ms grid... compute like the API
-    step = 8000 // 2
+    step = 8000 // 2  # the API's 500 ms sample grid at sr=8000
     S = -(-5200 // step) * step
     buf = np.zeros((2, S), np.float32)
     lens = np.array([len(s) for s in sigs], np.int32)

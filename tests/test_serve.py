@@ -103,6 +103,7 @@ def test_decode_failure_fails_batch_not_server(rng):
 
     class Boom:
         cfg = t.cfg
+        sr = t.sr
 
         def transcribe_fbank(self, fbanks):
             raise RuntimeError("decode exploded")
