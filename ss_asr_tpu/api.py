@@ -82,7 +82,28 @@ class Transcriber:
         sr: int = 22050,
         t_bucket: int = 128,
         use_pallas_kernel: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis
+        for scale-out serving — batch rows shard across the axis (params
+        replicate once here; GSPMD propagates the row sharding through the
+        whole decode program, so every chip decodes its slice and the
+        early-exit all-reduce rides ICI). Batches pad up to a multiple of
+        the axis size with zero-length rows."""
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh needs a 'data' axis, has {mesh.axis_names}"
+                )
+            self._n_data = mesh.shape["data"]
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(params, repl)
+            if lm_params is not None:
+                lm_params = jax.device_put(lm_params, repl)
         self.params = params
         self.cfg = cfg
         self.lm_params = lm_params
@@ -94,6 +115,19 @@ class Transcriber:
         self.t_bucket = t_bucket
         self.use_pallas_kernel = use_pallas_kernel
         self.mapper = Mapper()
+
+    def _place_rows(self, x: np.ndarray, lens: np.ndarray):
+        """Device placement for a [B, ...] batch: row-sharded over the
+        mesh's data axis when serving on a mesh, plain transfer otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(lens)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row = ("data",) + (None,) * (x.ndim - 1)
+        return (
+            jax.device_put(x, NamedSharding(self.mesh, P(*row))),
+            jax.device_put(lens, NamedSharding(self.mesh, P("data"))),
+        )
 
     @classmethod
     def from_checkpoint(
@@ -127,17 +161,21 @@ class Transcriber:
         fbanks = list(fbanks)
         if not fbanks:
             return []
+        n_real = len(fbanks)
         lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
         if int(lens.max()) == 0:
             # silent/empty audio: zero frames -> empty transcripts, not a
             # zero-width buffer crashing the listener scan
             return ["" for _ in fbanks]
         empty = lens == 0  # zero-frame rows mixed into a non-empty batch
+        B = -(-n_real // self._n_data) * self._n_data  # mesh row multiple
         T = round_up(int(lens.max()), self.t_bucket)
-        x = np.zeros((len(fbanks), T, self.cfg.feature_dim), dtype=np.float32)
+        x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
         for i, f in enumerate(fbanks):
             x[i, : f.shape[0]] = f
-        x, lens = jnp.asarray(x), jnp.asarray(lens)
+        lens = np.concatenate(
+            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
+        x, lens = self._place_rows(x, lens)
 
         use_lm = self.lm_params is not None and self.lm_weight != 0.0
         if self.beam_size > 1:
@@ -170,7 +208,7 @@ class Transcriber:
                 lm_params=self.lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
-        out = [self.mapper.translate(t) for t in np.asarray(toks)]
+        out = [self.mapper.translate(t) for t in np.asarray(toks)[:n_real]]
         # a zero-frame row has no audio to attend to (the NaN-guard clamp
         # makes it attend to one padding step) — its transcript is ""
         return ["" if e else o for e, o in zip(empty, out)]
@@ -193,15 +231,19 @@ class Transcriber:
                    for s in signals]
         if not signals:
             return []
+        n_real = len(signals)
         lens = np.array([len(s) for s in signals], dtype=np.int32)
         if int(lens.max()) == 0:
             return ["" for _ in signals]
         step = max(int(sr * s_bucket_ms) // 1000, 1)
         S = -(-int(lens.max()) // step) * step
-        buf = np.zeros((len(signals), S), dtype=np.float32)
+        B = -(-n_real // self._n_data) * self._n_data  # mesh row multiple
+        buf = np.zeros((B, S), dtype=np.float32)
         for i, s in enumerate(signals):
             buf[i, : len(s)] = s
-        buf, jlens = jnp.asarray(buf), jnp.asarray(lens)
+        lens = np.concatenate(
+            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
+        buf, jlens = self._place_rows(buf, lens)
 
         use_lm = self.lm_params is not None and self.lm_weight != 0.0
         if self.beam_size > 1:
@@ -222,9 +264,9 @@ class Transcriber:
                 self.lm_weight,
                 impl="pallas" if self.use_pallas_kernel else "xla",
             )
-        out = [self.mapper.translate(t) for t in np.asarray(toks)]
+        out = [self.mapper.translate(t) for t in np.asarray(toks)[:n_real]]
         # a zero-sample row has no audio (same contract as transcribe_fbank)
-        return ["" if n == 0 else o for n, o in zip(lens, out)]
+        return ["" if n == 0 else o for n, o in zip(lens[:n_real], out)]
 
     def transcribe_signal(self, y: np.ndarray, sr: Optional[int] = None) -> str:
         return self.transcribe_signal_batch([y], sr=sr)[0]
