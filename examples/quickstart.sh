@@ -41,5 +41,22 @@ python -m ss_asr_tpu.cli.train ASRTrainer quickstart conf.yaml runs result
 echo "== 6. decode the eval set (beam-3) =="
 python -m ss_asr_tpu.cli.train ASRTester quickstart conf.yaml runs result
 
+echo "== 7. serve over HTTP with dynamic batching =="
+python -m ss_asr_tpu.cli.serve result/quickstart/asr.npz --config conf.yaml \
+    --sr 8000 --port 18765 --max-wait-ms 20 &
+SERVE_PID=$!
+trap 'kill $SERVE_PID 2>/dev/null || true' EXIT
+for i in $(seq 1 60); do
+  curl -sf http://127.0.0.1:18765/healthz >/dev/null 2>&1 && break
+  sleep 1
+done
+WAV=$(ls corpus/wav/*.wav | head -1)
+echo "transcribing $WAV over HTTP:"
+curl -s --data-binary @"$WAV" http://127.0.0.1:18765/transcribe
+echo
+curl -s http://127.0.0.1:18765/stats
+echo
+kill $SERVE_PID 2>/dev/null || true
+
 echo "== done; artifacts under $WORK/result/quickstart =="
 ls result/quickstart/
