@@ -54,10 +54,16 @@ THESIS_TARGETS = {
 
 
 def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
-                lm_epochs: int, lm_chunk: int, lm_batch: int) -> dict:
+                lm_epochs: int, lm_chunk: int, lm_batch: int,
+                seed_epochs: int = 2, seed_its: int = 1) -> dict:
     """Reference-default config (conf/default.yaml schema): Adadelta 1.0 for
-    the ASR, Adam 1e-4 for the char LM (SURVEY.md §2.2)."""
-    return {
+    the ASR, Adam 1e-4 for the char LM (SURVEY.md §2.2). When
+    ``paths["unlabeled_index"]`` is present, the TAE/SAE sections for the M5
+    seed chain are emitted too (thesis Table 5.3 sizes scaled to ``mdl``):
+    the autoencoders train on the UNLABELED pool — the thesis'
+    semi-supervised setup uses all audio/text, the fine-tune only the
+    labeled subset."""
+    cfg = {
         "asr": {
             "opt": {"type": "Adadelta", "learning_rate": 1.0},
             "mdl": {**mdl, "tf_rate": 0.9},
@@ -78,17 +84,51 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
             "logging_step": 250, "save_step": 10**9,
         },
     }
+    if "unlabeled_index" in paths:
+        u = paths["unlabeled_index"]
+        H = mdl.get("encoder_state_size", 256)
+        shared = {
+            "train_index": u, "valid_index": paths["eval_index"],
+            "train_batch_size": batch, "n_epochs": seed_epochs,
+            "valid_step": 10**9, "save_step": 10**9, "logging_step": 250,
+        }
+        cfg["tae"] = {
+            "opt": {"type": "Adam", "learning_rate": 1e-4},
+            "mdl": {"state_size": H, "emb_dim": 128, "num_layers": 2},
+            "drop_rate": 0.1, "l_bucket": 16, **shared,
+        }
+        # thesis Table 5.3 conv stack at feature_dim 40; smaller feature
+        # dims (smoke) shrink the frequency kernel to fit
+        fk = min(36, mdl.get("feature_dim", 40) - 2)
+        cfg["sae"] = {
+            "opt": {"type": "Adam", "learning_rate": 1e-4},
+            "mdl": {
+                "kernel_sizes": [[1, fk], [5, 1], [3, 1]],
+                "num_filters": [32, 64, 256] if H >= 64 else [4, 8, 16],
+                "pool_kernel_sizes": [[3, 1], [5, 1], [2000, 40]],
+            },
+            "t_bucket": 128, **shared,
+        }
+        cfg["seed_train"] = {"super_its": seed_its, "stages": ["tae", "sae"]}
+    return cfg
 
 
 def run(index: str, wav_dir: str, work: str, hours: float | None,
         lm_corpus: str | None, epochs: int, lm_epochs: int, batch: int,
         mdl: dict | None = None, lm_chunk: int = 200, lm_batch: int = 128,
         lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
-        max_decode_steps: int = 200) -> dict:
+        max_decode_steps: int = 200, model: str = "m1",
+        seed_epochs: int = 2, seed_its: int = 1) -> dict:
+    """``model``: "m1" = supervised-only baseline (thesis Tables 6.6-6.10);
+    "m5" = the thesis' best model — TAE -> SAE seed chain on the unlabeled
+    pool, then supervised fine-tune on the labeled subset (Table 6.12)."""
     from ss_asr_tpu.cli.preprocess import preprocess_malromur
     from ss_asr_tpu.data.index import load_index, make_split, subset_by_t
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
     from benchmarks.quality_protocol import eval_decode_modes
+
+    if model not in ("m1", "m5"):
+        raise ValueError(f"model must be 'm1' or 'm5', got {model!r}")
 
     os.makedirs(work, exist_ok=True)
     processed = os.path.join(work, "processed")
@@ -124,15 +164,32 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
 
     paths = {"train_index": train_index, "eval_index": eval_index,
              "lm_corpus": lm_corpus}
+    if model == "m5":
+        # the autoencoders see the FULL training audio/text as the
+        # unlabeled pool (the pre-subset index); fine-tune stays labeled
+        paths["unlabeled_index"] = os.path.join(processed, "train.tsv")
     mdl = mdl or {"encoder_state_size": 256, "mlp_out_size": 128,
                   "decoder_state_size": 256, "feature_dim": 40}
-    config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk, lm_batch)
+    config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
+                         lm_batch, seed_epochs=seed_epochs, seed_its=seed_its)
     paras = make_paras(name="malromur", logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
     # 4. train
     lm = CHARLMTrainer(config, paras)
     lm.load_data(); lm.set_model(); lm.exec(); lm.close()
+    if model == "m5":
+        # TAE -> SAE seed chain, then hand the seeded ASR to the
+        # supervised fine-tune as its pretrained checkpoint
+        import shutil
+
+        from ss_asr_tpu.train import asr_seed_train
+
+        asr_seed_train(config, paras)
+        ckpdir = os.path.join(paras.ckpdir, paras.name)
+        n_outs = sum(1 for s in config["seed_train"]["stages"] if s != "tae")
+        seeded = os.path.join(ckpdir, f"asr_{1 + n_outs}.npz")
+        shutil.copyfile(seeded, os.path.join(ckpdir, "asr.npz"))
     t = ASRTrainer(config, paras)
     t.load_data(); t.set_model(); t.exec(); t.close()
 
@@ -148,7 +205,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     result["condition"] = cond
     result["n_corpus_utts"] = n_total
     result["config"] = {"hours": hours, "epochs": epochs, "batch": batch,
-                        "lm_weight": lm_weight, "seed": seed, "mdl": mdl}
+                        "lm_weight": lm_weight, "seed": seed, "mdl": mdl,
+                        "model": model}
     return result
 
 
@@ -186,14 +244,15 @@ def build_smoke_corpus(work: str, n: int = 24, seed: int = 0):
     return csv_path, wav_dir, n_correct
 
 
-def smoke(work: str, epochs: int = 2) -> dict:
+def smoke(work: str, epochs: int = 2, model: str = "m1") -> dict:
     os.makedirs(work, exist_ok=True)
     csv_path, wav_dir, n_expected = build_smoke_corpus(work)
     mdl = {"encoder_state_size": 8, "mlp_out_size": 8,
            "decoder_state_size": 8, "feature_dim": 40}
     result = run(csv_path, wav_dir, work, hours=None, lm_corpus=None,
                  epochs=epochs, lm_epochs=2, batch=4, mdl=mdl,
-                 lm_chunk=20, lm_batch=4, sr=8000, max_decode_steps=24)
+                 lm_chunk=20, lm_batch=4, sr=8000, max_decode_steps=24,
+                 model=model, seed_epochs=1)
     assert result["n_corpus_utts"] == n_expected, (
         f"classification filter broke: processed {result['n_corpus_utts']} "
         f"rows, expected {n_expected} ('correct' rows with readable wavs)")
@@ -221,20 +280,30 @@ def main():
     r.add_argument("--lm-weight", type=float, default=0.1)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--sr", type=int, default=16000)
+    r.add_argument("--model", choices=["m1", "m5"], default="m1",
+                   help="m1: supervised baseline; m5: TAE->SAE seed + "
+                        "fine-tune (thesis best, Table 6.12)")
+    r.add_argument("--seed-epochs", type=int, default=2,
+                   help="epochs per TAE/SAE seed stage (m5)")
+    r.add_argument("--seed-its", type=int, default=1,
+                   help="seed super-iterations (m5)")
     r.add_argument("--out", default=None)
 
     s = sub.add_parser("smoke", help="synthetic Málrómur-layout end-to-end smoke")
     s.add_argument("--work", required=True)
     s.add_argument("--epochs", type=int, default=2)
+    s.add_argument("--model", choices=["m1", "m5"], default="m1")
     s.add_argument("--out", default=None)
 
     args = ap.parse_args()
     if args.cmd == "run":
         result = run(args.index, args.wav_dir, args.work, args.hours,
                      args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
-                     lm_weight=args.lm_weight, seed=args.seed, sr=args.sr)
+                     lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
+                     model=args.model, seed_epochs=args.seed_epochs,
+                     seed_its=args.seed_its)
     else:
-        result = smoke(args.work, args.epochs)
+        result = smoke(args.work, args.epochs, model=args.model)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:

@@ -40,3 +40,30 @@ def test_thesis_targets_cover_all_conditions():
     for cond in ("2.5", "5", "10"):
         t = THESIS_TARGETS[cond]["m5_test_acc"]
         assert set(t) == {"greedy", "beam8", "beam8_lm"}
+
+
+def test_make_config_m5_sections():
+    """model=m5 plumbing: the unlabeled pool feeds TAE/SAE, the labeled
+    subset feeds the fine-tune, and the seed chain is the thesis' M5
+    (TAE -> SAE, Table 6.5). The full train->decode m5 path is
+    `python benchmarks/malromur_parity.py smoke --model m5` (standalone)."""
+    from benchmarks.malromur_parity import make_config
+
+    paths = {"train_index": "sub.tsv", "eval_index": "eval.tsv",
+             "lm_corpus": "lm.txt", "unlabeled_index": "full.tsv"}
+    mdl = {"encoder_state_size": 256, "mlp_out_size": 128,
+           "decoder_state_size": 256, "feature_dim": 40}
+    cfg = make_config(paths, mdl, epochs=30, batch=32, lm_epochs=5,
+                      lm_chunk=200, lm_batch=128, seed_epochs=3, seed_its=2)
+    assert cfg["seed_train"] == {"super_its": 2, "stages": ["tae", "sae"]}
+    for section in ("tae", "sae"):
+        assert cfg[section]["train_index"] == "full.tsv"  # unlabeled pool
+        assert cfg[section]["n_epochs"] == 3
+    assert cfg["asr"]["train_index"] == "sub.tsv"  # labeled subset
+    # thesis Table 5.3 conv stack at feature_dim 40
+    assert cfg["sae"]["mdl"]["kernel_sizes"][0] == [1, 36]
+    assert cfg["sae"]["mdl"]["num_filters"] == [32, 64, 256]
+    # m1 config stays free of seed sections
+    m1 = make_config({k: v for k, v in paths.items()
+                      if k != "unlabeled_index"}, mdl, 30, 32, 5, 200, 128)
+    assert "seed_train" not in m1 and "tae" not in m1

@@ -263,6 +263,42 @@ def test_seed_pipeline_relays_checkpoints(corpus, tmp_path):
     )
 
 
+def test_seed_pipeline_m5_stage_selection(corpus, tmp_path):
+    """seed_train.stages: [tae, sae] is the thesis' best model M5 (Table
+    6.5/6.12) — ADV must not run and the relay stops at asr_2."""
+    import copy
+
+    cfg = copy.deepcopy(corpus)
+    cfg["seed_train"]["stages"] = ["tae", "sae"]
+    paras = _paras(tmp_path, "seed_m5")
+    asr_seed_train(cfg, paras)
+    ckpdir = os.path.join(paras.ckpdir, paras.name)
+    for f in ("asr_1.npz", "asr_2.npz", "tae.npz", "sae.npz"):
+        assert os.path.exists(os.path.join(ckpdir, f)), f
+    assert not os.path.exists(os.path.join(ckpdir, "asr_3.npz"))
+    assert not os.path.exists(os.path.join(ckpdir, "adv.npz"))
+    a1 = ckpt.load_pytree(os.path.join(ckpdir, "asr_1.npz"))
+    a2 = ckpt.load_pytree(os.path.join(ckpdir, "asr_2.npz"))
+    assert not np.allclose(
+        a1["encoder"]["pblstm1"]["fwd"]["w_ih"],
+        a2["encoder"]["pblstm1"]["fwd"]["w_ih"],
+    )
+
+
+def test_seed_pipeline_rejects_bad_stage_chains(corpus, tmp_path):
+    import copy
+
+    import pytest
+
+    cfg = copy.deepcopy(corpus)
+    cfg["seed_train"]["stages"] = ["adv", "tae"]  # adv before its data
+    with pytest.raises(ValueError, match="tae"):
+        asr_seed_train(cfg, _paras(tmp_path, "seed_bad1"))
+    cfg["seed_train"]["stages"] = ["tae", "vae"]
+    with pytest.raises(ValueError, match="unknown"):
+        asr_seed_train(cfg, _paras(tmp_path, "seed_bad2"))
+
+
 def test_tester_decodes(corpus, tmp_path):
     paras = _paras(tmp_path, "test")
     # train briefly first so a checkpoint exists
