@@ -362,6 +362,14 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         "beam8_scan": lambda k: chain(beam_scan_only, k),
         "serving_e2e": serving_chain,
     }
+    if jax.default_backend() == "tpu":
+        # the fused decode kernel (whole greedy loop as one Pallas program)
+        # only compiles on real TPU; record it so the A/B vs the XLA
+        # early-exit variant is on the record (ops/pallas/decode.py)
+        from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
+
+        variants["greedy_pallas_kernel"] = lambda k: chain(
+            lambda x: greedy_decode_pallas(params, cfg, x, xl, max_steps), k)
     if floor_ms is None:
         floor_ms = 0.5 if max_steps >= 100 else 0.0
     out, suspects = {}, []

@@ -118,6 +118,26 @@ def test_decode_failure_fails_batch_not_server(rng):
             fut2.result(timeout=60)
 
 
+def test_lm_fused_serving_parity(rng):
+    """Shallow-fusion configuration through the batcher == direct decode
+    (the reference's default serving setup: greedy + char-LM fusion)."""
+    import jax
+
+    from ss_asr_tpu.models import charlm as charlm_mod
+
+    t = _tiny_transcriber()
+    lm_cfg = charlm_mod.CharLMConfig(hidden_size=8)
+    t.lm_params = charlm_mod.init_charlm(jax.random.key(5), lm_cfg)
+    t.lm_cfg = lm_cfg
+    t.lm_weight = 0.1
+    fbanks = [rng.standard_normal((12 + i, 40)).astype(np.float32)
+              for i in range(3)]
+    direct = t.transcribe_fbank(list(fbanks))
+    with BatchingTranscriber(t, max_batch=4, max_wait_ms=100) as bt:
+        got = bt.transcribe_fbank(fbanks)
+    assert got == direct
+
+
 def test_submit_validates_shape_and_close_rejects(rng):
     t = _tiny_transcriber()
     bt = BatchingTranscriber(t, max_batch=2, max_wait_ms=5)
