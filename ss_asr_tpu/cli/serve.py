@@ -73,7 +73,8 @@ def main(argv=None):
         print(f"serving on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms, "
               f"mode={args.mode})", flush=True)
-        serve_http(bt, host=args.host, port=args.port, sr=args.sr)
+        serve_http(bt, host=args.host, port=args.port, sr=args.sr,
+                   reload_paths={"asr": args.checkpoint, "lm": args.lm})
 
 
 if __name__ == "__main__":

@@ -167,6 +167,29 @@ class BatchingTranscriber:
         futs = [self.submit(f) for f in fbanks]
         return [f.result() for f in futs]
 
+    def reload_params(self, params, lm_params=None) -> None:
+        """Hot-swap model weights without dropping requests.
+
+        The worker passes ``self._t``'s params into the jitted decode per
+        batch and attribute assignment is atomic, so an in-flight batch
+        finishes on the old weights and every later batch uses the new —
+        no torn reads, no downtime. Shapes must match the old params (same
+        config): the cached executables are reused, no recompile. With a
+        mesh Transcriber the new weights are replicated the same way the
+        constructor did."""
+        t = self._t
+        if t.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(t.mesh, P())
+            params = jax.device_put(params, repl)
+            if lm_params is not None:
+                lm_params = jax.device_put(lm_params, repl)
+        t.params = params
+        if lm_params is not None:
+            t.lm_params = lm_params
+
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting work, drain the queue, join the worker."""
         with self._cv:
@@ -253,12 +276,19 @@ def serve_http(
     port: int = 8000,
     sr: Optional[int] = None,
     ready_event: Optional[threading.Event] = None,
+    reload_paths: Optional[dict] = None,
 ):
     """Blocking threaded HTTP server over a BatchingTranscriber.
 
     POST /transcribe   body = WAV bytes -> {"text": "..."}
     GET  /healthz      -> {"ok": true}
     GET  /stats        -> batching counters (ServeStats.as_dict)
+    POST /reload       -> hot-swap weights from ``reload_paths`` (the
+                          checkpoint paths the server was started with:
+                          {"asr": path, "lm": path|None}); 404 when the
+                          server was built without paths. In-flight
+                          batches finish on the old weights; no downtime,
+                          no recompile (see reload_params).
 
     In 'signal' mode (the default for cli/serve.py) the raw waveform goes
     straight into the batcher and the frontend rides the fused
@@ -310,6 +340,28 @@ def serve_http(
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                if not reload_paths or not reload_paths.get("asr"):
+                    self._reply(404, {"error": "server started without "
+                                               "reloadable checkpoint paths"})
+                    return
+                try:
+                    import jax
+                    import jax.numpy as jnp
+
+                    from ss_asr_tpu.utils import checkpoint as ckpt
+
+                    params = jax.tree.map(
+                        jnp.asarray, ckpt.load_auto(reload_paths["asr"]))
+                    lm = None
+                    if reload_paths.get("lm"):
+                        lm = jax.tree.map(
+                            jnp.asarray, ckpt.load_auto(reload_paths["lm"]))
+                    batcher.reload_params(params, lm)
+                    self._reply(200, {"reloaded": reload_paths["asr"]})
+                except Exception as e:  # noqa: BLE001 — keep serving old weights
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/transcribe":
                 self._reply(404, {"error": "not found"})
                 return

@@ -151,6 +151,71 @@ def test_submit_validates_shape_and_close_rejects(rng):
     bt.close()  # idempotent
 
 
+def test_reload_params_hot_swap(rng):
+    """After reload_params, later requests decode with the NEW weights
+    (equal to a fresh transcriber on them); no recompile, no downtime."""
+    t_old = _tiny_transcriber(seed=0)
+    t_new = _tiny_transcriber(seed=9)
+    fb = rng.standard_normal((20, 40)).astype(np.float32)
+    want_old = t_old.transcribe_fbank([fb])
+    want_new = t_new.transcribe_fbank([fb])
+    with BatchingTranscriber(t_old, max_batch=2, max_wait_ms=5) as bt:
+        assert bt.submit(fb).result(timeout=120) == want_old[0]
+        bt.reload_params(t_new.params)
+        assert bt.submit(fb).result(timeout=120) == want_new[0]
+
+
+def test_http_reload_endpoint(rng, tmp_path):
+    import urllib.error
+
+    from ss_asr_tpu.utils import checkpoint as ckpt
+
+    t = _tiny_transcriber(seed=0)
+    t_new = _tiny_transcriber(seed=9)
+    p_new = str(tmp_path / "asr_new.npz")
+    ckpt.save_pytree(p_new, t_new.params)
+    fb = rng.standard_normal((20, 40)).astype(np.float32)
+    want_new = t_new.transcribe_fbank([fb])
+
+    ready = threading.Event()
+    with BatchingTranscriber(t, max_batch=2, max_wait_ms=5) as bt:
+        server = serve_http(bt, host="127.0.0.1", port=0, sr=8000,
+                            ready_event=ready,
+                            reload_paths={"asr": p_new, "lm": None})
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            req = urllib.request.Request(base + "/reload", data=b"")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert json.load(r)["reloaded"] == p_new
+            assert bt.submit(fb).result(timeout=120) == want_new[0]
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    # a server without reload paths refuses
+    with BatchingTranscriber(_tiny_transcriber(), max_batch=2,
+                             max_wait_ms=5) as bt2:
+        server = serve_http(bt2, host="127.0.0.1", port=0, sr=8000,
+                            ready_event=threading.Event())
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reload", data=b"")
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected HTTP 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 def _wav_bytes(rng, n=4000, sr=8000):
     buf = io.BytesIO()
     y = (0.1 * rng.standard_normal(n) * 32767).astype(np.int16)
