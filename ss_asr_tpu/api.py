@@ -104,9 +104,19 @@ class Transcriber:
             params = jax.device_put(params, repl)
             if lm_params is not None:
                 lm_params = jax.device_put(lm_params, repl)
-        self.params = params
+        if mesh is not None and use_pallas_kernel:
+            raise ValueError(
+                "mesh + use_pallas_kernel: the fused decode kernels carry "
+                "no partitioning rules (unlike the train-path LSTM/spell "
+                "kernels) — row-sharded inputs would fail to compile or "
+                "silently gather to one device; use the XLA decode paths "
+                "for mesh serving"
+            )
+        #: weights live in ONE tuple so a hot reload swaps the (ASR, LM)
+        #: pair atomically — decode methods snapshot it once per call
+        #: (serve.BatchingTranscriber.reload_params's no-torn-pair contract)
+        self._w = (params, lm_params)
         self.cfg = cfg
-        self.lm_params = lm_params
         self.lm_cfg = lm_cfg
         self.lm_weight = lm_weight
         self.beam_size = beam_size
@@ -115,6 +125,22 @@ class Transcriber:
         self.t_bucket = t_bucket
         self.use_pallas_kernel = use_pallas_kernel
         self.mapper = Mapper()
+
+    @property
+    def params(self) -> Dict:
+        return self._w[0]
+
+    @params.setter
+    def params(self, v: Dict) -> None:
+        self._w = (v, self._w[1])
+
+    @property
+    def lm_params(self) -> Optional[Dict]:
+        return self._w[1]
+
+    @lm_params.setter
+    def lm_params(self, v: Optional[Dict]) -> None:
+        self._w = (self._w[0], v)
 
     def _place_rows(self, x: np.ndarray, lens: np.ndarray):
         """Device placement for a [B, ...] batch: row-sharded over the
@@ -168,7 +194,7 @@ class Transcriber:
             # zero-width buffer crashing the listener scan
             return ["" for _ in fbanks]
         empty = lens == 0  # zero-frame rows mixed into a non-empty batch
-        B = -(-n_real // self._n_data) * self._n_data  # mesh row multiple
+        B = round_up(n_real, self._n_data)  # mesh row multiple
         T = round_up(int(lens.max()), self.t_bucket)
         x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
         for i, f in enumerate(fbanks):
@@ -177,35 +203,36 @@ class Transcriber:
             [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
         x, lens = self._place_rows(x, lens)
 
-        use_lm = self.lm_params is not None and self.lm_weight != 0.0
+        params, lm_params = self._w  # one snapshot: no torn (ASR, LM) pair
+        use_lm = lm_params is not None and self.lm_weight != 0.0
         if self.beam_size > 1:
             from ss_asr_tpu.decode.beam import beam_decode
 
             toks, _ = beam_decode(
-                self.params, self.cfg, x, lens,
+                params, self.cfg, x, lens,
                 beam_size=self.beam_size, max_steps=self.max_steps,
-                lm_params=self.lm_params if use_lm else None,
+                lm_params=lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
         elif self.use_pallas_kernel and use_lm:
             from ss_asr_tpu.ops.pallas.decode import greedy_decode_lm_pallas
 
             toks, _ = greedy_decode_lm_pallas(
-                self.params, self.cfg, x, lens,
-                self.lm_params, self.lm_weight, max_steps=self.max_steps,
+                params, self.cfg, x, lens,
+                lm_params, self.lm_weight, max_steps=self.max_steps,
             )
         elif self.use_pallas_kernel:
             from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
 
             toks, _ = greedy_decode_pallas(
-                self.params, self.cfg, x, lens, max_steps=self.max_steps
+                params, self.cfg, x, lens, max_steps=self.max_steps
             )
         else:
             from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
 
             toks, _ = greedy_decode_early_exit(
-                self.params, self.cfg, x, lens, max_steps=self.max_steps,
-                lm_params=self.lm_params if use_lm else None,
+                params, self.cfg, x, lens, max_steps=self.max_steps,
+                lm_params=lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
         out = [self.mapper.translate(t) for t in np.asarray(toks)[:n_real]]
@@ -237,7 +264,7 @@ class Transcriber:
             return ["" for _ in signals]
         step = max(int(sr * s_bucket_ms) // 1000, 1)
         S = -(-int(lens.max()) // step) * step
-        B = -(-n_real // self._n_data) * self._n_data  # mesh row multiple
+        B = round_up(n_real, self._n_data)  # mesh row multiple
         buf = np.zeros((B, S), dtype=np.float32)
         for i, s in enumerate(signals):
             buf[i, : len(s)] = s
@@ -245,22 +272,23 @@ class Transcriber:
             [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
         buf, jlens = self._place_rows(buf, lens)
 
-        use_lm = self.lm_params is not None and self.lm_weight != 0.0
+        params, lm_params = self._w  # one snapshot: no torn (ASR, LM) pair
+        use_lm = lm_params is not None and self.lm_weight != 0.0
         if self.beam_size > 1:
             from ss_asr_tpu.decode.beam import beam_decode
 
             fb, fl = log_mel_fbank_batch(buf, jlens, sr,
                                          n_mels=self.cfg.feature_dim)
             toks, _ = beam_decode(
-                self.params, self.cfg, fb, fl,
+                params, self.cfg, fb, fl,
                 beam_size=self.beam_size, max_steps=self.max_steps,
-                lm_params=self.lm_params if use_lm else None,
+                lm_params=lm_params if use_lm else None,
                 lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
             )
         else:
             toks, _ = _fused_signal_greedy(
-                self.params, self.cfg, buf, jlens, sr, self.max_steps,
-                self.lm_params if use_lm else None, self.lm_cfg,
+                params, self.cfg, buf, jlens, sr, self.max_steps,
+                lm_params if use_lm else None, self.lm_cfg,
                 self.lm_weight,
                 impl="pallas" if self.use_pallas_kernel else "xla",
             )

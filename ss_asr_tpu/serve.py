@@ -167,17 +167,42 @@ class BatchingTranscriber:
         futs = [self.submit(f) for f in fbanks]
         return [f.result() for f in futs]
 
+    @staticmethod
+    def _check_like(new, old, what: str) -> None:
+        import jax
+
+        if jax.tree.structure(new) != jax.tree.structure(old):
+            raise ValueError(f"reload {what}: tree structure mismatch "
+                             "(different model config?)")
+        for n, o in zip(jax.tree.leaves(new), jax.tree.leaves(old)):
+            ns, os_ = getattr(n, "shape", None), getattr(o, "shape", None)
+            if ns != os_:
+                raise ValueError(
+                    f"reload {what}: leaf shape mismatch {ns} vs {os_} "
+                    "(different model size?)"
+                )
+
     def reload_params(self, params, lm_params=None) -> None:
         """Hot-swap model weights without dropping requests.
 
-        The worker passes ``self._t``'s params into the jitted decode per
-        batch and attribute assignment is atomic, so an in-flight batch
-        finishes on the old weights and every later batch uses the new —
-        no torn reads, no downtime. Shapes must match the old params (same
-        config): the cached executables are reused, no recompile. With a
-        mesh Transcriber the new weights are replicated the same way the
-        constructor did."""
+        Decode calls snapshot the (ASR, LM) weight pair once per batch
+        (Transcriber._w), and this method swaps that pair in ONE
+        assignment — an in-flight batch finishes entirely on the old pair,
+        every later batch uses the new; no torn ASR/LM combination, no
+        downtime. The new trees must match the old structure and leaf
+        shapes (validated here, so a wrong-config checkpoint is rejected
+        BEFORE it can wedge the worker): the cached executables are
+        reused, no recompile. With a mesh Transcriber the new weights are
+        replicated the same way the constructor did."""
         t = self._t
+        self._check_like(params, t.params, "params")
+        if lm_params is not None:
+            if t.lm_params is None:
+                raise ValueError(
+                    "reload lm_params: the server was built without an LM "
+                    "(fusion weights/trace would change); restart to add one"
+                )
+            self._check_like(lm_params, t.lm_params, "lm_params")
         if t.mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -186,9 +211,8 @@ class BatchingTranscriber:
             params = jax.device_put(params, repl)
             if lm_params is not None:
                 lm_params = jax.device_put(lm_params, repl)
-        t.params = params
-        if lm_params is not None:
-            t.lm_params = lm_params
+        t._w = (params,
+                lm_params if lm_params is not None else t._w[1])
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting work, drain the queue, join the worker."""

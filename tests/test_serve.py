@@ -165,6 +165,28 @@ def test_reload_params_hot_swap(rng):
         assert bt.submit(fb).result(timeout=120) == want_new[0]
 
 
+def test_reload_rejects_incompatible_checkpoint(rng):
+    """A wrong-config checkpoint must be rejected BEFORE the swap — the
+    server keeps serving the old weights instead of wedging."""
+    import jax
+
+    from ss_asr_tpu.models import las
+
+    t = _tiny_transcriber(seed=0)
+    fb = rng.standard_normal((20, 40)).astype(np.float32)
+    want = t.transcribe_fbank([fb])
+    big = las.ASRConfig(encoder_state_size=16, decoder_state_size=16,
+                        mlp_out_size=16, feature_dim=40)
+    wrong = las.init_asr(jax.random.key(1), big)
+    with BatchingTranscriber(t, max_batch=2, max_wait_ms=5) as bt:
+        with pytest.raises(ValueError, match="shape mismatch"):
+            bt.reload_params(wrong)
+        with pytest.raises(ValueError, match="without an LM"):
+            bt.reload_params(t.params, lm_params={"not": np.zeros(3)})
+        # still serving, still the old weights
+        assert bt.submit(fb).result(timeout=120) == want[0]
+
+
 def test_http_reload_endpoint(rng, tmp_path):
     import urllib.error
 
