@@ -46,15 +46,22 @@ def beam_decode(
     lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
     lm_weight: float = 0.0,
     length_norm: bool = False,
+    early_exit: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (tokens [B, max_steps] int32 pad-filled, lengths [B]).
 
     ``length_norm`` selects the final hypothesis by score / length instead of
     raw log-prob sum — counters the short-hypothesis bias of un-normalized
-    beam scores (the Google-NMT-style simple normalization)."""
+    beam scores (the Google-NMT-style simple normalization).
+
+    ``early_exit`` (default) stops the frontier as soon as every beam of
+    every sample has emitted EOS instead of always running ``max_steps`` —
+    identical results (frozen beams extend on zero-cost pads, so later
+    steps cannot reorder the frontier; test_beam.py pins the parity), a
+    fraction of the steps at serving time."""
     toks, parents, final_scores, final_done, hyp_lens = _beam_device(
         params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_cfg,
-        lm_weight, _salt=rnn.impl_salt(),
+        lm_weight, early_exit=early_exit, _salt=rnn.impl_salt(),
     )
     scores = np.asarray(final_scores)
     if length_norm:
@@ -67,10 +74,11 @@ def beam_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight", "_salt"),
+    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight",
+                     "early_exit", "_salt"),
 )
 def _beam_device(params, cfg, x, x_lens, K, max_steps, lm_params, lm_cfg,
-                 lm_weight, *, _salt=None):
+                 lm_weight, *, early_exit=False, _salt=None):
     """Listener + beam frontier scan as ONE cached executable — an eager
     call here would re-trace and dispatch op-by-op per request (see
     decode/greedy.py on why the entry points jit at the source and why
@@ -78,17 +86,18 @@ def _beam_device(params, cfg, x, x_lens, K, max_steps, lm_params, lm_cfg,
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
     return _beam_scan(
         params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg,
-        lm_weight, _salt=_salt,
+        lm_weight, early_exit=early_exit, _salt=_salt,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight", "_salt"),
+    static_argnames=("cfg", "K", "max_steps", "lm_cfg", "lm_weight",
+                     "early_exit", "_salt"),
 )
 def _beam_scan(
     params, cfg, enc_h, enc_lens, K, max_steps, lm_params, lm_cfg, lm_weight,
-    *, _salt=None,
+    *, early_exit=False, _salt=None,
 ):
     B, S, F = enc_h.shape
     use_lm = lm_params is not None and lm_weight != 0.0
@@ -117,8 +126,9 @@ def _beam_scan(
 
     hyplen0 = jnp.zeros((B, K), dtype=jnp.int32)
 
-    def body(carry, _):
-        state, lm_state, last_ids, scores, done, hyp_len = carry
+    def frontier_step(state, lm_state, last_ids, scores, done, hyp_len):
+        """One beam-frontier advance; shared by the fixed-length scan and
+        the early-exit while_loop (they must stay step-identical)."""
         _, context = las.attention_step(
             params["attention"], comp_hK, enc_hK, state[0][0], validK
         )
@@ -151,16 +161,47 @@ def _beam_scan(
             parent_done | (token == EOS_ID), 0, 1
         )
         last_new = token.reshape(-1)
-
-        return (
-            (state_new, lm_state_new, last_new, top_scores, done_new, hyp_new),
-            (token, parent),
-        )
+        return (state_new, lm_state_new, last_new, top_scores, done_new,
+                hyp_new, token, parent)
 
     init = (spell0, lm0, last0, scores0, done0, hyplen0)
-    (state, lm_state, last_ids, scores, done, hyp_len), (toks, parents) = jax.lax.scan(
-        body, init, None, length=max_steps
-    )
+    if early_exit:
+        # stop as soon as every (sample, beam) is frozen: the trace buffers
+        # are preallocated with IDENTITY parents (so the backtrack's pointer
+        # chase through unwritten steps preserves each beam's lineage) and
+        # pad tokens (trimmed after the first EOS, like frozen-beam pads)
+        toks0 = jnp.full((max_steps, B, K), SOS_ID, dtype=jnp.int32)
+        parents0 = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, None, :], (max_steps, B, K)
+        )
+
+        def cond(c):
+            step, _, _, _, _, done, _, _, _ = c
+            return jnp.logical_and(step < max_steps, ~jnp.all(done))
+
+        def wbody(c):
+            step, state, lm_state, last_ids, scores, done, hyp_len, tb, pb = c
+            (state, lm_state, last_ids, scores, done, hyp_len, token,
+             parent) = frontier_step(state, lm_state, last_ids, scores,
+                                     done, hyp_len)
+            tb = jax.lax.dynamic_update_slice(tb, token[None], (step, 0, 0))
+            pb = jax.lax.dynamic_update_slice(pb, parent[None], (step, 0, 0))
+            return (step + 1, state, lm_state, last_ids, scores, done,
+                    hyp_len, tb, pb)
+
+        (_, state, lm_state, last_ids, scores, done, hyp_len, toks,
+         parents) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), *init, toks0, parents0)
+        )
+    else:
+        def body(carry, _):
+            (state, lm_state, last_ids, scores, done, hyp_len, token,
+             parent) = frontier_step(*carry)
+            return (state, lm_state, last_ids, scores, done, hyp_len), (
+                token, parent)
+
+        (state, lm_state, last_ids, scores, done, hyp_len), (toks, parents) = \
+            jax.lax.scan(body, init, None, length=max_steps)
 
     # Force-terminate still-open beams: charge them the real cost of emitting
     # EOS from their final state, so un-finished hypotheses compete fairly

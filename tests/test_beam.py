@@ -28,6 +28,29 @@ def test_beam1_matches_greedy(rng):
 
 
 @pytest.mark.parametrize("eos_bias", [0.0, 3.0])
+@pytest.mark.parametrize("use_lm", [False, True])
+def test_beam_early_exit_matches_full_scan(rng, eos_bias, use_lm):
+    """early_exit=True (while_loop, stop at all-frozen) must be
+    token-identical to the fixed-length scan — frozen beams extend on
+    zero-cost pads, so the post-exit steps it skips cannot reorder the
+    frontier. eos_bias makes hypotheses actually finish early so the
+    exit path is exercised, not just the max_steps fallback."""
+    params = las.init_asr(jax.random.key(2), CFG)
+    if eos_bias:
+        b = params["char_trans"]["b"]
+        params["char_trans"]["b"] = b.at[EOS_ID].add(eos_bias)
+    lm_params = charlm.init_charlm(jax.random.key(3), LM_CFG) if use_lm else None
+    x, lens = _inputs(rng, B=3)
+    kw = dict(beam_size=4, max_steps=20, lm_params=lm_params,
+              lm_cfg=LM_CFG if use_lm else None,
+              lm_weight=0.2 if use_lm else 0.0)
+    t_scan, l_scan = beam_decode(params, CFG, x, lens, early_exit=False, **kw)
+    t_fast, l_fast = beam_decode(params, CFG, x, lens, early_exit=True, **kw)
+    np.testing.assert_array_equal(l_scan, l_fast)
+    np.testing.assert_array_equal(t_scan, t_fast)
+
+
+@pytest.mark.parametrize("eos_bias", [0.0, 3.0])
 def test_beam_matches_exhaustive_reference(rng, eos_bias):
     """The scan-based frontier must equal a brute-force python beam search.
 
