@@ -347,10 +347,11 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
 
         return run
 
-    def beam_scan_only(x):
+    def beam_scan_only(x, early_exit=False):
         enc_h, enc_lens = las.listener_apply(params["encoder"], x, xl)
         toks, parents, scores, done, hyp_lens = beam_mod._beam_scan(
-            params, cfg, enc_h, enc_lens, 8, max_steps, None, None, 0.0
+            params, cfg, enc_h, enc_lens, 8, max_steps, None, None, 0.0,
+            early_exit=early_exit,
         )
         return toks, hyp_lens.reshape(-1)
 
@@ -360,6 +361,11 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         "greedy_early_exit": lambda k: chain(
             lambda x: greedy_decode_early_exit(params, cfg, x, xl, max_steps), k),
         "beam8_scan": lambda k: chain(beam_scan_only, k),
+        # NB random weights rarely emit EOS, so this measures the
+        # while_loop machinery at full length — the exit win shows on
+        # real checkpoints whose hypotheses finish early
+        "beam8_early_exit": lambda k: chain(
+            lambda x: beam_scan_only(x, early_exit=True), k),
         "serving_e2e": serving_chain,
     }
     if jax.default_backend() == "tpu":
