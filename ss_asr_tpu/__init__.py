@@ -15,6 +15,10 @@ training and char-LM shallow fusion), designed TPU-first:
 * The frontend (wav -> log-mel filterbank) is a jitted JAX pipeline with a Pallas
   fused post-FFT kernel, replacing the reference's offline librosa pass
   (reference: src/preprocess.py:187-208).
+* A production serving stack the reference lacks entirely: jit-cached decode
+  entry points, a dynamic-batching runtime on a bounded executable lattice
+  (``ss_asr_tpu.serve``), fused waveform->text programs, mesh-sharded batch
+  decoding, hot checkpoint reload, and an HTTP server (docs/SERVING.md).
 """
 
 __version__ = "0.1.0"

@@ -163,13 +163,39 @@ class Solver:
 
     # ------------------------------------------------------------------
     def setup_params(self, init_fn: Callable[[jax.Array], dict], ckp_path: str) -> dict:
-        """Init a param tree, loading the checkpoint at ckp_path if present."""
+        """Init a param tree, loading the checkpoint at ckp_path if present.
+
+        A loaded tree is validated against the config's shapes (via
+        ``jax.eval_shape`` — no compute): a stale checkpoint from a
+        different model size otherwise surfaces hundreds of frames deep as
+        a dot_general shape error inside the forward pass."""
         if ckpt.exists_auto(ckp_path):
             self.verbose(f"Loading a pretrained model from {ckp_path}")
             import jax.numpy as jnp
 
+            loaded = jax.tree.map(jnp.asarray, ckpt.load_auto(ckp_path))
+            want = jax.eval_shape(init_fn, jax.random.key(0))
+            if jax.tree.structure(loaded) != jax.tree.structure(want):
+                raise ValueError(
+                    f"checkpoint {ckp_path} does not match the model config "
+                    "(different parameter tree — wrong mdl section or a "
+                    "checkpoint from another model?); delete the ckpdir or "
+                    "fix the config"
+                )
+            for (path, have), exp in zip(
+                jax.tree_util.tree_leaves_with_path(loaded),
+                jax.tree.leaves(want),
+            ):
+                if have.shape != exp.shape:
+                    keys = jax.tree_util.keystr(path)
+                    raise ValueError(
+                        f"checkpoint {ckp_path} does not match the model "
+                        f"config: leaf {keys} has shape {have.shape}, the "
+                        f"config expects {exp.shape}; delete the ckpdir or "
+                        "fix the mdl section"
+                    )
             self.loaded_ckpt = True
-            return jax.tree.map(jnp.asarray, ckpt.load_auto(ckp_path))
+            return loaded
         self.verbose(f"No model found at {ckp_path}. A new model will be created")
         self.loaded_ckpt = False
         return init_fn(self.next_key())

@@ -263,6 +263,30 @@ def test_seed_pipeline_relays_checkpoints(corpus, tmp_path):
     )
 
 
+def test_stale_checkpoint_shape_mismatch_is_caught_at_load(corpus, tmp_path):
+    """A checkpoint from a different model size must fail AT LOAD with a
+    clear message, not hundreds of frames deep as a dot_general error in
+    the forward pass (the stale-workdir footgun)."""
+    import copy
+
+    import pytest
+
+    paras = _paras(tmp_path, "stale")
+    t = ASRTrainer(corpus, paras)
+    t.load_data()
+    t.set_model()
+    t.save_tree(t.ckppath, t.params)
+
+    bigger = copy.deepcopy(corpus)
+    bigger["asr"]["mdl"] = dict(bigger["asr"]["mdl"],
+                                encoder_state_size=16, decoder_state_size=16,
+                                mlp_out_size=16)
+    t2 = ASRTrainer(bigger, paras)
+    t2.load_data()
+    with pytest.raises(ValueError, match="does not match the model config"):
+        t2.set_model()
+
+
 def test_seed_pipeline_m5_stage_selection(corpus, tmp_path):
     """seed_train.stages: [tae, sae] is the thesis' best model M5 (Table
     6.5/6.12) — ADV must not run and the relay stops at asr_2."""
