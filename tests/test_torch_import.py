@@ -414,3 +414,62 @@ def test_import_ckpt_cli_roundtrip(tmp_path):
         sd["layer_1.bias_ih"] + sd["layer_1.bias_hh"],
         lm.layer_1.bias_ih.detach().numpy() + lm.layer_1.bias_hh.detach().numpy(),
         atol=1e-6)
+
+
+def test_training_resumes_from_imported_reference_checkpoint(tmp_path):
+    """The migration story end-to-end: a reference user's trained ASR weights
+    keep training under our ASRTrainer after CLI conversion."""
+    from ss_asr_tpu.cli import import_ckpt as cli
+    from ss_asr_tpu.train import ASRTrainer, make_paras
+    from ss_asr_tpu.vocab import normalize_string
+
+    rng = np.random.RandomState(0)
+    fdir = tmp_path / "fbanks"
+    fdir.mkdir()
+    rows = []
+    for i, t in enumerate(["já", "nei", "takk", "gott"]):
+        T = 16 + 2 * i
+        p = str(fdir / f"u{i}.npy")
+        np.save(p, (0.1 * rng.standard_normal((T, 8))).astype(np.float32))
+        norm, s_len = normalize_string(t)
+        rows.append((norm, p, s_len, T, "na", f"u{i}.wav"))
+    rows.sort(key=lambda r: r[3])
+    idx = str(tmp_path / "index.tsv")
+    with open(idx, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("\t".join(str(a) for a in r) + "\n")
+
+    config = {
+        "asr": {
+            "opt": {"type": "Adadelta", "learning_rate": 1.0},
+            "mdl": {"encoder_state_size": 8, "mlp_out_size": 8,
+                    "decoder_state_size": 8, "tf_rate": 0.9, "feature_dim": 8},
+            "train_index": idx, "valid_index": idx,
+            "t_bucket": 8, "l_bucket": 8, "train_batch_size": 4,
+            "valid_batch_size": 4, "n_epochs": 4, "valid_step": 1000,
+            "logging_step": 1, "save_step": 1000, "wer_step": 1000,
+        },
+    }
+
+    # a "trained" reference checkpoint, converted into our ckpdir layout
+    torch.manual_seed(8)
+    ref = _RefASR(feat=8, enc=8, dec=8, mlp=8, vocab=50)
+    torch.save(ref.state_dict(), tmp_path / "asr.cpt")
+    ckpdir = tmp_path / "result"
+    assert cli.main([str(tmp_path / "asr.cpt"), str(ckpdir / "mig")]) == 0
+
+    paras = make_paras(name="mig", logdir=str(tmp_path / "runs"),
+                       ckpdir=str(ckpdir), seed=1, verbose=False)
+    t = ASRTrainer(config, paras)
+    t.load_data()
+    t.set_model()
+    # the trainer picked up the imported weights, not a fresh init
+    np.testing.assert_allclose(
+        np.asarray(t.params["char_trans"]["w"]),
+        ref.char_trans.weight.detach().numpy().T, atol=1e-6)
+    logged = []
+    t.lg.scalar = lambda k, v, s: logged.append((k, v, s))
+    t.exec()
+    t.close()
+    losses = [v for k, v, s in logged if k == "train_loss"]
+    assert len(losses) >= 2 and np.isfinite(losses).all()
