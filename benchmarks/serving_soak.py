@@ -146,10 +146,7 @@ def main():
         rss_end = _rss_mb()
 
         # the worker must still be alive after the storm
-        import numpy as np2
-
-        final = bt.submit(
-            np2.zeros((4000,), np2.float32)).result(timeout=600)
+        final = bt.submit(np.zeros((4000,), np.float32)).result(timeout=600)
         assert isinstance(final, str)
         with bt._cv:
             stats = bt.stats.as_dict()

@@ -29,8 +29,12 @@ from ss_asr_tpu.utils import torch_import as ti
 def _convert_file(src: str, dest_dir: str, module: str | None) -> str:
     mid, tree = ti.import_checkpoint(src, module=module)
     stem = os.path.basename(src).rsplit(".", 1)[0]
-    # keep the reference's file naming (asr_best.cpt -> asr_best.npz) so
-    # best-checkpoint semantics survive the migration
+    if module is not None:
+        # a forced module id names the output so our trainers find it,
+        # whatever the source file was called
+        stem = mid + ("_best" if stem.endswith("_best") else "")
+    # otherwise keep the reference's file naming (asr_best.cpt ->
+    # asr_best.npz) so best-checkpoint semantics survive the migration
     out = os.path.join(dest_dir, stem + ".npz")
     ckpt.save_pytree(out, tree)
     return out
@@ -71,21 +75,30 @@ def main(argv=None):
                         help="reverse direction: our .npz -> torch .cpt")
     args = parser.parse_args(argv)
 
-    os.makedirs(args.dest, exist_ok=True)
     in_ext = ".npz" if args.export else ".cpt"
     convert = _export_file if args.export else _convert_file
 
     if os.path.isfile(args.src):
         files = [args.src]
-    else:
+    elif os.path.isdir(args.src):
+        if args.module is not None:
+            print("--module only applies to a single file, not a directory "
+                  "(a directory holds several module kinds)", file=sys.stderr)
+            return 1
         files = sorted(
             os.path.join(args.src, f)
             for f in os.listdir(args.src)
-            if f.endswith(in_ext)
+            # *_opt.npz are optimizer-state archives (train/solver.py), not
+            # model checkpoints — nothing to export there
+            if f.endswith(in_ext) and not f.endswith("_opt.npz")
         )
         if not files:
             print(f"no {in_ext} files in {args.src}", file=sys.stderr)
             return 1
+    else:
+        print(f"no such file or directory: {args.src}", file=sys.stderr)
+        return 1
+    os.makedirs(args.dest, exist_ok=True)
     n_err = 0
     for f in files:
         try:

@@ -46,8 +46,6 @@ import numpy as np
 
 Flat = Dict[str, np.ndarray]
 
-MODULE_IDS = ("asr", "char_lm", "tae", "sae", "adv")
-
 
 # ---------------------------------------------------------------------------
 # Primitive converters (torch layout -> ours)
@@ -298,7 +296,11 @@ def load_torch_state(path: str) -> Flat:
     """Read a ``torch.save``-d state_dict into plain numpy arrays."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:
+        # torch < 1.13 (the versions the reference pins) has no weights_only
+        sd = torch.load(path, map_location="cpu")
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
 
@@ -325,24 +327,30 @@ def import_state(sd: Flat, module: str | None = None) -> Tuple[str, Dict]:
 
 
 def import_checkpoint(path: str, module: str | None = None) -> Tuple[str, Dict]:
-    """Load a reference ``.cpt`` file and convert it (see import_state)."""
-    if module is None:
-        stem = os.path.basename(path)
-        for mid in ("asr", "char_lm", "tae", "sae", "adv", "discriminator"):
-            if stem == f"{mid}.cpt" or stem.startswith(f"{mid}_") or stem == mid:
-                module = "adv" if mid == "discriminator" else mid
-                break
-        # asr_1.cpt / asr_best.cpt style relays stay under their stem name
-        if module == "asr" and stem.startswith("asr_") and not stem.startswith("asr_best"):
-            module = stem.rsplit(".", 1)[0].removesuffix("_best")
+    """Load a reference ``.cpt`` file and convert it (see import_state).
+
+    Without ``module``, the state_dict's keys decide what it is, and the
+    filename is only cross-checked (``asr_1.cpt`` relay names keep their
+    stem as the module id).  A caller-supplied ``module`` is trusted as-is —
+    the escape hatch for unrecognizable key layouts.
+    """
     sd = load_torch_state(path)
+    if module is not None:
+        return import_state(sd, "adv" if module == "discriminator" else module)
     detected = detect_module(sd)
-    if module is None:
-        module = detected
-    base = "asr" if str(module).startswith("asr") else module
-    if base != detected and not (base == "adv" and detected == "adv"):
-        raise ValueError(
-            f"file {path} looks like a '{detected}' state_dict but was "
-            f"requested as '{module}'"
-        )
-    return import_state(sd, module if str(module).startswith("asr_") else detected)
+    stem = os.path.basename(path).rsplit(".", 1)[0].removesuffix("_best")
+    if stem == "asr" or stem.startswith("asr_"):
+        if detected != "asr":
+            raise ValueError(
+                f"{path} is named like an ASR checkpoint but holds a "
+                f"'{detected}' state_dict"
+            )
+        return import_state(sd, stem)  # relay names (asr_1, ...) survive
+    if stem in ("char_lm", "tae", "sae", "adv", "discriminator"):
+        base = "adv" if stem == "discriminator" else stem
+        if base != detected:
+            raise ValueError(
+                f"{path} is named like a '{stem}' checkpoint but holds a "
+                f"'{detected}' state_dict"
+            )
+    return import_state(sd, detected)

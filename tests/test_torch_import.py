@@ -378,8 +378,11 @@ def test_import_checkpoint_file(tmp_path):
     torch.save(ref_asr.state_dict(), p2)
     mid2, _ = ti.import_checkpoint(str(p2))
     assert mid2 == "asr_1"
+    # a filename that contradicts the state_dict's contents is caught
+    p3 = tmp_path / "sae.cpt"
+    torch.save(ref.state_dict(), p3)  # char_lm weights under an sae name
     with pytest.raises(ValueError):
-        ti.import_checkpoint(str(p), module="sae")
+        ti.import_checkpoint(str(p3))
 
 
 def test_import_ckpt_cli_roundtrip(tmp_path):
@@ -414,6 +417,49 @@ def test_import_ckpt_cli_roundtrip(tmp_path):
         sd["layer_1.bias_ih"] + sd["layer_1.bias_hh"],
         lm.layer_1.bias_ih.detach().numpy() + lm.layer_1.bias_hh.detach().numpy(),
         atol=1e-6)
+
+
+def test_import_ckpt_cli_edge_cases(tmp_path):
+    from ss_asr_tpu.cli import import_ckpt as cli
+    from ss_asr_tpu.utils import checkpoint as ckpt
+
+    torch.manual_seed(9)
+    # forced 'discriminator' alias converts (and renames to adv.npz)
+    d = tmp_path / "whatever.cpt"
+    torch.save(_RefDiscriminator().state_dict(), d)
+    dest = tmp_path / "out"
+    assert cli.main([str(d), str(dest), "--module", "discriminator"]) == 0
+    assert (dest / "adv.npz").exists()
+
+    # forced module names the output so trainers find it
+    f = tmp_path / "final.cpt"
+    torch.save(_RefCharLM().state_dict(), f)
+    assert cli.main([str(f), str(dest), "--module", "char_lm"]) == 0
+    assert (dest / "char_lm.npz").exists()
+
+    # nonexistent src: clean error, no traceback
+    assert cli.main([str(tmp_path / "nope"), str(dest)]) == 1
+
+    # directory + --module: rejected (multi-module dirs)
+    srcdir = tmp_path / "run"
+    srcdir.mkdir()
+    torch.save(_RefCharLM().state_dict(), srcdir / "char_lm.cpt")
+    assert cli.main([str(srcdir), str(dest), "--module", "asr"]) == 1
+
+    # filename/content mismatch is caught
+    torch.save(_RefCharLM().state_dict(), srcdir / "sae.cpt")
+    assert cli.main([str(srcdir), str(dest / "mismatch")]) == 1
+
+    # --export directory mode skips optimizer-state archives
+    exp = tmp_path / "ours"
+    exp.mkdir()
+    lm = charlm_mod.init_charlm(jax.random.PRNGKey(0), charlm_mod.CharLMConfig())
+    ckpt.save_pytree(str(exp / "char_lm.npz"), lm)
+    ckpt.save_pytree(str(exp / "char_lm_opt.npz"), {"leaf_00000": np.zeros(3)})
+    back = tmp_path / "back2"
+    assert cli.main([str(exp), str(back), "--export"]) == 0
+    assert (back / "char_lm.cpt").exists()
+    assert not (back / "char_lm_opt.cpt").exists()
 
 
 def test_training_resumes_from_imported_reference_checkpoint(tmp_path):
