@@ -240,6 +240,121 @@ class Transcriber:
         # makes it attend to one padding step) — its transcript is ""
         return ["" if e else o for e, o in zip(empty, out)]
 
+    def transcribe_fbank_detailed(
+        self,
+        fbanks: Union[np.ndarray, Sequence[np.ndarray]],
+        n_best: int = 1,
+        timestamps: bool = True,
+    ) -> List[List["align_mod.Hypothesis"]]:
+        """Rich decode: n-best hypotheses with scores, confidence, and
+        per-character timestamps (attention forced alignment).
+
+        Returns one ``List[Hypothesis]`` per input (best first).  ``n_best``
+        > 1 decodes with a beam of ``max(beam_size, n_best)`` and returns
+        the frontier — the input to LM-rescoring pipelines.  With
+        ``timestamps`` (default) every hypothesis carries ``char_starts``
+        (seconds) and ``avg_logprob`` confidence from a teacher-forced
+        alignment pass; without, timing arrays are empty and the beam
+        score is used.
+        """
+        from ss_asr_tpu.decode import align as align_mod
+
+        if isinstance(fbanks, np.ndarray) and fbanks.ndim == 2:
+            fbanks = [fbanks]
+        fbanks = list(fbanks)
+        if not fbanks:
+            return []
+        n_real = len(fbanks)
+        lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
+        empty_hyp = align_mod.Hypothesis(
+            text="", score=0.0, avg_logprob=0.0,
+            char_starts=np.zeros((0,), np.float32),
+            char_frames=np.zeros((0,), np.int32),
+        )
+        if int(lens.max()) == 0:
+            return [[empty_hyp] for _ in fbanks]
+        empty = lens == 0
+        B = round_up(n_real, self._n_data)
+        T = round_up(int(lens.max()), self.t_bucket)
+        x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
+        for i, f in enumerate(fbanks):
+            x[i, : f.shape[0]] = f
+        lens = np.concatenate(
+            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
+        xd, lensd = self._place_rows(x, lens)
+
+        params, lm_params = self._w
+        use_lm = lm_params is not None and self.lm_weight != 0.0
+        lm = lm_params if use_lm else None
+        lmw = self.lm_weight if use_lm else 0.0
+
+        if n_best > 1 or self.beam_size > 1:
+            from ss_asr_tpu.decode.beam import beam_decode_nbest
+
+            K = max(self.beam_size, n_best)
+            toks, tok_lens, scores = beam_decode_nbest(
+                params, self.cfg, xd, lensd, beam_size=K,
+                max_steps=self.max_steps, lm_params=lm, lm_cfg=self.lm_cfg,
+                lm_weight=lmw, n_best=n_best,
+            )  # [B, n, S], [B, n], [B, n]
+        else:
+            from ss_asr_tpu.decode.greedy import greedy_decode_early_exit
+
+            g_toks, g_lens = greedy_decode_early_exit(
+                params, self.cfg, xd, lensd, max_steps=self.max_steps,
+                lm_params=lm, lm_cfg=self.lm_cfg, lm_weight=lmw,
+            )
+            toks = np.asarray(g_toks)[:, None, :]
+            tok_lens = np.asarray(g_lens)[:, None].astype(np.int32)
+            scores = np.zeros(tok_lens.shape, np.float32)
+        n = toks.shape[1]
+
+        # one batched alignment pass over all B*n hypotheses; executable
+        # reuse via a bucketed char length
+        L = int(tok_lens.max())
+        if timestamps and L > 0:
+            Lb = round_up(max(L, 1), 16)
+            ids = np.ascontiguousarray(toks[:, :, :Lb].reshape(B * n, -1))
+            if ids.shape[1] < Lb:
+                ids = np.pad(ids, ((0, 0), (0, Lb - ids.shape[1])))
+            x_t = np.repeat(x, n, axis=0)
+            lens_t = np.repeat(lens, n, axis=0)
+            frames, logp = align_mod.force_align(
+                params, self.cfg, jnp.asarray(x_t), jnp.asarray(lens_t),
+                ids, tok_lens.reshape(-1),
+                lm_params=lm, lm_cfg=self.lm_cfg, lm_weight=lmw,
+            )
+            frames = frames.reshape(B, n, -1)
+            logp = logp.reshape(B, n, -1)
+        out: List[List[align_mod.Hypothesis]] = []
+        for b in range(n_real):
+            if empty[b]:
+                out.append([empty_hyp])
+                continue
+            if timestamps and L > 0:
+                hyps = align_mod.build_hypotheses(
+                    self.mapper, toks[b], tok_lens[b], frames[b], logp[b]
+                )
+                if n_best > 1 or self.beam_size > 1:
+                    # keep the decoder's own (EOS-inclusive) ranking score;
+                    # avg_logprob stays the alignment-pass confidence
+                    for j, h in enumerate(hyps):
+                        h.score = float(scores[b, j])
+            else:
+                hyps = [
+                    align_mod.Hypothesis(
+                        text=self.mapper.translate(toks[b, j]),
+                        score=float(scores[b, j]),
+                        avg_logprob=float(scores[b, j])
+                        / max(int(tok_lens[b, j]), 1),
+                        char_starts=np.zeros((0,), np.float32),
+                        char_frames=np.zeros((0,), np.int32),
+                    )
+                    for j in range(n)
+                ]
+            out.append(hyps)
+        return out
+
     def transcribe_signal_batch(
         self,
         signals: Sequence[np.ndarray],

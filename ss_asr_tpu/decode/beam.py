@@ -221,6 +221,61 @@ def _beam_scan(
     return toks, parents, scores, done, hyp_len  # toks/parents: [T, B, K]
 
 
+def beam_decode_nbest(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    beam_size: int = 8,
+    max_steps: int = 200,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+    length_norm: bool = False,
+    early_exit: bool = True,
+    n_best: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The full frontier, not just the winner — for rescoring pipelines.
+
+    Returns ``(tokens [B, n, max_steps], lengths [B, n], scores [B, n])``
+    with ``n = min(n_best or beam_size, beam_size)`` hypotheses per sample
+    sorted by descending (optionally length-normalized) score.  Same device
+    program as ``beam_decode`` (one cached executable); only the host-side
+    backtrack widens.
+    """
+    n = min(n_best or beam_size, beam_size)
+    toks, parents, final_scores, final_done, hyp_lens = _beam_device(
+        params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_cfg,
+        lm_weight, early_exit=early_exit, _salt=rnn.impl_salt(),
+    )
+    scores = np.asarray(final_scores)
+    if length_norm:
+        scores = scores / np.maximum(np.asarray(hyp_lens), 1)
+    toks, parents = np.asarray(toks), np.asarray(parents)
+    T, B, K = toks.shape
+    out = np.zeros((B, n, max_steps), dtype=np.int32)
+    lengths = np.zeros((B, n), dtype=np.int32)
+    out_scores = np.zeros((B, n), dtype=np.float32)
+    for b in range(B):
+        order = np.argsort(-scores[b])[:n]
+        for j, k0 in enumerate(order):
+            k = int(k0)
+            seq = []
+            for t in range(T - 1, -1, -1):
+                seq.append(int(toks[t, b, k]))
+                k = int(parents[t, b, k])
+            seq.reverse()
+            clean = []
+            for c in seq:
+                if c == EOS_ID:
+                    break
+                clean.append(c)
+            lengths[b, j] = len(clean)
+            out[b, j, : len(clean)] = clean
+            out_scores[b, j] = scores[b, k0]
+    return out, lengths, out_scores
+
+
 def _backtrack(toks, parents, final_scores, final_done, max_steps):
     """Host-side pointer chase: pick best beam per sample, rebuild tokens."""
     T, B, K = toks.shape
