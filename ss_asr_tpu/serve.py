@@ -386,10 +386,16 @@ def serve_http(
                 except Exception as e:  # noqa: BLE001 — keep serving old weights
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if self.path != "/transcribe":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/transcribe":
                 self._reply(404, {"error": "not found"})
                 return
-            try:  # client-side failures: unparseable body -> 400
+            try:  # client-side failures: unparseable body/query -> 400
+                q = parse_qs(url.query)
+                detail = q.get("detail", ["0"])[0] not in ("0", "", "false")
+                n_best = max(1, int(q.get("nbest", ["1"])[0]))
                 n = int(self.headers.get("Content-Length", 0))
                 wav_sr, y = read_wav(io.BytesIO(self.rfile.read(n)))
                 if wav_sr != target_sr:
@@ -401,13 +407,39 @@ def serve_http(
                 if y.size == 0:
                     self._reply(200, {"text": ""})
                     return
+                fb = None
                 if batcher.mode == "signal":
                     item = np.asarray(y, np.float32)
                 else:
-                    item = np.asarray(
+                    fb = item = np.asarray(
                         compute_fbank(np.asarray(y, np.float32), target_sr,
                                       n_mels=feat)
                     )
+                if detail or n_best > 1:
+                    # rich path: n-best + confidence + per-char timestamps.
+                    # Goes straight to the Transcriber (its executables are
+                    # cached like the batcher's); the dynamic batcher only
+                    # coalesces the plain-text path.
+                    if fb is None:
+                        fb = np.asarray(
+                            compute_fbank(np.asarray(y, np.float32),
+                                          target_sr, n_mels=feat))
+                    (hyps,) = batcher._t.transcribe_fbank_detailed(
+                        fb, n_best=n_best)
+                    self._reply(200, {
+                        "text": hyps[0].text,
+                        "hypotheses": [
+                            {
+                                "text": h.text,
+                                "score": h.score,
+                                "avg_logprob": h.avg_logprob,
+                                "char_starts": [round(float(s), 3)
+                                                for s in h.char_starts],
+                            }
+                            for h in hyps
+                        ],
+                    })
+                    return
                 text = batcher.submit(item).result()
                 self._reply(200, {"text": text})
             except Exception as e:  # noqa: BLE001 — a failed batch is a 5xx, not a crash

@@ -273,6 +273,20 @@ def test_http_server_end_to_end(rng):
                 stats = json.load(r)
             assert stats["requests"] >= 1 and stats["batches"] >= 1
 
+            # detailed path: n-best + confidence + per-char timestamps
+            req = urllib.request.Request(
+                base + "/transcribe?detail=1&nbest=2", data=wav)
+            with urllib.request.urlopen(req, timeout=300) as r:
+                d = json.load(r)
+            # top-1 mirrors hypotheses[0] (beam-2 may differ from greedy)
+            assert len(d["hypotheses"]) == 2
+            h0 = d["hypotheses"][0]
+            assert d["text"] == h0["text"]
+            assert h0["avg_logprob"] <= 0.0
+            assert len(h0["char_starts"]) == len(h0["text"])
+            scores = [h["score"] for h in d["hypotheses"]]
+            assert scores == sorted(scores, reverse=True)
+
             # malformed body -> 400, server stays up
             bad = urllib.request.Request(base + "/transcribe",
                                          data=b"not a wav")
