@@ -46,6 +46,13 @@ def main(argv=None):
     parser.add_argument("--out", default=None,
                         help="write path<TAB>transcript lines here "
                              "(default stdout)")
+    parser.add_argument("--detail", action="store_true",
+                        help="emit one JSON line per input instead of TSV: "
+                             "n-best hypotheses with score, avg_logprob "
+                             "confidence, and per-char start times (s)")
+    parser.add_argument("--nbest", type=int, default=1,
+                        help="hypotheses per input (implies beam decode "
+                             "when > 1; shown only with --detail)")
     args = parser.parse_args(argv)
 
     config = {}
@@ -119,6 +126,24 @@ def main(argv=None):
     try:
         for i in range(0, len(args.inputs), args.batch):
             chunk = args.inputs[i : i + args.batch]
+            if args.detail or args.nbest > 1:
+                import json
+
+                rows = t.transcribe_fbank_detailed(
+                    chunk_fbanks(chunk), n_best=args.nbest)
+                for path, hyps in zip(chunk, rows):
+                    print(json.dumps({
+                        "path": path,
+                        "text": hyps[0].text,
+                        "hypotheses": [
+                            {"text": h.text, "score": round(h.score, 4),
+                             "avg_logprob": round(h.avg_logprob, 4),
+                             "char_starts": [round(float(s), 3)
+                                             for s in h.char_starts]}
+                            for h in hyps
+                        ],
+                    }, ensure_ascii=False), file=sink, flush=True)
+                continue
             hyps = t.transcribe_fbank(chunk_fbanks(chunk))
             for path, hyp in zip(chunk, hyps):
                 print(f"{path}\t{hyp}", file=sink, flush=True)

@@ -265,6 +265,22 @@ def test_transcribe_cli(tmp_path, rng, capsys):
     with pytest.raises(SystemExit, match="expected"):
         tr_cli.main([ckp, str(bad), "--config", str(conf_path)])
 
+    # --detail --nbest: one JSON line per input with timed hypotheses
+    import json
+
+    out_json = tmp_path / "hyps.jsonl"
+    tr_cli.main([ckp, str(fb), str(empty_wav), "--config", str(conf_path),
+                 "--sr", "8000", "--max-steps", "6", "--detail",
+                 "--nbest", "2", "--out", str(out_json)])
+    recs = [json.loads(l) for l in
+            out_json.read_text(encoding="utf-8").splitlines()]
+    assert len(recs) == 2
+    assert recs[0]["path"] == str(fb) and len(recs[0]["hypotheses"]) == 2
+    h0 = recs[0]["hypotheses"][0]
+    assert recs[0]["text"] == h0["text"]
+    assert len(h0["char_starts"]) == len(h0["text"])
+    assert recs[1]["text"] == "" # empty wav: one empty hypothesis
+
 
 def test_step_timer_rolling_stats():
     import time as _time
