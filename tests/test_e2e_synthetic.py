@@ -110,3 +110,28 @@ def test_pipeline_learns_synthetic_mapping(synth_corpus, tmp_path):
     refs = [mapper.translate(yy) for yy in b.y]
     print("hyps:", hyps, "refs:", refs, "CER:", cer)
     assert cer < 0.3, (hyps, refs, cer)
+
+    # detailed decode on the trained model: a converged model must be
+    # near-certain on its own training data (avg_logprob ~ 0 per char;
+    # random weights sit around -3.9 = -log(50)), and every timestamp must
+    # lie inside the utterance. NOTE deliberately NOT asserted: that
+    # char_starts track each tone's physical position — the encoder memory
+    # is bidirectional, so a model this small can solve the task with
+    # collapsed (non-localized) attention; positional fidelity is a
+    # property of real-speech-scale training, not of the mechanism.
+    from ss_asr_tpu.api import Transcriber
+
+    tr = Transcriber(t.params, t.cfg, max_steps=12, t_bucket=8)
+    rows = [np.asarray(b.x[i, : b.x_lens[i]]) for i in range(len(refs))]
+    detailed = tr.transcribe_fbank_detailed(rows)
+    checked = 0
+    for i, (hyps_i, ref) in enumerate(zip(detailed, refs)):
+        h = hyps_i[0]
+        if h.text != ref:
+            continue
+        assert h.avg_logprob > -0.5, (ref, h.avg_logprob)
+        dur_s = float(b.x_lens[i]) * 0.010  # frames at the 10 ms hop
+        assert len(h.char_starts) == len(ref)
+        assert (h.char_starts >= 0).all() and (h.char_starts <= dur_s).all()
+        checked += 1
+    assert checked >= 4, "too few correct decodes to validate confidence"
