@@ -178,6 +178,30 @@ class Transcriber:
         return cls(params, cfg, lm_params=lm_params, lm_cfg=lm_cfg, **kw)
 
     # ------------------------------------------------------------------
+    def _prepare_batch(self, fbanks):
+        """Normalize a fbank list into a placed, bucket-padded batch.
+
+        Returns ``None`` when every row is empty, else
+        ``(n_real, empty_mask, xd, lensd)`` — xd/lensd are device-placed
+        (row-sharded on a mesh); padded rows are zero-length.
+        """
+        n_real = len(fbanks)
+        lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
+        if int(lens.max()) == 0:
+            # silent/empty audio: zero frames -> empty transcripts, not a
+            # zero-width buffer crashing the listener scan
+            return None
+        empty = lens == 0  # zero-frame rows mixed into a non-empty batch
+        B = round_up(n_real, self._n_data)  # mesh row multiple
+        T = round_up(int(lens.max()), self.t_bucket)
+        x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
+        for i, f in enumerate(fbanks):
+            x[i, : f.shape[0]] = f
+        lens = np.concatenate(
+            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
+        xd, lensd = self._place_rows(x, lens)
+        return n_real, empty, xd, lensd
+
     def transcribe_fbank(
         self, fbanks: Union[np.ndarray, Sequence[np.ndarray]]
     ) -> List[str]:
@@ -187,21 +211,10 @@ class Transcriber:
         fbanks = list(fbanks)
         if not fbanks:
             return []
-        n_real = len(fbanks)
-        lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
-        if int(lens.max()) == 0:
-            # silent/empty audio: zero frames -> empty transcripts, not a
-            # zero-width buffer crashing the listener scan
+        prep = self._prepare_batch(fbanks)
+        if prep is None:
             return ["" for _ in fbanks]
-        empty = lens == 0  # zero-frame rows mixed into a non-empty batch
-        B = round_up(n_real, self._n_data)  # mesh row multiple
-        T = round_up(int(lens.max()), self.t_bucket)
-        x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
-        for i, f in enumerate(fbanks):
-            x[i, : f.shape[0]] = f
-        lens = np.concatenate(
-            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
-        x, lens = self._place_rows(x, lens)
+        n_real, empty, x, lens = prep
 
         params, lm_params = self._w  # one snapshot: no torn (ASR, LM) pair
         use_lm = lm_params is not None and self.lm_weight != 0.0
@@ -254,34 +267,29 @@ class Transcriber:
         the frontier — the input to LM-rescoring pipelines.  With
         ``timestamps`` (default) every hypothesis carries ``char_starts``
         (seconds) and ``avg_logprob`` confidence from a teacher-forced
-        alignment pass; without, timing arrays are empty and the beam
-        score is used.
+        alignment pass; without, timing arrays are empty and score /
+        avg_logprob are the beam search's own, or NaN on the greedy path
+        (greedy computes no score — NaN says "not computed", never a
+        fabricated certainty).
         """
         from ss_asr_tpu.decode import align as align_mod
 
+        if n_best < 1:
+            raise ValueError(f"n_best must be >= 1, got {n_best}")
         if isinstance(fbanks, np.ndarray) and fbanks.ndim == 2:
             fbanks = [fbanks]
         fbanks = list(fbanks)
         if not fbanks:
             return []
-        n_real = len(fbanks)
-        lens = np.array([f.shape[0] for f in fbanks], dtype=np.int32)
         empty_hyp = align_mod.Hypothesis(
             text="", score=0.0, avg_logprob=0.0,
             char_starts=np.zeros((0,), np.float32),
             char_frames=np.zeros((0,), np.int32),
         )
-        if int(lens.max()) == 0:
+        prep = self._prepare_batch(fbanks)
+        if prep is None:
             return [[empty_hyp] for _ in fbanks]
-        empty = lens == 0
-        B = round_up(n_real, self._n_data)
-        T = round_up(int(lens.max()), self.t_bucket)
-        x = np.zeros((B, T, self.cfg.feature_dim), dtype=np.float32)
-        for i, f in enumerate(fbanks):
-            x[i, : f.shape[0]] = f
-        lens = np.concatenate(
-            [lens, np.zeros((B - n_real,), np.int32)]).astype(np.int32)
-        xd, lensd = self._place_rows(x, lens)
+        n_real, empty, xd, lensd = prep
 
         params, lm_params = self._w
         use_lm = lm_params is not None and self.lm_weight != 0.0
@@ -306,26 +314,26 @@ class Transcriber:
             )
             toks = np.asarray(g_toks)[:, None, :]
             tok_lens = np.asarray(g_lens)[:, None].astype(np.int32)
-            scores = np.zeros(tok_lens.shape, np.float32)
+            # greedy computes no hypothesis score; NaN = "not computed"
+            # (only surfaced when timestamps are off — the align pass
+            # below supplies real scores otherwise)
+            scores = np.full(tok_lens.shape, np.nan, np.float32)
         n = toks.shape[1]
 
-        # one batched alignment pass over all B*n hypotheses; executable
+        # one batched alignment pass over all B*n hypotheses — the
+        # listener runs ONCE per utterance on the placed (row-sharded on a
+        # mesh) decode inputs, memory tiled n-fold on device; executable
         # reuse via a bucketed char length
         L = int(tok_lens.max())
         if timestamps and L > 0:
             Lb = round_up(max(L, 1), 16)
-            ids = np.ascontiguousarray(toks[:, :, :Lb].reshape(B * n, -1))
-            if ids.shape[1] < Lb:
-                ids = np.pad(ids, ((0, 0), (0, Lb - ids.shape[1])))
-            x_t = np.repeat(x, n, axis=0)
-            lens_t = np.repeat(lens, n, axis=0)
-            frames, logp = align_mod.force_align(
-                params, self.cfg, jnp.asarray(x_t), jnp.asarray(lens_t),
-                ids, tok_lens.reshape(-1),
+            ids3 = toks[:, :, :Lb]
+            if ids3.shape[2] < Lb:
+                ids3 = np.pad(ids3, ((0, 0), (0, 0), (0, Lb - ids3.shape[2])))
+            frames, logp = align_mod.force_align_nbest(
+                params, self.cfg, xd, lensd, ids3,
                 lm_params=lm, lm_cfg=self.lm_cfg, lm_weight=lmw,
             )
-            frames = frames.reshape(B, n, -1)
-            logp = logp.reshape(B, n, -1)
         out: List[List[align_mod.Hypothesis]] = []
         for b in range(n_real):
             if empty[b]:

@@ -51,8 +51,9 @@ def main(argv=None):
                              "n-best hypotheses with score, avg_logprob "
                              "confidence, and per-char start times (s)")
     parser.add_argument("--nbest", type=int, default=1,
-                        help="hypotheses per input (implies beam decode "
-                             "when > 1; shown only with --detail)")
+                        help="hypotheses per input; > 1 implies beam "
+                             "decode and JSON-lines output (as if --detail "
+                             "were given)")
     args = parser.parse_args(argv)
 
     config = {}

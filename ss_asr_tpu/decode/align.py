@@ -71,6 +71,48 @@ def _align_device(params, cfg, x, x_lens, ids, L, lm_params, lm_cfg,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "L", "n", "lm_cfg", "lm_weight", "_salt")
+)
+def _align_tiled_device(params, cfg, x, x_lens, ids, L, n, lm_params,
+                        lm_cfg, lm_weight, *, _salt=None):
+    """Align n hypotheses per utterance: ONE listener pass over the [B]
+    batch, memory rows repeated n-fold on device (a row-sharded x keeps
+    its sharding — GSPMD propagates through the repeat), ids flat [B*n, L].
+    """
+    enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
+    enc_h = jnp.repeat(enc_h, n, axis=0)
+    enc_lens = jnp.repeat(enc_lens, n, axis=0)
+    return _align_from_memory_device(
+        params, cfg, enc_h, enc_lens, ids, L, lm_params, lm_cfg, lm_weight,
+        _salt=_salt,
+    )
+
+
+def force_align_nbest(
+    params: Dict,
+    cfg: las.ASRConfig,
+    x: jax.Array,
+    x_lens: jax.Array,
+    ids: np.ndarray,
+    lm_params: Optional[Dict] = None,
+    lm_cfg: Optional[charlm_mod.CharLMConfig] = None,
+    lm_weight: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Align an n-best list: x [B, T, feat], ids [B, n, L].
+
+    Returns (char_frames [B, n, L], char_logp [B, n, L]).  The listener
+    runs once per utterance (not per hypothesis)."""
+    B, n, L = ids.shape
+    flat = jnp.asarray(np.ascontiguousarray(ids.reshape(B * n, L)))
+    frames, logp = _align_tiled_device(
+        params, cfg, x, x_lens, flat, int(L), int(n),
+        lm_params, lm_cfg, lm_weight, _salt=rnn.impl_salt(),
+    )
+    return (np.asarray(frames).reshape(B, n, L),
+            np.asarray(logp).reshape(B, n, L))
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "L", "lm_cfg", "lm_weight", "_salt")
 )
 def _align_from_memory_device(params, cfg, enc_h, enc_lens, ids, L,

@@ -243,7 +243,9 @@ def beam_decode_nbest(
     program as ``beam_decode`` (one cached executable); only the host-side
     backtrack widens.
     """
-    n = min(n_best or beam_size, beam_size)
+    if n_best is not None and n_best < 1:
+        raise ValueError(f"n_best must be >= 1, got {n_best}")
+    n = beam_size if n_best is None else min(n_best, beam_size)
     toks, parents, final_scores, final_done, hyp_lens = _beam_device(
         params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_cfg,
         lm_weight, early_exit=early_exit, _salt=rnn.impl_salt(),

@@ -45,6 +45,12 @@ import numpy as np
 #: counters never truncate, so accounting invariants hold at any uptime
 STATS_WINDOW = 4096
 
+#: HTTP detail-path limits: nbest sizes the beam program (and each
+#: distinct value compiles a new executable); concurrent detail requests
+#: bypass the batcher's admission control, so they get their own gate
+MAX_NBEST = 16
+MAX_DETAIL_CONCURRENCY = 2
+
 
 @dataclass
 class ServeStats:
@@ -61,6 +67,8 @@ class ServeStats:
     batches: int = 0
     padded_rows: int = 0  # lattice fill rows (wasted compute, bounded)
     rows_sum: int = 0  # sum of padded batch sizes (exact)
+    detail_requests: int = 0  # HTTP ?detail= path (bypasses the batcher)
+    detail_rejected: int = 0  # detail requests shed at the admission gate
     batch_sizes: deque = field(
         default_factory=lambda: deque(maxlen=STATS_WINDOW)
     )
@@ -71,6 +79,8 @@ class ServeStats:
             "requests": self.requests,
             "batches": self.batches,
             "padded_rows": self.padded_rows,
+            "detail_requests": self.detail_requests,
+            "detail_rejected": self.detail_rejected,
         }
         if self.batches:
             d["mean_batch"] = self.rows_sum / self.batches
@@ -340,6 +350,11 @@ def serve_http(
     else:
         target_sr = sr or batcher._t.sr
     feat = batcher._t.cfg.feature_dim
+    # detail-path admission control: these requests bypass the batcher
+    # (the server's only other throttle), so bound their concurrency and
+    # their n-best width — both are client-controlled knobs that size
+    # device programs
+    detail_gate = threading.Semaphore(MAX_DETAIL_CONCURRENCY)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; stats carry the signal
@@ -396,6 +411,12 @@ def serve_http(
                 q = parse_qs(url.query)
                 detail = q.get("detail", ["0"])[0] not in ("0", "", "false")
                 n_best = max(1, int(q.get("nbest", ["1"])[0]))
+                if n_best > MAX_NBEST:
+                    # nbest sizes the beam program (B*K decoder rows, a
+                    # fresh compile per distinct K) — client-unbounded
+                    # values are a denial-of-service knob, not an option
+                    self._reply(400, {"error": f"nbest > {MAX_NBEST}"})
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 wav_sr, y = read_wav(io.BytesIO(self.rfile.read(n)))
                 if wav_sr != target_sr:
@@ -419,13 +440,25 @@ def serve_http(
                     # rich path: n-best + confidence + per-char timestamps.
                     # Goes straight to the Transcriber (its executables are
                     # cached like the batcher's); the dynamic batcher only
-                    # coalesces the plain-text path.
-                    if fb is None:
-                        fb = np.asarray(
-                            compute_fbank(np.asarray(y, np.float32),
-                                          target_sr, n_mels=feat))
-                    (hyps,) = batcher._t.transcribe_fbank_detailed(
-                        fb, n_best=n_best)
+                    # coalesces the plain-text path, so admission control
+                    # here is the semaphore: at capacity -> 503 (shed),
+                    # like a closed batcher.
+                    if not detail_gate.acquire(timeout=30.0):
+                        with batcher._cv:
+                            batcher.stats.detail_rejected += 1
+                        self._reply(503, {"error": "detail path saturated"})
+                        return
+                    try:
+                        with batcher._cv:
+                            batcher.stats.detail_requests += 1
+                        if fb is None:
+                            fb = np.asarray(
+                                compute_fbank(np.asarray(y, np.float32),
+                                              target_sr, n_mels=feat))
+                        (hyps,) = batcher._t.transcribe_fbank_detailed(
+                            fb, n_best=n_best)
+                    finally:
+                        detail_gate.release()
                     self._reply(200, {
                         "text": hyps[0].text,
                         "hypotheses": [

@@ -148,8 +148,28 @@ def test_transcribe_fbank_detailed_nbest_and_empty():
 
 
 def test_detailed_without_timestamps():
+    import pytest
+
     params = _params(7)
     tr = Transcriber(params, CFG, max_steps=10, t_bucket=16)
     fb = np.random.RandomState(2).randn(16, 8).astype(np.float32)
     (hyps,) = tr.transcribe_fbank_detailed(fb, timestamps=False)
     assert len(hyps) == 1 and len(hyps[0].char_starts) == 0
+    # greedy computes no score: NaN ("not computed"), never a fabricated
+    # certainty of 0.0
+    assert np.isnan(hyps[0].score) and np.isnan(hyps[0].avg_logprob)
+
+    # beam hypotheses DO carry their search score without timestamps
+    trb = Transcriber(params, CFG, max_steps=10, t_bucket=16, beam_size=3)
+    (bh,) = trb.transcribe_fbank_detailed(fb, timestamps=False)
+    assert np.isfinite(bh[0].score)
+
+    # nonsense n_best rejected everywhere
+    with pytest.raises(ValueError):
+        tr.transcribe_fbank_detailed(fb, n_best=0)
+    from ss_asr_tpu.decode.beam import beam_decode_nbest
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError):
+        beam_decode_nbest(params, CFG, jnp.zeros((1, 16, 8)),
+                          jnp.array([16]), beam_size=4, n_best=0)

@@ -287,6 +287,21 @@ def test_http_server_end_to_end(rng):
             scores = [h["score"] for h in d["hypotheses"]]
             assert scores == sorted(scores, reverse=True)
 
+            # client-controlled nbest is bounded (it sizes the beam
+            # program) -> 400, and detail traffic is visible in /stats
+            from ss_asr_tpu.serve import MAX_NBEST
+
+            big = urllib.request.Request(
+                base + f"/transcribe?nbest={MAX_NBEST + 1}", data=wav)
+            try:
+                urllib.request.urlopen(big, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                st = json.load(r)
+            assert st["detail_requests"] >= 1
+
             # malformed body -> 400, server stays up
             bad = urllib.request.Request(base + "/transcribe",
                                          data=b"not a wav")
