@@ -168,21 +168,29 @@ def make_config(paths: dict, size: str, epochs: int, batch: int,
 
 
 def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
-                      max_steps: int = 60, lm_sweep=None) -> dict:
+                      max_steps: int = 60, lm_sweep=None,
+                      rescore: bool = False) -> dict:
     """Decode the eval set three ways; reports CER + the thesis' actual
     metrics (word error and char accuracy, src/postprocess.py:7-50 / Tables
     6.6-6.12) per decode mode.
 
     ``lm_sweep``: optional extra fusion weights — each adds one beam+LM
     decode over the SAME trained model (one compile per weight), reported
-    in an ``lm_weight_sweep`` table; ``lm_weight`` stays the headline."""
+    in an ``lm_weight_sweep`` table; ``lm_weight`` stays the headline.
+
+    ``rescore``: also run the two-pass alternative — ONE fusion-free
+    n-best decode, then ``decode.rescore`` re-ranks under every sweep
+    weight (one LM pass total).  Reported as ``rescore@w`` modes + a
+    ``rescore_sweep`` table, so one-pass (search-steered) and two-pass
+    (n-best-restricted) fusion are directly comparable on the same model."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ss_asr_tpu.data.asr_dataset import ASRDataset
-    from ss_asr_tpu.decode.beam import beam_decode
+    from ss_asr_tpu.decode.beam import beam_decode, beam_decode_nbest
     from ss_asr_tpu.decode.greedy import greedy_decode
+    from ss_asr_tpu.decode.rescore import rescore_nbest
     from ss_asr_tpu.models import charlm, las
     from ss_asr_tpu.utils import checkpoint as ckpt
     from ss_asr_tpu.utils.editdistance import edit_distance
@@ -218,12 +226,26 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                 lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=w,
             )
         )(w)
-    errs = {m: 0 for m in modes}
-    wers = {m: 0.0 for m in modes}  # sum of per-utt word errors (thesis WER)
-    accs = {m: 0.0 for m in modes}  # sum of per-utt char accuracies
+    rescore_modes = [f"rescore@{w:g}" for w in sorted(weights)] if rescore else []
+    all_modes = list(modes) + rescore_modes
+    errs = {m: 0 for m in all_modes}
+    wers = {m: 0.0 for m in all_modes}  # sum of per-utt word errors (thesis WER)
+    accs = {m: 0.0 for m in all_modes}  # sum of per-utt char accuracies
     chars = 0
     n_utts = 0
-    hyp_samples = {m: [] for m in modes}
+    hyp_samples = {m: [] for m in all_modes}
+
+    def accumulate(m, toks, lens, valid, labels, y):
+        for i in np.nonzero(valid)[0]:
+            hyp = mapper.translate(toks[i])
+            errs[m] += edit_distance(list(hyp), list(labels[i]))
+            wers[m] += err_rate(hyp, labels[i], "word")
+            accs[m] += char_acc_row(
+                with_terminal_eos(toks[i], lens[i]), y[i][1:]
+            )
+            if len(hyp_samples[m]) < 3:
+                hyp_samples[m].append({"hyp": hyp, "ref": labels[i]})
+
     for b in ds.iter_batches(drop_last=False, prefetch=0):
         valid = b.valid if b.valid is not None else np.ones(b.y.shape[0], bool)
         x, xl = jnp.asarray(b.x), jnp.asarray(b.x_lens)
@@ -231,25 +253,34 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
         for m, fn in modes.items():
             toks, lens = fn(x, xl)
             toks, lens = np.asarray(toks), np.asarray(lens).reshape(-1)
-            for i in np.nonzero(valid)[0]:
-                hyp = mapper.translate(toks[i])
-                errs[m] += edit_distance(list(hyp), list(labels[i]))
-                wers[m] += err_rate(hyp, labels[i], "word")
-                accs[m] += char_acc_row(
-                    with_terminal_eos(toks[i], lens[i]), b.y[i][1:]
-                )
-                if len(hyp_samples[m]) < 3:
-                    hyp_samples[m].append({"hyp": hyp, "ref": labels[i]})
+            accumulate(m, toks, lens, valid, labels, b.y)
+        if rescore:
+            toksN, lensN, scoresN = beam_decode_nbest(
+                params, cfg, x, xl, beam_size=beam, max_steps=max_steps
+            )
+            ranked = rescore_nbest(toksN, lensN, scoresN, lm_params, lm_cfg,
+                                   sorted(weights))
+            rows = np.arange(toksN.shape[0])
+            for w, (best, _) in ranked.items():
+                accumulate(f"rescore@{w:g}", toksN[rows, best],
+                           lensN[rows, best], valid, labels, b.y)
         chars += sum(max(len(labels[i]), 1) for i in np.nonzero(valid)[0])
         n_utts += int(valid.sum())
     nu = max(n_utts, 1)
-    out = {f"{m}_cer": round(errs[m] / max(chars, 1), 4) for m in modes}
+    out = {f"{m}_cer": round(errs[m] / max(chars, 1), 4) for m in all_modes}
     # the thesis' actual table metrics (acc/err pairs, postprocess.py:7-50)
-    out.update({f"{m}_wer": round(wers[m] / nu, 4) for m in modes})
-    out.update({f"{m}_acc": round(accs[m] / nu, 4) for m in modes})
-    out.update({f"{m}_char_errors": int(errs[m]) for m in modes})
+    out.update({f"{m}_wer": round(wers[m] / nu, 4) for m in all_modes})
+    out.update({f"{m}_acc": round(accs[m] / nu, 4) for m in all_modes})
+    out.update({f"{m}_char_errors": int(errs[m]) for m in all_modes})
     out["n_eval_utts"] = n_utts
     out["n_label_chars"] = chars
+    if rescore:
+        out["rescore_sweep"] = [
+            {"lm_weight": w,
+             **{f"rescore_{met}": out[f"rescore@{w:g}_{met}"]
+                for met in ("cer", "wer", "acc")}}
+            for w in sorted(weights)
+        ]
     if len(weights) > 1:
         out["lm_weight_sweep"] = [
             {
@@ -276,7 +307,8 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
 def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         lm_weight: float, batch: int = 8, homophones: bool = False,
         opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
-        mixed: bool = False, lm_sweep=None, augment: dict | None = None) -> dict:
+        mixed: bool = False, lm_sweep=None, augment: dict | None = None,
+        rescore: bool = False) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
@@ -293,11 +325,16 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     lm = CHARLMTrainer(config, paras)
     lm.load_data(); lm.set_model(); lm.exec(); lm.close()
 
-    result = eval_decode_modes(config, paras, lm_weight, lm_sweep=lm_sweep)
+    result = eval_decode_modes(config, paras, lm_weight, lm_sweep=lm_sweep,
+                               rescore=rescore)
+    import jax
+
+    result["platform"] = jax.devices()[0].platform
     result["config"] = {"size": size, "n_utts": n_utts, "epochs": epochs,
                         "seed": seed, "lm_weight": lm_weight,
                         "homophones": homophones, "opt": opt, "lr": lr,
-                        "heldout": heldout, "mixed": mixed, "augment": augment}
+                        "heldout": heldout, "mixed": mixed, "augment": augment,
+                        "rescore": rescore}
     return result
 
 
@@ -331,6 +368,10 @@ def main():
                     help="mid-error large-vocabulary regime: 40-word "
                          "inventory, 10 words held out of audio training, "
                          "eval mixes trained + held-out words")
+    ap.add_argument("--rescore", action="store_true",
+                    help="also evaluate two-pass fusion: one fusion-free "
+                         "n-best decode + decode.rescore at every sweep "
+                         "weight (reported as rescore@w / rescore_sweep)")
     args = ap.parse_args()
 
     sweep = [float(w) for w in args.lm_sweep.split(",")] if args.lm_sweep else None
@@ -338,7 +379,8 @@ def main():
     result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
                  args.lm_weight, homophones=args.homophones,
                  opt=args.opt, lr=args.lr, heldout=args.heldout,
-                 mixed=args.mixed, lm_sweep=sweep, augment=augment)
+                 mixed=args.mixed, lm_sweep=sweep, augment=augment,
+                 rescore=args.rescore)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:
