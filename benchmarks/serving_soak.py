@@ -23,6 +23,7 @@ import os
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -43,6 +44,9 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--reload-every", type=float, default=10.0,
                     help="seconds between hot reloads (0 = never)")
+    ap.add_argument("--detail-every", type=int, default=16,
+                    help="every Nth request per client uses the detail "
+                         "path (?detail=1&nbest=2); 0 = never")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model (CPU-friendly); default flagship")
     args = ap.parse_args()
@@ -87,6 +91,8 @@ def main():
 
     ready = threading.Event()
     ok = [0]
+    detail_ok = [0]
+    shed = [0]  # 503s from the detail admission gate (correct shedding)
     errs: list = []
     reloads = [0]
     lock = threading.Lock()
@@ -103,15 +109,36 @@ def main():
 
         def client(ci):
             crng = np.random.default_rng(ci)
+            k = 0
             while not stop.is_set():
                 body = payloads[int(crng.integers(len(payloads)))]
-                req = urllib.request.Request(base + "/transcribe", data=body)
+                k += 1
+                # every Nth request rides the detail path (n-best +
+                # timestamps, bypasses the batcher through its admission
+                # gate) so the soak exercises both serving paths together;
+                # a 503 from the gate is correct shedding, not an error
+                detail = args.detail_every and k % args.detail_every == 0
+                url = base + ("/transcribe?detail=1&nbest=2" if detail
+                              else "/transcribe")
+                req = urllib.request.Request(url, data=body)
                 try:
                     with urllib.request.urlopen(req, timeout=600) as r:
-                        text = json.load(r)["text"]
-                    assert isinstance(text, str)
-                    with lock:
-                        ok[0] += 1
+                        d = json.load(r)
+                    assert isinstance(d["text"], str)
+                    if detail:
+                        assert len(d["hypotheses"]) == 2
+                        with lock:
+                            detail_ok[0] += 1
+                    else:
+                        with lock:
+                            ok[0] += 1
+                except urllib.error.HTTPError as e:
+                    if detail and e.code == 503:
+                        with lock:
+                            shed[0] += 1
+                    else:
+                        with lock:
+                            errs.append(f"HTTP {e.code}: {e}")
                 except Exception as e:  # noqa: BLE001 — collect, report, fail at exit
                     with lock:
                         errs.append(f"{type(e).__name__}: {e}")
@@ -128,6 +155,18 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     with lock:
                         errs.append(f"reload: {type(e).__name__}: {e}")
+
+        # pre-warm every executable shape the storm will hit (each length
+        # bucket, plain + detail) so rss_warm is a post-compile baseline
+        # and growth measures the steady state, not late compiles
+        for body in payloads:
+            for url in ([base + "/transcribe"]
+                        + ([base + "/transcribe?detail=1&nbest=2"]
+                           if args.detail_every else [])):
+                with urllib.request.urlopen(
+                        urllib.request.Request(url, data=body),
+                        timeout=600) as r:
+                    json.load(r)
 
         threads = [threading.Thread(target=client, args=(ci,))
                    for ci in range(args.clients)]
@@ -159,13 +198,16 @@ def main():
         "seconds": args.seconds,
         "clients": args.clients,
         "requests_ok": ok[0],
+        "detail_ok": detail_ok[0],
+        "detail_shed": shed[0],
         "errors": len(errs),
         "reloads": reloads[0],
         "rss_warm_mb": round(rss_warm, 1),
         "rss_end_mb": round(rss_end, 1),
         "rss_growth_mb": round(growth, 1),
         "mean_batch": round(stats.get("mean_batch", 0.0), 2),
-        "ok": not errs and ok[0] > 0 and growth < 256,
+        "ok": (not errs and ok[0] > 0 and growth < 256
+               and (not args.detail_every or detail_ok[0] > 0)),
     }
     print(json.dumps(summary))
     if errs:
