@@ -439,3 +439,43 @@ class Transcriber:
     def transcribe_wav(self, path: str) -> str:
         sr, y = load_wav(path, target_sr=self.sr)
         return self.transcribe_signal(y, sr)
+
+    def transcribe_long(
+        self,
+        y: np.ndarray,
+        sr: Optional[int] = None,
+        window_s: float = 20.0,
+        overlap_s: float = 2.0,
+    ) -> str:
+        """Long-form audio (beyond the model's trained utterance lengths):
+        overlapping windows decoded as ONE batch, transcripts merged over
+        the acoustic overlap (decode.longform local-agreement seam).
+
+        window_s ~ the training distribution's utterance cap (Málrómur
+        tops out near 20 s); overlap_s trades duplicate decode work
+        against seam robustness.  Audio shorter than one window falls
+        through to the plain path.
+        """
+        from ss_asr_tpu.decode.longform import merge_window_texts, window_bounds
+        from ss_asr_tpu.ops.frontend import compute_fbank
+
+        sr = sr or self.sr
+        y = np.asarray(y, dtype=np.float32).reshape(-1)
+        if y.size == 0:
+            return ""
+        win = max(1, int(window_s * sr))
+        ov = max(0, min(int(overlap_s * sr), win - 1))
+        bounds = window_bounds(len(y), win, ov)
+        if len(bounds) == 1:
+            return self.transcribe_signal(y, sr)
+        # frontend once over the whole signal, slice FRAMES per window —
+        # cheaper than per-window frontends and numerically identical up
+        # to the window-edge frames
+        fb = np.asarray(compute_fbank(y, sr, n_mels=self.cfg.feature_dim))
+        hop = sr // 100  # 10 ms frontend stride
+        rows = []
+        for s, e in bounds:
+            fs, fe_ = s // hop, min(e // hop, fb.shape[0])
+            rows.append(fb[fs:fe_])
+        texts = self.transcribe_fbank(rows)
+        return merge_window_texts(texts, overlap_frac=ov / win)

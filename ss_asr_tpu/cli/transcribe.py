@@ -46,6 +46,14 @@ def main(argv=None):
     parser.add_argument("--out", default=None,
                         help="write path<TAB>transcript lines here "
                              "(default stdout)")
+    parser.add_argument("--long", action="store_true", dest="long_form",
+                        help="long-form mode for wav inputs: overlapping "
+                             "windows decoded as one batch, transcripts "
+                             "merged over the overlap (decode.longform)")
+    parser.add_argument("--window-s", type=float, default=20.0,
+                        help="--long window length in seconds")
+    parser.add_argument("--overlap-s", type=float, default=2.0,
+                        help="--long window overlap in seconds")
     parser.add_argument("--detail", action="store_true",
                         help="emit one JSON line per input instead of TSV: "
                              "n-best hypotheses with score, avg_logprob "
@@ -125,6 +133,20 @@ def main(argv=None):
 
     sink = open(args.out, "w") if args.out else sys.stdout
     try:
+        if args.long_form:
+            if args.detail or args.nbest > 1:
+                raise SystemExit("--long and --detail/--nbest are exclusive "
+                                 "(windowed merge has no single alignment)")
+            for path in args.inputs:
+                if path.endswith(".npy"):
+                    raise SystemExit(f"{path}: --long takes wav inputs "
+                                     "(windows are cut in signal time)")
+                _, y = load_wav(path, target_sr=args.sr)
+                hyp = t.transcribe_long(np.asarray(y, np.float32), args.sr,
+                                        window_s=args.window_s,
+                                        overlap_s=args.overlap_s)
+                print(f"{path}\t{hyp}", file=sink, flush=True)
+            return
         for i in range(0, len(args.inputs), args.batch):
             chunk = args.inputs[i : i + args.batch]
             if args.detail or args.nbest > 1:

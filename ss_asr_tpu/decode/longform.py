@@ -1,0 +1,81 @@
+"""Long-form transcription: windowed decode + overlap merging.
+
+The LAS family decodes whole utterances — attention spans the full
+encoder memory, and Málrómur-scale training tops out around T≈2000 frames
+(20 s).  Audio beyond that (meetings, broadcasts) is served by slicing
+the signal into overlapping windows, decoding every window in ONE batch
+(they share a bucketed shape, so it is a single cached executable), and
+merging adjacent transcripts over their overlap.
+
+The merge is text-based (``difflib`` longest-match over the overlap
+region), not timestamp-based: windows are decoded independently, and on
+this architecture attention-argmax timing is only as reliable as the
+model's attention is localized — string agreement in the acoustic overlap
+is the robust signal.  This mirrors the "local agreement" strategy of
+production long-form pipelines.
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import List, Tuple
+
+
+def window_bounds(
+    n: int, window: int, overlap: int
+) -> List[Tuple[int, int]]:
+    """Slice [0, n) into windows of ``window`` samples overlapping by
+    ``overlap``; the last window is right-aligned so no tail is dropped."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}")
+    if n <= window:
+        return [(0, n)]
+    step = window - overlap
+    starts = list(range(0, n - window, step))
+    starts.append(n - window)  # right-aligned final window
+    return [(s, s + window) for s in starts]
+
+
+def merge_pair(prev: str, nxt: str, overlap_chars: int) -> str:
+    """Join two adjacent window transcripts.
+
+    ``overlap_chars``: how many characters of each side roughly cover the
+    acoustic overlap (estimated from the windows' decoded rates).  The
+    longest common block between prev's tail and nxt's head decides the
+    seam; with no agreement the texts are concatenated whole (duplicates
+    are preferred over dropped speech).
+    """
+    if not prev:
+        return nxt
+    if not nxt:
+        return prev
+    k = max(1, min(overlap_chars, len(prev), len(nxt)))
+    tail = prev[-k:]
+    head = nxt[:k]
+    m = difflib.SequenceMatcher(a=tail, b=head, autojunk=False)
+    match = m.find_longest_match(0, len(tail), 0, len(head))
+    if match.size == 0:
+        return prev + nxt
+    # seam: keep prev up to the end of its matched block, then nxt from
+    # the end of its matched block
+    cut_prev = len(prev) - k + match.a + match.size
+    cut_next = match.b + match.size
+    return prev[:cut_prev] + nxt[cut_next:]
+
+
+def merge_window_texts(texts: List[str], overlap_frac: float) -> str:
+    """Fold adjacent window transcripts left to right.
+
+    ``overlap_frac``: overlap duration / window duration; each seam's
+    search region is that fraction of the neighbors' lengths (padded 2x
+    for rate variation).
+    """
+    out = ""
+    for t in texts:
+        # seam search region scales with the incoming WINDOW's text (the
+        # accumulated text only ever contributes its tail)
+        k = int(2 * overlap_frac * len(t)) + 1
+        out = merge_pair(out, t, k)
+    return out

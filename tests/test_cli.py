@@ -281,6 +281,19 @@ def test_transcribe_cli(tmp_path, rng, capsys):
     assert len(h0["char_starts"]) == len(h0["text"])
     assert recs[1]["text"] == "" # empty wav: one empty hypothesis
 
+    # --long: windowed wav decode, TSV output; rejects .npy and --detail
+    out_long = tmp_path / "long.tsv"
+    tr_cli.main([ckp, str(wav), "--config", str(conf_path), "--sr", "8000",
+                 "--max-steps", "6", "--long", "--window-s", "0.4",
+                 "--overlap-s", "0.1", "--out", str(out_long)])
+    line = out_long.read_text(encoding="utf-8").splitlines()[0]
+    assert line.split("\t")[0] == str(wav)
+    with pytest.raises(SystemExit, match="wav inputs"):
+        tr_cli.main([ckp, str(fb), "--config", str(conf_path), "--long"])
+    with pytest.raises(SystemExit, match="exclusive"):
+        tr_cli.main([ckp, str(wav), "--config", str(conf_path), "--long",
+                     "--detail"])
+
 
 def test_step_timer_rolling_stats():
     import time as _time

@@ -1,0 +1,104 @@
+"""Long-form windowed transcription and overlap merging."""
+
+import numpy as np
+import jax
+
+from ss_asr_tpu.api import Transcriber
+from ss_asr_tpu.decode.longform import (
+    merge_pair,
+    merge_window_texts,
+    window_bounds,
+)
+from ss_asr_tpu.models import las
+
+
+def test_window_bounds():
+    assert window_bounds(10, 20, 5) == [(0, 10)]  # short: one window
+    b = window_bounds(100, 40, 10)
+    assert b[0] == (0, 40)
+    assert all(e - s == 40 for s, e in b)
+    assert b[-1] == (60, 100)  # right-aligned tail, nothing dropped
+    # steps are window - overlap except possibly the last
+    assert all(b[i + 1][0] - b[i][0] == 30 for i in range(len(b) - 2))
+    # full coverage, overlaps everywhere
+    assert all(b[i + 1][0] < b[i][1] for i in range(len(b) - 1))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        window_bounds(100, 0, 0)
+    with pytest.raises(ValueError):
+        window_bounds(100, 40, 40)
+
+
+def test_merge_pair_exact_overlap():
+    # windows agree on the overlap -> seamless join
+    assert merge_pair("the quick brown", "brown fox jumps", 6) == (
+        "the quick brown fox jumps"
+    )
+    # single-char agreement
+    assert merge_pair("abcd", "dxyz", 2) == "abcdxyz"
+    # empty sides
+    assert merge_pair("", "abc", 3) == "abc"
+    assert merge_pair("abc", "", 3) == "abc"
+
+
+def test_merge_pair_disagreement_keeps_both():
+    # no agreement in the overlap: duplicates preferred over dropped speech
+    assert merge_pair("aaaa", "zzzz", 2) == "aaaazzzz"
+
+
+def test_merge_pair_noisy_overlap():
+    # one decode error inside the overlap still finds the common block
+    out = merge_pair("hallo heimur gott", "Xott kvold", 5)
+    assert out.endswith("kvold")
+    assert "heimur" in out
+
+
+def test_merge_window_texts_chain():
+    texts = ["abcdefgh", "ghijklmn", "mnopqrst"]
+    assert merge_window_texts(texts, overlap_frac=0.3) == "abcdefghijklmnopqrst"
+    assert merge_window_texts([], 0.2) == ""
+    assert merge_window_texts(["only"], 0.2) == "only"
+
+
+def test_transcribe_long_plumbing(monkeypatch):
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=40)
+    params = las.init_asr(jax.random.PRNGKey(0), cfg)
+    tr = Transcriber(params, cfg, sr=8000, max_steps=8, t_bucket=16)
+
+    # short audio falls through to the plain path
+    y_short = 0.1 * np.random.RandomState(0).randn(4000).astype(np.float32)
+    assert tr.transcribe_long(y_short, window_s=1.0) == tr.transcribe_signal(
+        y_short, 8000
+    )
+    assert tr.transcribe_long(np.zeros((0,), np.float32)) == ""
+
+    # long audio: windows decoded as one batch, texts merged; validate the
+    # slicing/merge plumbing with decodes stubbed to position-coded texts
+    seen = {}
+
+    def fake_batch(rows):
+        seen["n"] = len(rows)
+        seen["shapes"] = [r.shape for r in rows]
+        # per-window transcripts whose seams agree on the overlap
+        return ["abcdef", "efghij", "ijklmn"][: len(rows)]
+
+    monkeypatch.setattr(tr, "transcribe_fbank", fake_batch)
+    y = 0.1 * np.random.RandomState(1).randn(3 * 8000).astype(np.float32)
+    out = tr.transcribe_long(y, window_s=1.5, overlap_s=0.5)
+    assert seen["n"] == 3
+    # every window spans window_s of frames (~150 at 10 ms hop)
+    assert all(140 <= s[0] <= 151 for s in seen["shapes"])
+    assert out == "abcdefghijklmn"
+
+
+def test_transcribe_long_runs_real_model():
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=40)
+    params = las.init_asr(jax.random.PRNGKey(1), cfg)
+    tr = Transcriber(params, cfg, sr=8000, max_steps=8, t_bucket=16)
+    y = 0.1 * np.random.RandomState(2).randn(4 * 8000).astype(np.float32)
+    out = tr.transcribe_long(y, window_s=1.0, overlap_s=0.25)
+    assert isinstance(out, str)
