@@ -410,7 +410,18 @@ def serve_http(
             try:  # client-side failures: unparseable body/query -> 400
                 q = parse_qs(url.query)
                 detail = q.get("detail", ["0"])[0] not in ("0", "", "false")
+                long_form = q.get("long", ["0"])[0] not in ("0", "", "false")
+                window_s = float(q.get("window_s", ["20"])[0])
+                overlap_s = float(q.get("overlap_s", ["2"])[0])
+                if long_form and not (0 < overlap_s < window_s <= 120):
+                    self._reply(400, {"error": "need 0 < overlap_s < "
+                                               "window_s <= 120"})
+                    return
                 n_best = max(1, int(q.get("nbest", ["1"])[0]))
+                if long_form and (detail or n_best > 1):
+                    self._reply(400, {"error": "long and detail/nbest are "
+                                               "exclusive"})
+                    return
                 if n_best > MAX_NBEST:
                     # nbest sizes the beam program (B*K decoder rows, a
                     # fresh compile per distinct K) — client-unbounded
@@ -427,6 +438,25 @@ def serve_http(
             try:  # server-side failures: frontend/decode/shutdown -> 500
                 if y.size == 0:
                     self._reply(200, {"text": ""})
+                    return
+                if long_form:
+                    # windowed decode + overlap merge: one batched program
+                    # for all windows, through the detail path's admission
+                    # gate (it bypasses the batcher the same way)
+                    if not detail_gate.acquire(timeout=30.0):
+                        with batcher._cv:
+                            batcher.stats.detail_rejected += 1
+                        self._reply(503, {"error": "detail path saturated"})
+                        return
+                    try:
+                        with batcher._cv:
+                            batcher.stats.detail_requests += 1
+                        text = batcher._t.transcribe_long(
+                            np.asarray(y, np.float32), target_sr,
+                            window_s=window_s, overlap_s=overlap_s)
+                    finally:
+                        detail_gate.release()
+                    self._reply(200, {"text": text})
                     return
                 fb = None
                 if batcher.mode == "signal":

@@ -302,6 +302,23 @@ def test_http_server_end_to_end(rng):
                 st = json.load(r)
             assert st["detail_requests"] >= 1
 
+            # long-form mode: windowed decode + merge, one request
+            req = urllib.request.Request(
+                base + "/transcribe?long=1&window_s=0.4&overlap_s=0.1",
+                data=wav)
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert isinstance(json.load(r)["text"], str)
+            for badq in ("long=1&window_s=0.1&overlap_s=0.2",  # ov >= win
+                         "long=1&detail=1",                    # exclusive
+                         "long=1&window_s=999"):               # > cap
+                badreq = urllib.request.Request(
+                    base + f"/transcribe?{badq}", data=wav)
+                try:
+                    urllib.request.urlopen(badreq, timeout=30)
+                    assert False, f"expected 400 for {badq}"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400, badq
+
             # malformed body -> 400, server stays up
             bad = urllib.request.Request(base + "/transcribe",
                                          data=b"not a wav")
