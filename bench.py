@@ -355,9 +355,32 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         )
         return toks, hyp_lens.reshape(-1)
 
+    def align_chain(k):
+        # the detailed-decode extra cost: forced alignment of 4 hypotheses
+        # (48 chars) per utterance — one listener pass + a 4-row tiled
+        # teacher-forced attend-and-spell (decode/align.py)
+        from ss_asr_tpu.decode import align as align_mod
+
+        ids = jax.random.randint(jax.random.PRNGKey(7), (4, 48), 3, 49)
+
+        @jax.jit
+        def run(key):
+            xs = eps + jax.random.normal(key, (k, 1, T, cfg.feature_dim), jnp.float32)
+
+            def body(c, x):
+                frames, logp = align_mod._align_tiled_device(
+                    params, cfg, x, xl, ids, 48, 4, None, None, 0.0)
+                return c + frames.sum() + logp.sum().astype(jnp.int32), None
+
+            s, _ = jax.lax.scan(body, jnp.int32(0), xs)
+            return s
+
+        return run
+
     variants = {
         "greedy_scan": lambda k: chain(
             lambda x: greedy_decode(params, cfg, x, xl, max_steps), k),
+        "align_nbest4": align_chain,
         "greedy_early_exit": lambda k: chain(
             lambda x: greedy_decode_early_exit(params, cfg, x, xl, max_steps), k),
         "beam8_scan": lambda k: chain(beam_scan_only, k),
