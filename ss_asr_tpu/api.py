@@ -446,26 +446,41 @@ class Transcriber:
         sr: Optional[int] = None,
         window_s: float = 20.0,
         overlap_s: float = 2.0,
+        vad: Optional[str] = None,
     ) -> str:
         """Long-form audio (beyond the model's trained utterance lengths):
-        overlapping windows decoded as ONE batch, transcripts merged over
-        the acoustic overlap (decode.longform local-agreement seam).
+        windows decoded as ONE batch, transcripts joined
+        (decode.longform).
 
-        window_s ~ the training distribution's utterance cap (Málrómur
-        tops out near 20 s); overlap_s trades duplicate decode work
-        against seam robustness.  Audio shorter than one window falls
-        through to the plain path.
+        Default: fixed overlapping windows, merged over the acoustic
+        overlap (local-agreement seam).  ``vad="energy"``: cut at
+        low-energy points instead — segments are disjoint (overlap_s
+        becomes the minimum segment length) and their transcripts join
+        with a space, since a pause is a word boundary.  window_s ~ the
+        training distribution's utterance cap (Málrómur tops out near
+        20 s).  Audio shorter than one window falls through to the plain
+        path.
         """
-        from ss_asr_tpu.decode.longform import merge_window_texts, window_bounds
+        from ss_asr_tpu.decode.longform import (
+            energy_segments,
+            merge_window_texts,
+            window_bounds,
+        )
         from ss_asr_tpu.ops.frontend import compute_fbank
 
+        if vad not in (None, "energy"):
+            raise ValueError(f"vad must be None or 'energy', got {vad!r}")
         sr = sr or self.sr
         y = np.asarray(y, dtype=np.float32).reshape(-1)
         if y.size == 0:
             return ""
         win = max(1, int(window_s * sr))
         ov = max(0, min(int(overlap_s * sr), win - 1))
-        bounds = window_bounds(len(y), win, ov)
+        if vad == "energy":
+            bounds = energy_segments(y, sr, max_window=win,
+                                     min_window=max(1, ov))
+        else:
+            bounds = window_bounds(len(y), win, ov)
         if len(bounds) == 1:
             return self.transcribe_signal(y, sr)
         # frontend once over the whole signal, slice FRAMES per window —
@@ -475,7 +490,9 @@ class Transcriber:
         hop = sr // 100  # 10 ms frontend stride
         rows = []
         for s, e in bounds:
-            fs, fe_ = s // hop, min(e // hop, fb.shape[0])
+            fs, fe_ = s // hop, min(max(e // hop, s // hop + 1), fb.shape[0])
             rows.append(fb[fs:fe_])
         texts = self.transcribe_fbank(rows)
+        if vad == "energy":
+            return " ".join(t for t in texts if t)
         return merge_window_texts(texts, overlap_frac=ov / win)

@@ -54,6 +54,9 @@ def main(argv=None):
                         help="--long window length in seconds")
     parser.add_argument("--overlap-s", type=float, default=2.0,
                         help="--long window overlap in seconds")
+    parser.add_argument("--vad", choices=["energy"], default=None,
+                        help="--long segmentation: cut at low-energy "
+                             "points (pauses) instead of fixed windows")
     parser.add_argument("--detail", action="store_true",
                         help="emit one JSON line per input instead of TSV: "
                              "n-best hypotheses with score, avg_logprob "
@@ -144,7 +147,8 @@ def main(argv=None):
                 _, y = load_wav(path, target_sr=args.sr)
                 hyp = t.transcribe_long(np.asarray(y, np.float32), args.sr,
                                         window_s=args.window_s,
-                                        overlap_s=args.overlap_s)
+                                        overlap_s=args.overlap_s,
+                                        vad=args.vad)
                 print(f"{path}\t{hyp}", file=sink, flush=True)
             return
         for i in range(0, len(args.inputs), args.batch):

@@ -20,6 +20,8 @@ from __future__ import annotations
 import difflib
 from typing import List, Tuple
 
+import numpy as np
+
 
 def window_bounds(
     n: int, window: int, overlap: int
@@ -36,6 +38,53 @@ def window_bounds(
     starts = list(range(0, n - window, step))
     starts.append(n - window)  # right-aligned final window
     return [(s, s + window) for s in starts]
+
+
+def energy_segments(
+    y: np.ndarray,
+    sr: int,
+    max_window: int,
+    min_window: int,
+    hop_ms: float = 10.0,
+    smooth_ms: float = 50.0,
+) -> List[Tuple[int, int]]:
+    """Cut [0, len(y)) into disjoint segments at low-energy points.
+
+    Each cut lands on the smoothed-RMS minimum inside
+    ``[start + min_window, start + max_window]`` — in real speech that is
+    a pause, so segments need no overlap and their transcripts join with
+    a space (a pause is a word boundary).  Fixed-window + text-merge
+    (``window_bounds``/``merge_window_texts``) remains the fallback for
+    audio with no usable pauses.
+    """
+    n = len(y)
+    if not 0 < min_window < max_window:
+        raise ValueError(f"need 0 < min_window < max_window, got "
+                         f"{min_window}/{max_window}")
+    if n <= max_window:
+        return [(0, n)]
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    # smoothed per-hop RMS energy
+    e = np.square(y.astype(np.float32))
+    n_hops = n // hop
+    frame_e = e[: n_hops * hop].reshape(n_hops, hop).mean(axis=1)
+    k = max(1, int(smooth_ms / hop_ms))
+    kernel = np.ones(k, np.float32) / k
+    smooth = np.convolve(frame_e, kernel, mode="same")
+
+    bounds: List[Tuple[int, int]] = []
+    start = 0
+    while n - start > max_window:
+        lo = (start + min_window) // hop
+        hi = min((start + max_window) // hop, n_hops - 1)
+        if hi <= lo:
+            cut = start + max_window
+        else:
+            cut = (lo + int(np.argmin(smooth[lo:hi]))) * hop
+        bounds.append((start, cut))
+        start = cut
+    bounds.append((start, n))
+    return bounds
 
 
 def merge_pair(prev: str, nxt: str, overlap_chars: int) -> str:

@@ -413,6 +413,10 @@ def serve_http(
                 long_form = q.get("long", ["0"])[0] not in ("0", "", "false")
                 window_s = float(q.get("window_s", ["20"])[0])
                 overlap_s = float(q.get("overlap_s", ["2"])[0])
+                vad = q.get("vad", [None])[0]
+                if vad not in (None, "energy"):
+                    self._reply(400, {"error": "vad must be 'energy'"})
+                    return
                 if long_form and not (0 < overlap_s < window_s <= 120):
                     self._reply(400, {"error": "need 0 < overlap_s < "
                                                "window_s <= 120"})
@@ -453,7 +457,7 @@ def serve_http(
                             batcher.stats.detail_requests += 1
                         text = batcher._t.transcribe_long(
                             np.asarray(y, np.float32), target_sr,
-                            window_s=window_s, overlap_s=overlap_s)
+                            window_s=window_s, overlap_s=overlap_s, vad=vad)
                     finally:
                         detail_gate.release()
                     self._reply(200, {"text": text})

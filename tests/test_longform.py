@@ -94,6 +94,60 @@ def test_transcribe_long_plumbing(monkeypatch):
     assert out == "abcdefghijklmn"
 
 
+def test_energy_segments_cut_in_silence():
+    from ss_asr_tpu.decode.longform import energy_segments
+
+    sr = 8000
+    rng = np.random.RandomState(0)
+    # three 1 s loud bursts separated by 0.5 s near-silence
+    burst = 0.5 * rng.randn(sr).astype(np.float32)
+    gap = 0.001 * rng.randn(sr // 2).astype(np.float32)
+    y = np.concatenate([burst, gap, burst, gap, burst])
+    segs = energy_segments(y, sr, max_window=int(1.6 * sr),
+                           min_window=int(0.5 * sr))
+    assert len(segs) >= 2
+    # segments tile the signal exactly
+    assert segs[0][0] == 0 and segs[-1][1] == len(y)
+    assert all(segs[i][1] == segs[i + 1][0] for i in range(len(segs) - 1))
+    # every interior cut lands inside a silence gap
+    gaps = [(sr, sr + sr // 2), (2 * sr + sr // 2, 3 * sr)]
+    for _, cut in segs[:-1]:
+        assert any(lo <= cut <= hi for lo, hi in gaps), cut
+
+    # short audio: one segment; bad params raise
+    assert energy_segments(y[:100], sr, 200, 50) == [(0, 100)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        energy_segments(y, sr, 100, 100)
+
+
+def test_transcribe_long_vad(monkeypatch):
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=40)
+    params = las.init_asr(jax.random.PRNGKey(0), cfg)
+    tr = Transcriber(params, cfg, sr=8000, max_steps=8, t_bucket=16)
+
+    sr = 8000
+    rng = np.random.RandomState(1)
+    burst = 0.5 * rng.randn(sr).astype(np.float32)
+    gap = 0.001 * rng.randn(sr // 2).astype(np.float32)
+    y = np.concatenate([burst, gap, burst, gap, burst])
+
+    monkeypatch.setattr(
+        tr, "transcribe_fbank",
+        lambda rows: [f"seg{j}" for j in range(len(rows))])
+    out = tr.transcribe_long(y, window_s=1.6, overlap_s=0.5, vad="energy")
+    # disjoint pause-cut segments join with a space (pause = word boundary)
+    assert out.split(" ") == [f"seg{j}" for j in range(len(out.split(' ')))]
+    assert len(out.split(" ")) >= 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tr.transcribe_long(y, vad="webrtc")
+
+
 def test_transcribe_long_runs_real_model():
     cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
                         mlp_out_size=8, feature_dim=40)
