@@ -308,9 +308,17 @@ def test_http_server_end_to_end(rng):
                 data=wav)
             with urllib.request.urlopen(req, timeout=300) as r:
                 assert isinstance(json.load(r)["text"], str)
+            # energy-VAD segmentation variant of the same request
+            req = urllib.request.Request(
+                base + "/transcribe?long=1&window_s=0.4&overlap_s=0.1"
+                       "&vad=energy",
+                data=wav)
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert isinstance(json.load(r)["text"], str)
             for badq in ("long=1&window_s=0.1&overlap_s=0.2",  # ov >= win
                          "long=1&detail=1",                    # exclusive
-                         "long=1&window_s=999"):               # > cap
+                         "long=1&window_s=999",                # > cap
+                         "long=1&vad=webrtc"):                 # bad vad
                 badreq = urllib.request.Request(
                     base + f"/transcribe?{badq}", data=wav)
                 try:
