@@ -87,6 +87,33 @@ def energy_segments(
     return bounds
 
 
+def energy_cut_frame(
+    level: np.ndarray, lo: int, hi: int, smooth: int = 5
+) -> int:
+    """Pick a segment-commit point from per-frame levels.
+
+    ``level``: any monotone per-frame loudness proxy (streaming uses the
+    mean log-mel of each frontend frame — a pause is quiet in every band).
+    Returns the index of the smoothed minimum inside ``[lo, hi)``; in real
+    speech that is a pause, so the frames before it form a closed segment
+    (same reasoning as ``energy_segments``, but over frames already paid
+    for by the frontend instead of raw samples).
+    """
+    n = len(level)
+    lo = max(0, min(lo, n))
+    hi = max(lo + 1, min(hi, n))
+    if hi - lo <= 1:
+        return lo
+    k = max(1, smooth)
+    kernel = np.ones(k, np.float32)
+    lv = np.asarray(level, np.float32)
+    # mean over the REAL window at each position ("same" zero-padding
+    # would fake quiet edges and pull cuts to the stream boundary)
+    sm = np.convolve(lv, kernel, mode="same") / np.convolve(
+        np.ones(n, np.float32), kernel, mode="same")
+    return lo + int(np.argmin(sm[lo:hi]))
+
+
 def merge_pair(prev: str, nxt: str, overlap_chars: int) -> str:
     """Join two adjacent window transcripts.
 
