@@ -51,6 +51,12 @@ STATS_WINDOW = 4096
 MAX_NBEST = 16
 MAX_DETAIL_CONCURRENCY = 2
 
+#: HTTP streaming-session limits: each open session buffers up to one
+#: commit window of frames, so both knobs bound server memory; idle
+#: sessions are reaped lazily on the next /stream request
+MAX_STREAM_SESSIONS = 16
+STREAM_IDLE_TTL_S = 300.0
+
 
 @dataclass
 class ServeStats:
@@ -69,6 +75,8 @@ class ServeStats:
     rows_sum: int = 0  # sum of padded batch sizes (exact)
     detail_requests: int = 0  # HTTP ?detail= path (bypasses the batcher)
     detail_rejected: int = 0  # detail requests shed at the admission gate
+    stream_requests: int = 0  # HTTP /stream feed/end calls
+    stream_rejected: int = 0  # session-table-full rejections
     batch_sizes: deque = field(
         default_factory=lambda: deque(maxlen=STATS_WINDOW)
     )
@@ -81,6 +89,8 @@ class ServeStats:
             "padded_rows": self.padded_rows,
             "detail_requests": self.detail_requests,
             "detail_rejected": self.detail_rejected,
+            "stream_requests": self.stream_requests,
+            "stream_rejected": self.stream_rejected,
         }
         if self.batches:
             d["mean_batch"] = self.rows_sum / self.batches
@@ -317,6 +327,9 @@ def serve_http(
     POST /transcribe   body = WAV bytes -> {"text": "..."}
     GET  /healthz      -> {"ok": true}
     GET  /stats        -> batching counters (ServeStats.as_dict)
+    POST /stream[...]  -> streaming sessions: create / feed raw PCM16
+                          chunks for live partials / finalize (see
+                          Handler._handle_stream and streaming.py)
     POST /reload       -> hot-swap weights from ``reload_paths`` (the
                           checkpoint paths the server was started with:
                           {"asr": path, "lm": path|None}); 404 when the
@@ -356,6 +369,20 @@ def serve_http(
     # device programs
     detail_gate = threading.Semaphore(MAX_DETAIL_CONCURRENCY)
 
+    # streaming sessions: id -> {st, lock, last}; the table lock guards the
+    # dict, each session's lock serializes its feeds (clients stream one
+    # connection at a time; decodes still pass the detail gate since they
+    # bypass the batcher)
+    stream_lock = threading.Lock()
+    stream_sessions: dict = {}
+
+    def _reap_streams() -> None:
+        now = time.monotonic()
+        with stream_lock:
+            for sid in [s for s, v in stream_sessions.items()
+                        if now - v["last"] > STREAM_IDLE_TTL_S]:
+                del stream_sessions[sid]
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; stats carry the signal
             pass
@@ -377,6 +404,97 @@ def serve_http(
                 self._reply(200, d)
             else:
                 self._reply(404, {"error": "not found"})
+
+        def _handle_stream(self, url):
+            """Streaming sessions (ss_asr_tpu/streaming.py over HTTP):
+
+            POST /stream?sr=S&window_s=W          -> {"id", "sr"}
+            POST /stream/<id>   body=PCM16LE mono -> {"partial","committed"}
+            POST /stream/<id>/end                 -> {"text"}
+
+            Chunks are raw little-endian int16 mono at the session's sr
+            (a live stream has no WAV container); partial text may be
+            revised until its segment commits, committed text never is.
+            """
+            from urllib.parse import parse_qs
+
+            _reap_streams()
+            parts = url.path.strip("/").split("/")
+            if parts == ["stream"]:  # create
+                try:
+                    q = parse_qs(url.query)
+                    s_sr = int(q.get("sr", [str(target_sr)])[0])
+                    window_s = float(q.get("window_s", ["20"])[0])
+                    min_seg = float(q.get("min_segment_s", ["2"])[0])
+                    if not 4000 <= s_sr <= 48000:
+                        raise ValueError(f"sr {s_sr} outside [4000, 48000]")
+                    if not 0 < min_seg < window_s <= 120:
+                        raise ValueError(
+                            "need 0 < min_segment_s < window_s <= 120")
+                except Exception as e:  # noqa: BLE001 — bad query -> 400
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                import uuid
+
+                from ss_asr_tpu.streaming import StreamingTranscriber
+
+                with stream_lock:
+                    if len(stream_sessions) >= MAX_STREAM_SESSIONS:
+                        with batcher._cv:
+                            batcher.stats.stream_rejected += 1
+                        self._reply(503, {"error": "stream sessions full"})
+                        return
+                    sid = uuid.uuid4().hex[:16]
+                    stream_sessions[sid] = {
+                        "st": StreamingTranscriber(
+                            batcher._t, sr=s_sr, commit_window_s=window_s,
+                            min_segment_s=min_seg),
+                        "lock": threading.Lock(),
+                        "last": time.monotonic(),
+                    }
+                self._reply(200, {"id": sid, "sr": s_sr})
+                return
+            if len(parts) == 2 or (len(parts) == 3 and parts[2] == "end"):
+                with stream_lock:
+                    sess = stream_sessions.get(parts[1])
+                if sess is None:
+                    self._reply(404, {"error": "no such stream"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+                if len(body) % 2:
+                    self._reply(400, {"error": "odd PCM16 byte count"})
+                    return
+                if not detail_gate.acquire(timeout=30.0):
+                    with batcher._cv:
+                        batcher.stats.detail_rejected += 1
+                    self._reply(503, {"error": "detail path saturated"})
+                    return
+                try:
+                    with batcher._cv:
+                        batcher.stats.stream_requests += 1
+                    with sess["lock"]:
+                        sess["last"] = time.monotonic()
+                        st = sess["st"]
+                        if len(parts) == 3:  # /end
+                            text = st.finalize()
+                            with stream_lock:
+                                stream_sessions.pop(parts[1], None)
+                            self._reply(200, {"text": text})
+                            return
+                        if body:
+                            pcm = np.frombuffer(body, "<i2")
+                            st.feed(pcm.astype(np.float32) / 32768.0)
+                        self._reply(200, {
+                            "partial": st.partial(),
+                            "committed": st.committed_text,
+                        })
+                except Exception as e:  # noqa: BLE001 — one stream's failure is a 5xx
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                finally:
+                    detail_gate.release()
+                return
+            self._reply(404, {"error": "not found"})
 
         def do_POST(self):
             if self.path == "/reload":
@@ -404,6 +522,9 @@ def serve_http(
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            if url.path == "/stream" or url.path.startswith("/stream/"):
+                self._handle_stream(url)
+                return
             if url.path != "/transcribe":
                 self._reply(404, {"error": "not found"})
                 return

@@ -340,3 +340,69 @@ def test_http_server_end_to_end(rng):
         finally:
             server.shutdown()
             server.server_close()
+
+
+def test_http_streaming_sessions(rng):
+    t = _tiny_transcriber()
+    ready = threading.Event()
+    with BatchingTranscriber(t, max_batch=4, max_wait_ms=5) as bt:
+        server = serve_http(bt, host="127.0.0.1", port=0, sr=8000,
+                            ready_event=ready)
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+
+            def post(path, data=b""):
+                req = urllib.request.Request(base + path, data=data)
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    return json.load(r)
+
+            # create a session; stream 1 s of audio in 100 ms PCM16 chunks
+            sid = post("/stream?sr=8000&window_s=2&min_segment_s=0.5")["id"]
+            y = (0.3 * rng.standard_normal(8000) * 32767).astype(np.int16)
+            partials = []
+            for i in range(0, len(y), 800):
+                d = post(f"/stream/{sid}", y[i:i + 800].tobytes())
+                partials.append(d["partial"])
+                assert d["partial"].startswith(d["committed"])
+            final = post(f"/stream/{sid}/end")["text"]
+            assert isinstance(final, str) and final
+            # the streamed result matches the library surface on the
+            # same audio (same model, same chunking-independent frontend)
+            from ss_asr_tpu.streaming import StreamingTranscriber
+
+            st = StreamingTranscriber(t, sr=8000, commit_window_s=2,
+                                      min_segment_s=0.5)
+            st.feed(y.astype(np.float32) / 32768.0)
+            assert final == st.finalize()
+
+            # the session is gone after /end
+            try:
+                post(f"/stream/{sid}", b"\x00\x00")
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+
+            # error paths: odd byte count, unknown id, bad query
+            sid2 = post("/stream")["id"]
+            for path, data, code in (
+                (f"/stream/{sid2}", b"\x00", 400),
+                ("/stream/nope", b"", 404),
+                ("/stream?sr=99", b"", 400),
+                ("/stream?window_s=1&min_segment_s=2", b"", 400),
+            ):
+                try:
+                    post(path, data)
+                    assert False, f"expected {code} for {path}"
+                except urllib.error.HTTPError as e:
+                    assert e.code == code, path
+            post(f"/stream/{sid2}/end")
+
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                st_d = json.load(r)
+            assert st_d["stream_requests"] >= 10
+        finally:
+            server.shutdown()
+            server.server_close()
