@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--detail-every", type=int, default=16,
                     help="every Nth request per client uses the detail "
                          "path (?detail=1&nbest=2); 0 = never")
+    ap.add_argument("--stream-every", type=int, default=24,
+                    help="every Nth iteration per client runs a whole "
+                         "streaming session (/stream create, 3 PCM "
+                         "chunks, /end); 0 = never")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model (CPU-friendly); default flagship")
     args = ap.parse_args()
@@ -88,10 +92,16 @@ def main():
         return buf.getvalue()
 
     payloads = [wav_bytes(n) for n in (3000, 4500, 6000)]
+    # raw PCM16 chunks for streaming sessions (~190 ms each)
+    pcm_chunks = [
+        (0.1 * rng.standard_normal(1500) * 32767).astype("<i2").tobytes()
+        for _ in range(3)
+    ]
 
     ready = threading.Event()
     ok = [0]
     detail_ok = [0]
+    stream_ok = [0]
     shed = [0]  # 503s from the detail admission gate (correct shedding)
     errs: list = []
     reloads = [0]
@@ -113,6 +123,39 @@ def main():
             while not stop.is_set():
                 body = payloads[int(crng.integers(len(payloads)))]
                 k += 1
+                # every Nth iteration: a whole streaming session (create,
+                # feed chunks, finalize) — the third serving path. 503s
+                # (session table or detail gate full) are correct shedding.
+                if args.stream_every and k % args.stream_every == 0:
+                    try:
+                        with urllib.request.urlopen(urllib.request.Request(
+                                base + f"/stream?sr={sr}&window_s=2"
+                                       "&min_segment_s=0.5", data=b""),
+                                timeout=600) as r:
+                            sid = json.load(r)["id"]
+                        for chunk in pcm_chunks:
+                            with urllib.request.urlopen(
+                                    urllib.request.Request(
+                                        base + f"/stream/{sid}", data=chunk),
+                                    timeout=600) as r:
+                                assert isinstance(
+                                    json.load(r)["partial"], str)
+                        with urllib.request.urlopen(urllib.request.Request(
+                                base + f"/stream/{sid}/end", data=b""),
+                                timeout=600) as r:
+                            assert isinstance(json.load(r)["text"], str)
+                        with lock:
+                            stream_ok[0] += 1
+                    except urllib.error.HTTPError as e:
+                        with lock:
+                            if e.code == 503:
+                                shed[0] += 1
+                            else:
+                                errs.append(f"stream HTTP {e.code}: {e}")
+                    except Exception as e:  # noqa: BLE001 — collect, report, fail at exit
+                        with lock:
+                            errs.append(f"stream {type(e).__name__}: {e}")
+                    continue
                 # every Nth request rides the detail path (n-best +
                 # timestamps, bypasses the batcher through its admission
                 # gate) so the soak exercises both serving paths together;
@@ -167,6 +210,16 @@ def main():
                         urllib.request.Request(url, data=body),
                         timeout=600) as r:
                     json.load(r)
+        if args.stream_every:  # warm the streaming decode shapes too
+            with urllib.request.urlopen(urllib.request.Request(
+                    base + f"/stream?sr={sr}&window_s=2&min_segment_s=0.5",
+                    data=b""), timeout=600) as r:
+                sid = json.load(r)["id"]
+            for chunk in pcm_chunks:
+                urllib.request.urlopen(urllib.request.Request(
+                    base + f"/stream/{sid}", data=chunk), timeout=600).read()
+            urllib.request.urlopen(urllib.request.Request(
+                base + f"/stream/{sid}/end", data=b""), timeout=600).read()
 
         threads = [threading.Thread(target=client, args=(ci,))
                    for ci in range(args.clients)]
@@ -199,6 +252,7 @@ def main():
         "clients": args.clients,
         "requests_ok": ok[0],
         "detail_ok": detail_ok[0],
+        "stream_ok": stream_ok[0],
         "detail_shed": shed[0],
         "errors": len(errs),
         "reloads": reloads[0],
@@ -207,7 +261,8 @@ def main():
         "rss_growth_mb": round(growth, 1),
         "mean_batch": round(stats.get("mean_batch", 0.0), 2),
         "ok": (not errs and ok[0] > 0 and growth < 256
-               and (not args.detail_every or detail_ok[0] > 0)),
+               and (not args.detail_every or detail_ok[0] > 0)
+               and (not args.stream_every or stream_ok[0] > 0)),
     }
     print(json.dumps(summary))
     if errs:
