@@ -166,7 +166,13 @@ def main(argv=None):
                             {"text": h.text, "score": round(h.score, 4),
                              "avg_logprob": round(h.avg_logprob, 4),
                              "char_starts": [round(float(s), 3)
-                                             for s in h.char_starts]}
+                                             for s in h.char_starts],
+                             "words": [
+                                 {"word": w["word"],
+                                  "start": round(w["start"], 3),
+                                  "end": round(w["end"], 3),
+                                  "avg_logprob": round(w["avg_logprob"], 4)}
+                                 for w in h.words()]}
                             for h in hyps
                         ],
                     }, ensure_ascii=False), file=sink, flush=True)

@@ -56,6 +56,44 @@ class Hypothesis:
     avg_logprob: float
     char_starts: np.ndarray  # [n_chars] float32 seconds
     char_frames: np.ndarray  # [n_chars] int32 encoder frames
+    #: per-character log-probs aligned with text (empty when the decode
+    #: ran without the alignment pass — timestamps=False)
+    char_logps: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.float32)
+    )
+
+    def words(self) -> List[dict]:
+        """Word-level spans derived from the char alignment.
+
+        Splits on the vocabulary's space character; each word's start is
+        its first char's attended time, its end the last char's time plus
+        one encoder frame, its avg_logprob the mean of its chars' aligned
+        log-probs (falls back to the hypothesis confidence when the
+        decode skipped the alignment pass).  Returns
+        ``[{"word", "start", "end", "avg_logprob"}, ...]``.
+        """
+        have_t = self.char_starts.shape[0] == len(self.text)
+        have_p = self.char_logps.shape[0] == len(self.text)
+        out: List[dict] = []
+        i = 0
+        n = len(self.text)
+        while i < n:
+            if self.text[i] == " ":
+                i += 1
+                continue
+            j = i
+            while j < n and self.text[j] != " ":
+                j += 1
+            out.append({
+                "word": self.text[i:j],
+                "start": float(self.char_starts[i]) if have_t else 0.0,
+                "end": (float(self.char_starts[j - 1])
+                        + SECONDS_PER_ENC_FRAME) if have_t else 0.0,
+                "avg_logprob": (float(self.char_logps[i:j].mean())
+                                if have_p else self.avg_logprob),
+            })
+            i = j
+        return out
 
 
 @functools.partial(
@@ -206,12 +244,14 @@ def build_hypotheses(
         n = int(id_lens[b])
         chars: List[str] = []
         frames: List[int] = []
+        logps: List[float] = []
         for i in range(n):
             c = int(ids[b, i])
             if c in (SOS_ID, EOS_ID):
                 continue
             chars.append(mapper.r_mapping[c])
             frames.append(int(char_frames[b, i]))
+            logps.append(float(char_logp[b, i]))
         fr = np.asarray(frames, dtype=np.int32)
         score = float(char_logp[b, :n].sum()) if n else 0.0
         out.append(Hypothesis(
@@ -220,5 +260,6 @@ def build_hypotheses(
             avg_logprob=score / max(n, 1),
             char_starts=(fr * SECONDS_PER_ENC_FRAME).astype(np.float32),
             char_frames=fr,
+            char_logps=np.asarray(logps, dtype=np.float32),
         ))
     return out

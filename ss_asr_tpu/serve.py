@@ -623,6 +623,14 @@ def serve_http(
                                 "avg_logprob": h.avg_logprob,
                                 "char_starts": [round(float(s), 3)
                                                 for s in h.char_starts],
+                                "words": [
+                                    {"word": w["word"],
+                                     "start": round(w["start"], 3),
+                                     "end": round(w["end"], 3),
+                                     "avg_logprob": round(
+                                         w["avg_logprob"], 4)}
+                                    for w in h.words()
+                                ],
                             }
                             for h in hyps
                         ],

@@ -173,3 +173,59 @@ def test_detailed_without_timestamps():
     with pytest.raises(ValueError):
         beam_decode_nbest(params, CFG, jnp.zeros((1, 16, 8)),
                           jnp.array([16]), beam_size=4, n_best=0)
+
+
+def test_hypothesis_words():
+    """Word spans derive exactly from the char alignment: split on the
+    vocab space, start/end from the chars' attended times, confidence
+    the mean of the word's char log-probs."""
+    h = align_mod.Hypothesis(
+        text="ab cd  e",
+        score=-4.0,
+        avg_logprob=-0.5,
+        char_starts=np.array([0.0, 0.08, 0.16, 0.24, 0.32, 0.40, 0.48,
+                              0.56], np.float32),
+        char_frames=np.arange(8, dtype=np.int32),
+        char_logps=np.array([-1, -2, -9, -3, -4, -9, -9, -5], np.float32),
+    )
+    w = h.words()
+    assert [x["word"] for x in w] == ["ab", "cd", "e"]
+    assert w[0]["start"] == 0.0
+    np.testing.assert_allclose(
+        w[0]["end"], 0.08 + align_mod.SECONDS_PER_ENC_FRAME, atol=1e-6)
+    np.testing.assert_allclose(w[0]["avg_logprob"], -1.5, atol=1e-6)
+    np.testing.assert_allclose(w[1]["avg_logprob"], -3.5, atol=1e-6)
+    np.testing.assert_allclose(w[2]["avg_logprob"], -5.0, atol=1e-6)
+    # space chars (incl. doubles) produce no words; per-word times span
+    # exactly the word's chars
+    np.testing.assert_allclose(w[2]["start"], 0.56, atol=1e-6)
+
+    # without alignment arrays (timestamps=False): words still split,
+    # times zero, confidence falls back to the hypothesis avg_logprob
+    h2 = align_mod.Hypothesis(
+        text="xy z", score=-1.0, avg_logprob=-0.25,
+        char_starts=np.zeros((0,), np.float32),
+        char_frames=np.zeros((0,), np.int32),
+    )
+    w2 = h2.words()
+    assert [x["word"] for x in w2] == ["xy", "z"]
+    assert all(x["avg_logprob"] == -0.25 for x in w2)
+    assert align_mod.Hypothesis(
+        text="", score=0.0, avg_logprob=0.0,
+        char_starts=np.zeros((0,), np.float32),
+        char_frames=np.zeros((0,), np.int32)).words() == []
+
+
+def test_detailed_decode_carries_words():
+    params = _params(5)
+    tr = Transcriber(params, CFG, max_steps=12, t_bucket=16)
+    fb = np.random.RandomState(0).randn(20, 8).astype(np.float32)
+    (hyps,) = tr.transcribe_fbank_detailed(fb)
+    h = hyps[0]
+    assert len(h.char_logps) == len(h.text)
+    words = h.words()
+    assert "".join(x["word"] for x in words) == h.text.replace(" ", "")
+    if words:
+        # per-word confidences are means of the aligned char log-probs
+        assert all(x["avg_logprob"] <= 0.0 for x in words)
+        assert all(x["end"] >= x["start"] for x in words)

@@ -284,6 +284,10 @@ def test_http_server_end_to_end(rng):
             assert d["text"] == h0["text"]
             assert h0["avg_logprob"] <= 0.0
             assert len(h0["char_starts"]) == len(h0["text"])
+            # word spans ride along, consistent with the text
+            assert "".join(w["word"] for w in h0["words"]) == \
+                h0["text"].replace(" ", "")
+            assert all(w["end"] >= w["start"] for w in h0["words"])
             scores = [h["score"] for h in d["hypotheses"]]
             assert scores == sorted(scores, reverse=True)
 
