@@ -347,3 +347,79 @@ def test_shipped_default_config_constructs_everything():
                        warmup_steps=opt.get("warmup_steps", 0),
                        decay_steps=opt.get("decay_steps", 0))
     assert cfg["seed_train"].get("super_its") or cfg["seed_train"].get("its")
+
+
+def test_pseudolabel_cli(tmp_path, rng, capsys):
+    """Self-training corpus generation: decode unlabeled wavs, keep
+    confident hypotheses, and emit a TRAINABLE index (same schema as
+    cli/preprocess) — the kept rows must load through the standard
+    ASRDataset path."""
+    import wave
+
+    import jax
+    import yaml
+
+    from ss_asr_tpu.cli import pseudolabel as pl_cli
+    from ss_asr_tpu.models import las
+    from ss_asr_tpu.utils import checkpoint as ckpt
+
+    mdl = {"encoder_state_size": 8, "decoder_state_size": 8,
+           "mlp_out_size": 8, "feature_dim": 40}
+    params = las.init_asr(jax.random.key(0), las.ASRConfig.from_dict(mdl))
+    ckp = str(tmp_path / "asr.npz")
+    ckpt.save_pytree(ckp, params)
+    conf_path = tmp_path / "conf.yaml"
+    conf_path.write_text(yaml.safe_dump({"asr": {"mdl": mdl}}),
+                         encoding="utf-8")
+
+    wavs = []
+    for i in range(3):
+        p = tmp_path / f"u{i}.wav"
+        y = (0.2 * rng.standard_normal(6000 + 2000 * i)
+             * 32767).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(y.tobytes())
+        wavs.append(str(p))
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav at all")
+
+    outdir = str(tmp_path / "pseudo")
+    rc = pl_cli.main([ckp, outdir] + wavs + [str(bad),
+                     "--config", str(conf_path), "--sr", "8000",
+                     "--max-steps", "8", "--batch", "2",
+                     "--min-avg-logprob=-1e9", "--min-chars", "1"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_in"] == 4
+    assert summary["n_kept"] == 3
+    assert summary["rejected_unreadable"] == 1
+    assert summary["mean_avg_logprob"] <= 0.0
+
+    # the index is the standard schema, frame-sorted, and TRAINS: load it
+    # through the reference-parity dataset loader
+    from ss_asr_tpu.data.asr_dataset import load_asr_dataset
+
+    idx = summary["index"]
+    rowlens = []
+    with open(idx, encoding="utf-8") as f:
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            assert len(cols) == 6
+            assert cols[0].startswith("<") and cols[0].endswith(">")
+            assert os.path.exists(cols[1])
+            assert cols[4].startswith("pseudo:")
+            rowlens.append(int(cols[3]))
+    assert rowlens == sorted(rowlens)
+    mapper, ds = load_asr_dataset(idx, batch_size=2)
+    batch = ds.get_batch(0)
+    assert batch.x.ndim == 3 and batch.x.shape[-1] == 40
+
+    # a certainty threshold above 0 rejects everything (avg_logprob <= 0)
+    outdir2 = str(tmp_path / "pseudo2")
+    rc2 = pl_cli.main([ckp, outdir2] + wavs +
+                      ["--config", str(conf_path), "--sr", "8000",
+                       "--max-steps", "8", "--min-avg-logprob=0.5"])
+    assert rc2 == 1
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_kept"] == 0 and s2["rejected_low_conf"] >= 1
