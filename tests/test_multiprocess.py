@@ -173,7 +173,10 @@ def _run_workers(work: str, worker_src: str, fail_msg: str, nproc: int = 2):
     outs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            # Generous: workers compile sharded programs on CPU and the
+            # suite may share the host with on-chip benchmark runs; 420 s
+            # was observed to flake under such concurrent load.
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
