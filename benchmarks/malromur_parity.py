@@ -118,10 +118,16 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         mdl: dict | None = None, lm_chunk: int = 200, lm_batch: int = 128,
         lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
         max_decode_steps: int = 200, model: str = "m1",
-        seed_epochs: int = 2, seed_its: int = 1) -> dict:
+        seed_epochs: int = 2, seed_its: int = 1, name: str = "malromur",
+        labeled_utts: int | None = None) -> dict:
     """``model``: "m1" = supervised-only baseline (thesis Tables 6.6-6.10);
     "m5" = the thesis' best model — TAE -> SAE seed chain on the unlabeled
-    pool, then supervised fine-tune on the labeled subset (Table 6.12)."""
+    pool, then supervised fine-tune on the labeled subset (Table 6.12).
+
+    ``name`` namespaces checkpoints/logs (``compare`` runs m1 and m5 over
+    the same preprocessed corpus). ``labeled_utts`` is a count-based
+    low-resource subset — the synthetic gain experiment's analogue of the
+    thesis' ``hours`` budget (tone utterances are seconds long)."""
     from ss_asr_tpu.cli.preprocess import preprocess_malromur
     from ss_asr_tpu.data.index import load_index, make_split, subset_by_t
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
@@ -153,6 +159,17 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
 
         sort_index(sub, "unpadded_num_frames")
         train_index = sub
+    elif labeled_utts:
+        from ss_asr_tpu.data.index import save_index
+
+        sub = os.path.join(processed, f"train_{labeled_utts}u.tsv")
+        df = load_index(train_index)
+        rng = __import__("numpy").random.default_rng(seed)
+        take = sorted(rng.choice(len(df), size=min(labeled_utts, len(df)),
+                                 replace=False))
+        df = df.iloc[take].sort_values("unpadded_num_frames")
+        save_index(df, sub)
+        train_index = sub
 
     # 3. LM corpus: Risamálheild-style plain text, or train transcripts
     if lm_corpus is None:
@@ -172,7 +189,7 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
                   "decoder_state_size": 256, "feature_dim": 40}
     config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
                          lm_batch, seed_epochs=seed_epochs, seed_its=seed_its)
-    paras = make_paras(name="malromur", logdir=os.path.join(work, "runs"),
+    paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
     # 4. train
@@ -204,26 +221,93 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     result["thesis_target"] = THESIS_TARGETS.get(cond, THESIS_TARGETS["full"])
     result["condition"] = cond
     result["n_corpus_utts"] = n_total
-    result["config"] = {"hours": hours, "epochs": epochs, "batch": batch,
+    result["config"] = {"hours": hours, "labeled_utts": labeled_utts,
+                        "epochs": epochs, "batch": batch,
                         "lm_weight": lm_weight, "seed": seed, "mdl": mdl,
-                        "model": model}
+                        "model": model, "seed_epochs": seed_epochs,
+                        "seed_its": seed_its}
     return result
+
+
+# ---------------------------------------------------------------------------
+# compare: M1 vs M5 on the same corpus — the thesis' central claim
+# ---------------------------------------------------------------------------
+
+def compare(index: str, wav_dir: str, work: str, hours: float | None,
+            lm_corpus: str | None, epochs: int, lm_epochs: int, batch: int,
+            mdl: dict | None = None, lm_chunk: int = 200, lm_batch: int = 128,
+            lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
+            max_decode_steps: int = 200, seed_epochs: int = 2,
+            seed_its: int = 1, labeled_utts: int | None = None) -> dict:
+    """Head-to-head M1 (supervised-only) vs M5 (TAE -> SAE seed + fine-tune)
+    on the SAME corpus, split, labeled budget, LM, and seed — the thesis'
+    central semi-supervised claim (Tables 6.6-6.12: aux training on
+    unlabeled audio/text lifts low-resource ASR) as one command. Both runs
+    share the preprocessed corpus; checkpoints/logs are namespaced m1/m5."""
+    out = {}
+    for model in ("m1", "m5"):
+        out[model] = run(index, wav_dir, work, hours, lm_corpus, epochs,
+                         lm_epochs, batch, mdl=mdl, lm_chunk=lm_chunk,
+                         lm_batch=lm_batch, lm_weight=lm_weight, seed=seed,
+                         sr=sr, max_decode_steps=max_decode_steps,
+                         model=model, seed_epochs=seed_epochs,
+                         seed_its=seed_its, name=model,
+                         labeled_utts=labeled_utts)
+    gain = {}
+    for mode in ("greedy", "beam8", "beam8_lm"):
+        for met in ("acc", "wer", "cer"):
+            k = f"{mode}_{met}"
+            if k in out["m1"] and k in out["m5"]:
+                gain[k] = round(out["m5"][k] - out["m1"][k], 6)
+    out["gain_m5_minus_m1"] = gain
+    # the thesis' claim, stated as a boolean on its own primary metric:
+    # M5 beats M1 on word error under the best decode (beam + LM fusion)
+    out["semi_supervised_helps"] = bool(
+        out["m5"].get("beam8_lm_wer", 1e9) < out["m1"].get("beam8_lm_wer", -1)
+    )
+    return out
+
+
+def build_gain_corpus(work: str, n: int, seed: int = 0):
+    """Synthetic corpus + abundant text for the M1-vs-M5 gain experiment:
+    Málrómur-layout tone speech over the LARGE word inventory with
+    homophone characters (i->e, g->c render identically — only text
+    knowledge can pick the spelling, the lever TAE/LM training pulls), plus
+    a plain-text LM corpus over the full vocabulary (the thesis' analogue:
+    Risamálheild text is abundant while labeled audio is scarce)."""
+    from benchmarks.quality_protocol import _lm_text
+    from ss_asr_tpu.cli.mkdata import WORDS_LARGE
+
+    csv_path, wav_dir, n_correct = build_smoke_corpus(
+        work, n=n, seed=seed, words=WORDS_LARGE, homophones=True,
+        max_words=2)
+    lm_corpus = os.path.join(work, "lm_corpus.txt")
+    with open(lm_corpus, "w", encoding="utf-8") as f:
+        f.write(_lm_text(WORDS_LARGE, reps=400, seed=seed))
+    return csv_path, wav_dir, lm_corpus, n_correct
 
 
 # ---------------------------------------------------------------------------
 # synthetic smoke: Málrómur CSV layout end to end
 # ---------------------------------------------------------------------------
 
-def build_smoke_corpus(work: str, n: int = 24, seed: int = 0):
+def build_smoke_corpus(work: str, n: int = 24, seed: int = 0,
+                       words=None, homophones: bool = False,
+                       max_words: int = 2):
     """Synthetic tone corpus written in Málrómur's exact layout: one CSV
     (utt id col 0, text col 5, classification col 7) + a wav directory.
     Every 5th row is classified != 'correct' and must be filtered out;
     one 'correct' row points at a missing wav (unreadable-wav skip,
-    reference src/preprocess.py:169-173)."""
+    reference src/preprocess.py:169-173).
+
+    ``words``/``homophones``/``max_words`` parameterize the lexicon so the
+    same layout serves both the tiny smoke and the larger semi-supervised
+    gain experiment (``compare --synthetic``)."""
     import numpy as np
 
     from ss_asr_tpu.cli.mkdata import SR, WORDS, render, write_wav
 
+    vocab = list(words) if words is not None else WORDS
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(work, "wav")
     os.makedirs(wav_dir, exist_ok=True)
@@ -232,12 +316,12 @@ def build_smoke_corpus(work: str, n: int = 24, seed: int = 0):
     with open(csv_path, "w", encoding="utf-8") as f:
         for i in range(n):
             utt = f"is_is-malromur_smoke-{i:04d}"
-            k = int(rng.integers(1, 3))
-            text = " ".join(rng.choice(WORDS) for _ in range(k))
+            k = int(rng.integers(1, max_words + 1))
+            text = " ".join(rng.choice(vocab) for _ in range(k))
             cls = "correct" if i % 5 else "incorrect"
             if i != 7:  # row 7: correct but its wav is missing
                 write_wav(os.path.join(wav_dir, utt + ".wav"),
-                          render(text, rng), sr=SR)
+                          render(text, rng, homophones=homophones), sr=SR)
             # cols: id, env, age, gender, device, TEXT, duration, CLASS
             f.write(f"{utt},indoor,20-30,m,phone,{text},2.0,{cls}\n")
             n_correct += int(cls == "correct" and i != 7)
@@ -295,6 +379,34 @@ def main():
     s.add_argument("--model", choices=["m1", "m5"], default="m1")
     s.add_argument("--out", default=None)
 
+    c = sub.add_parser(
+        "compare",
+        help="M1 vs M5 head-to-head on one corpus: the thesis' "
+             "semi-supervised gain as a single command")
+    c.add_argument("--index", default=None, help="Málrómur metadata CSV "
+                   "(omit with --synthetic)")
+    c.add_argument("--wav-dir", default=None)
+    c.add_argument("--work", required=True)
+    c.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="generate an N-utterance homophone tone corpus + "
+                        "abundant LM text instead of a real download")
+    c.add_argument("--hours", type=float, default=None)
+    c.add_argument("--labeled-utts", type=int, default=None,
+                   help="count-based labeled budget (synthetic regimes)")
+    c.add_argument("--lm-corpus", default=None)
+    c.add_argument("--epochs", type=int, default=30)
+    c.add_argument("--lm-epochs", type=int, default=5)
+    c.add_argument("--batch", type=int, default=32)
+    c.add_argument("--lm-weight", type=float, default=0.1)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--sr", type=int, default=16000)
+    c.add_argument("--seed-epochs", type=int, default=2)
+    c.add_argument("--seed-its", type=int, default=1)
+    c.add_argument("--size", choices=["tiny", "flagship"], default="flagship",
+                   help="model size for --synthetic runs")
+    c.add_argument("--max-decode-steps", type=int, default=200)
+    c.add_argument("--out", default=None)
+
     args = ap.parse_args()
     if args.cmd == "run":
         result = run(args.index, args.wav_dir, args.work, args.hours,
@@ -302,6 +414,25 @@ def main():
                      lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
                      model=args.model, seed_epochs=args.seed_epochs,
                      seed_its=args.seed_its)
+    elif args.cmd == "compare":
+        index, wav_dir, lm_corpus, sr, mdl = (
+            args.index, args.wav_dir, args.lm_corpus, args.sr, None)
+        if args.synthetic:
+            os.makedirs(args.work, exist_ok=True)
+            index, wav_dir, lm_corpus, _ = build_gain_corpus(
+                args.work, args.synthetic, seed=args.seed)
+            sr = 8000
+            if args.size == "tiny":
+                mdl = {"encoder_state_size": 8, "mlp_out_size": 8,
+                       "decoder_state_size": 8, "feature_dim": 40}
+        elif not (index and wav_dir):
+            ap.error("compare needs --index/--wav-dir or --synthetic N")
+        result = compare(index, wav_dir, args.work, args.hours, lm_corpus,
+                         args.epochs, args.lm_epochs, args.batch, mdl=mdl,
+                         lm_weight=args.lm_weight, seed=args.seed, sr=sr,
+                         max_decode_steps=args.max_decode_steps,
+                         seed_epochs=args.seed_epochs, seed_its=args.seed_its,
+                         labeled_utts=args.labeled_utts)
     else:
         result = smoke(args.work, args.epochs, model=args.model)
     line = json.dumps(result, indent=1)

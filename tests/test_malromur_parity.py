@@ -42,6 +42,41 @@ def test_thesis_targets_cover_all_conditions():
         assert set(t) == {"greedy", "beam8", "beam8_lm"}
 
 
+def test_build_gain_corpus_layout(tmp_path):
+    """The M1-vs-M5 gain corpus: large homophone vocabulary + abundant
+    LM text over the SAME words (scarce-labels/abundant-text regime)."""
+    from benchmarks.malromur_parity import build_gain_corpus
+    from ss_asr_tpu.cli.mkdata import WORDS_LARGE
+
+    csv_path, wav_dir, lm_corpus, n_correct = build_gain_corpus(
+        str(tmp_path), n=15, seed=1)
+    assert os.path.isdir(wav_dir) and os.path.exists(csv_path)
+    assert n_correct == 15 - 3 - 1  # every 5th incorrect, row 7 waveless
+    with open(lm_corpus, encoding="utf-8") as fh:
+        lm_words = set(fh.read().split())
+    # the LM corpus spans the full large inventory, incl. homophone spellings
+    assert lm_words == set(WORDS_LARGE)
+
+
+def test_compare_gain_math():
+    """compare()'s gain table + thesis-claim boolean over stubbed runs."""
+    from benchmarks import malromur_parity as mp
+
+    fake = {
+        "m1": {"greedy_acc": 0.5, "beam8_lm_wer": 0.4, "beam8_lm_acc": 0.6},
+        "m5": {"greedy_acc": 0.7, "beam8_lm_wer": 0.3, "beam8_lm_acc": 0.7},
+    }
+    orig = mp.run
+    mp.run = lambda *a, **k: dict(fake[k["model"]])
+    try:
+        out = mp.compare("i", "w", "work", None, None, 1, 1, 8)
+    finally:
+        mp.run = orig
+    assert out["gain_m5_minus_m1"]["beam8_lm_wer"] == -0.1
+    assert out["gain_m5_minus_m1"]["greedy_acc"] == 0.2
+    assert out["semi_supervised_helps"] is True
+
+
 def test_make_config_m5_sections():
     """model=m5 plumbing: the unlabeled pool feeds TAE/SAE, the labeled
     subset feeds the fine-tune, and the seed chain is the thesis' M5
