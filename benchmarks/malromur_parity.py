@@ -18,6 +18,12 @@ thesis pp. 70/88; see SURVEY.md §6).
     # column filter), CPU-friendly — proves the path end to end:
     python benchmarks/malromur_parity.py smoke --work /tmp/malromur_smoke
 
+``--model`` selects from the thesis Table 6.5 menu (MODEL_STAGES,
+m1 supervised-only .. m6 TAE->SAE->ADV); ``compare`` runs several menu
+entries head-to-head on ONE corpus/split/LM/seed and reports the
+semi-supervised gain (``--synthetic N`` builds a homophone tone corpus
+with abundant LM text, so the experiment runs without a download).
+
 The smoke corpus is written in Málrómur's CSV layout (>=8 comma-separated
 columns, utterance id in col 0, text in col 5, classification in col 7) with
 deliberately 'incorrect'-classified rows that MUST be filtered out, matching
@@ -53,16 +59,30 @@ THESIS_TARGETS = {
 }
 
 
+#: thesis Table 6.5 model menu -> seed_train.stages (M5 best, §6.5 p.87).
+#: Each stage trains on the UNLABELED pool and relays the mutated ASR
+#: checkpoint to the next (train/seed.py); the supervised fine-tune follows.
+MODEL_STAGES = {
+    "m1": None,                    # supervised-only baseline
+    "m2": ["tae"],
+    "m3": ["tae", "adv"],
+    "m4": ["tae", "adv", "sae"],
+    "m5": ["tae", "sae"],          # thesis best (Table 6.12)
+    "m6": ["tae", "sae", "adv"],
+}
+
+
 def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
                 lm_epochs: int, lm_chunk: int, lm_batch: int,
-                seed_epochs: int = 2, seed_its: int = 1) -> dict:
+                seed_epochs: int = 2, seed_its: int = 1,
+                stages=("tae", "sae")) -> dict:
     """Reference-default config (conf/default.yaml schema): Adadelta 1.0 for
     the ASR, Adam 1e-4 for the char LM (SURVEY.md §2.2). When
-    ``paths["unlabeled_index"]`` is present, the TAE/SAE sections for the M5
-    seed chain are emitted too (thesis Table 5.3 sizes scaled to ``mdl``):
-    the autoencoders train on the UNLABELED pool — the thesis'
-    semi-supervised setup uses all audio/text, the fine-tune only the
-    labeled subset."""
+    ``paths["unlabeled_index"]`` is present, the sections for the seed
+    chain ``stages`` (MODEL_STAGES menu; default M5's tae->sae) are emitted
+    too (thesis Table 5.3 sizes scaled to ``mdl``): the aux stages train on
+    the UNLABELED pool — the thesis' semi-supervised setup uses all
+    audio/text, the fine-tune only the labeled subset."""
     cfg = {
         "asr": {
             "opt": {"type": "Adadelta", "learning_rate": 1.0},
@@ -97,19 +117,30 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
             "mdl": {"state_size": H, "emb_dim": 128, "num_layers": 2},
             "drop_rate": 0.1, "l_bucket": 16, **shared,
         }
-        # thesis Table 5.3 conv stack at feature_dim 40; smaller feature
-        # dims (smoke) shrink the frequency kernel to fit
-        fk = min(36, mdl.get("feature_dim", 40) - 2)
-        cfg["sae"] = {
-            "opt": {"type": "Adam", "learning_rate": 1e-4},
-            "mdl": {
-                "kernel_sizes": [[1, fk], [5, 1], [3, 1]],
-                "num_filters": [32, 64, 256] if H >= 64 else [4, 8, 16],
-                "pool_kernel_sizes": [[3, 1], [5, 1], [2000, 40]],
-            },
-            "t_bucket": 128, **shared,
-        }
-        cfg["seed_train"] = {"super_its": seed_its, "stages": ["tae", "sae"]}
+        if "sae" in stages:
+            # thesis Table 5.3 conv stack at feature_dim 40; smaller feature
+            # dims (smoke) shrink the frequency kernel to fit
+            fk = min(36, mdl.get("feature_dim", 40) - 2)
+            cfg["sae"] = {
+                "opt": {"type": "Adam", "learning_rate": 1e-4},
+                "mdl": {
+                    "kernel_sizes": [[1, fk], [5, 1], [3, 1]],
+                    "num_filters": [32, 64, 256] if H >= 64 else [4, 8, 16],
+                    "pool_kernel_sizes": [[3, 1], [5, 1], [2000, 40]],
+                },
+                "t_bucket": 128, **shared,
+            }
+        if "adv" in stages:
+            # reference conf/default.yaml adv section: Adadelta both sides,
+            # 256-d per-timestep MLP discriminator, label smoothing 0.1
+            cfg["adv"] = {
+                "G_opt": {"type": "Adadelta", "learning_rate": 1.0},
+                "D_opt": {"type": "Adadelta", "learning_rate": 1.0},
+                "mdl": {"hidden_dim": 256 if H >= 64 else 16},
+                "label_smoothing": 0.1, "t_bucket": 128, "l_bucket": 16,
+                **shared,
+            }
+        cfg["seed_train"] = {"super_its": seed_its, "stages": list(stages)}
     return cfg
 
 
@@ -120,9 +151,11 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         max_decode_steps: int = 200, model: str = "m1",
         seed_epochs: int = 2, seed_its: int = 1, name: str = "malromur",
         labeled_utts: int | None = None) -> dict:
-    """``model``: "m1" = supervised-only baseline (thesis Tables 6.6-6.10);
-    "m5" = the thesis' best model — TAE -> SAE seed chain on the unlabeled
-    pool, then supervised fine-tune on the labeled subset (Table 6.12).
+    """``model``: any of the thesis Table 6.5 menu (MODEL_STAGES) — "m1" =
+    supervised-only baseline (Tables 6.6-6.10); "m2".."m6" = the aux seed
+    chain named by the thesis (TAE / ADV / SAE in the listed order) on the
+    unlabeled pool, then supervised fine-tune on the labeled subset.
+    "m5" (TAE -> SAE) is the thesis' best (Table 6.12).
 
     ``name`` namespaces checkpoints/logs (``compare`` runs m1 and m5 over
     the same preprocessed corpus). ``labeled_utts`` is a count-based
@@ -133,8 +166,10 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
     from benchmarks.quality_protocol import eval_decode_modes
 
-    if model not in ("m1", "m5"):
-        raise ValueError(f"model must be 'm1' or 'm5', got {model!r}")
+    if model not in MODEL_STAGES:
+        raise ValueError(
+            f"model must be one of {sorted(MODEL_STAGES)}, got {model!r}")
+    stages = MODEL_STAGES[model]
 
     os.makedirs(work, exist_ok=True)
     processed = os.path.join(work, "processed")
@@ -181,23 +216,25 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
 
     paths = {"train_index": train_index, "eval_index": eval_index,
              "lm_corpus": lm_corpus}
-    if model == "m5":
-        # the autoencoders see the FULL training audio/text as the
+    if stages:
+        # the aux stages see the FULL training audio/text as the
         # unlabeled pool (the pre-subset index); fine-tune stays labeled
         paths["unlabeled_index"] = os.path.join(processed, "train.tsv")
     mdl = mdl or {"encoder_state_size": 256, "mlp_out_size": 128,
                   "decoder_state_size": 256, "feature_dim": 40}
     config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
-                         lm_batch, seed_epochs=seed_epochs, seed_its=seed_its)
+                         lm_batch, seed_epochs=seed_epochs, seed_its=seed_its,
+                         stages=stages or ("tae", "sae"))
     paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
     # 4. train
     lm = CHARLMTrainer(config, paras)
     lm.load_data(); lm.set_model(); lm.exec(); lm.close()
-    if model == "m5":
-        # TAE -> SAE seed chain, then hand the seeded ASR to the
-        # supervised fine-tune as its pretrained checkpoint
+    if stages:
+        # aux seed chain (thesis Table 6.5 recipe for this model), then
+        # hand the seeded ASR to the supervised fine-tune as its
+        # pretrained checkpoint
         import shutil
 
         from ss_asr_tpu.train import asr_seed_train
@@ -230,7 +267,7 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
 
 
 # ---------------------------------------------------------------------------
-# compare: M1 vs M5 on the same corpus — the thesis' central claim
+# compare: the model menu head-to-head on one corpus — the thesis' claim
 # ---------------------------------------------------------------------------
 
 def compare(index: str, wav_dir: str, work: str, hours: float | None,
@@ -238,14 +275,16 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
             mdl: dict | None = None, lm_chunk: int = 200, lm_batch: int = 128,
             lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
             max_decode_steps: int = 200, seed_epochs: int = 2,
-            seed_its: int = 1, labeled_utts: int | None = None) -> dict:
-    """Head-to-head M1 (supervised-only) vs M5 (TAE -> SAE seed + fine-tune)
-    on the SAME corpus, split, labeled budget, LM, and seed — the thesis'
-    central semi-supervised claim (Tables 6.6-6.12: aux training on
-    unlabeled audio/text lifts low-resource ASR) as one command. Both runs
-    share the preprocessed corpus; checkpoints/logs are namespaced m1/m5."""
+            seed_its: int = 1, labeled_utts: int | None = None,
+            models=("m1", "m5")) -> dict:
+    """Head-to-head model-menu runs (MODEL_STAGES; default M1 supervised-only
+    vs M5 TAE -> SAE seed + fine-tune) on the SAME corpus, split, labeled
+    budget, LM, and seed — the thesis' central semi-supervised claim
+    (Tables 6.6-6.12: aux training on unlabeled audio/text lifts
+    low-resource ASR) as one command. All runs share the preprocessed
+    corpus; checkpoints/logs are namespaced per model."""
     out = {}
-    for model in ("m1", "m5"):
+    for model in models:
         out[model] = run(index, wav_dir, work, hours, lm_corpus, epochs,
                          lm_epochs, batch, mdl=mdl, lm_chunk=lm_chunk,
                          lm_batch=lm_batch, lm_weight=lm_weight, seed=seed,
@@ -253,18 +292,24 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
                          model=model, seed_epochs=seed_epochs,
                          seed_its=seed_its, name=model,
                          labeled_utts=labeled_utts)
-    gain = {}
-    for mode in ("greedy", "beam8", "beam8_lm"):
-        for met in ("acc", "wer", "cer"):
-            k = f"{mode}_{met}"
-            if k in out["m1"] and k in out["m5"]:
-                gain[k] = round(out["m5"][k] - out["m1"][k], 6)
-    out["gain_m5_minus_m1"] = gain
+    base = models[0]
+    for model in models[1:]:
+        gain = {}
+        for mode in ("greedy", "beam8", "beam8_lm"):
+            for met in ("acc", "wer", "cer"):
+                k = f"{mode}_{met}"
+                if k in out[base] and k in out[model]:
+                    gain[k] = round(out[model][k] - out[base][k], 6)
+        out[f"gain_{model}_minus_{base}"] = gain
     # the thesis' claim, stated as a boolean on its own primary metric:
-    # M5 beats M1 on word error under the best decode (beam + LM fusion)
-    out["semi_supervised_helps"] = bool(
-        out["m5"].get("beam8_lm_wer", 1e9) < out["m1"].get("beam8_lm_wer", -1)
-    )
+    # the best seeded model beats the baseline on word error under the
+    # best decode (beam + LM fusion)
+    seeded = [m for m in models[1:] if m in out]
+    if seeded:
+        out["semi_supervised_helps"] = bool(
+            min(out[m].get("beam8_lm_wer", 1e9) for m in seeded)
+            < out[base].get("beam8_lm_wer", -1)
+        )
     return out
 
 
@@ -364,19 +409,20 @@ def main():
     r.add_argument("--lm-weight", type=float, default=0.1)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--sr", type=int, default=16000)
-    r.add_argument("--model", choices=["m1", "m5"], default="m1",
-                   help="m1: supervised baseline; m5: TAE->SAE seed + "
-                        "fine-tune (thesis best, Table 6.12)")
+    r.add_argument("--model", choices=sorted(MODEL_STAGES), default="m1",
+                   help="thesis Table 6.5 menu — m1: supervised baseline; "
+                        "m2..m6: aux seed chain + fine-tune (m5 = TAE->SAE, "
+                        "thesis best, Table 6.12)")
     r.add_argument("--seed-epochs", type=int, default=2,
-                   help="epochs per TAE/SAE seed stage (m5)")
+                   help="epochs per aux seed stage (m2..m6)")
     r.add_argument("--seed-its", type=int, default=1,
-                   help="seed super-iterations (m5)")
+                   help="seed super-iterations (m2..m6)")
     r.add_argument("--out", default=None)
 
     s = sub.add_parser("smoke", help="synthetic Málrómur-layout end-to-end smoke")
     s.add_argument("--work", required=True)
     s.add_argument("--epochs", type=int, default=2)
-    s.add_argument("--model", choices=["m1", "m5"], default="m1")
+    s.add_argument("--model", choices=sorted(MODEL_STAGES), default="m1")
     s.add_argument("--out", default=None)
 
     c = sub.add_parser(
@@ -402,6 +448,9 @@ def main():
     c.add_argument("--sr", type=int, default=16000)
     c.add_argument("--seed-epochs", type=int, default=2)
     c.add_argument("--seed-its", type=int, default=1)
+    c.add_argument("--models", default="m1,m5",
+                   help="comma-separated MODEL_STAGES menu entries; the "
+                        "first is the gain baseline (default m1,m5)")
     c.add_argument("--size", choices=["tiny", "flagship"], default="flagship",
                    help="model size for --synthetic runs")
     c.add_argument("--max-decode-steps", type=int, default=200)
@@ -427,12 +476,17 @@ def main():
                        "decoder_state_size": 8, "feature_dim": 40}
         elif not (index and wav_dir):
             ap.error("compare needs --index/--wav-dir or --synthetic N")
+        models = tuple(m.strip() for m in args.models.split(",") if m.strip())
+        bad = [m for m in models if m not in MODEL_STAGES]
+        if bad or not models:
+            ap.error(f"--models: unknown entries {bad or args.models!r}; "
+                     f"choose from {sorted(MODEL_STAGES)}")
         result = compare(index, wav_dir, args.work, args.hours, lm_corpus,
                          args.epochs, args.lm_epochs, args.batch, mdl=mdl,
                          lm_weight=args.lm_weight, seed=args.seed, sr=sr,
                          max_decode_steps=args.max_decode_steps,
                          seed_epochs=args.seed_epochs, seed_its=args.seed_its,
-                         labeled_utts=args.labeled_utts)
+                         labeled_utts=args.labeled_utts, models=models)
     else:
         result = smoke(args.work, args.epochs, model=args.model)
     line = json.dumps(result, indent=1)

@@ -102,3 +102,30 @@ def test_make_config_m5_sections():
     m1 = make_config({k: v for k, v in paths.items()
                       if k != "unlabeled_index"}, mdl, 30, 32, 5, 200, 128)
     assert "seed_train" not in m1 and "tae" not in m1
+
+
+def test_model_menu_stage_configs():
+    """MODEL_STAGES spans the thesis Table 6.5 menu and make_config emits
+    exactly the sections each chain needs (ADV: Adadelta G/D + the TAE
+    section its TextEncoder 'real' data requires)."""
+    from benchmarks.malromur_parity import MODEL_STAGES, make_config
+
+    assert MODEL_STAGES == {"m1": None, "m2": ["tae"],
+                            "m3": ["tae", "adv"], "m4": ["tae", "adv", "sae"],
+                            "m5": ["tae", "sae"], "m6": ["tae", "sae", "adv"]}
+    paths = {"train_index": "sub.tsv", "eval_index": "eval.tsv",
+             "lm_corpus": "lm.txt", "unlabeled_index": "full.tsv"}
+    mdl = {"encoder_state_size": 256, "mlp_out_size": 128,
+           "decoder_state_size": 256, "feature_dim": 40}
+    for model, stages in MODEL_STAGES.items():
+        if stages is None:
+            continue
+        cfg = make_config(paths, mdl, 30, 32, 5, 200, 128, stages=stages)
+        assert cfg["seed_train"]["stages"] == stages
+        assert "tae" in cfg  # every chain starts with TAE
+        assert ("sae" in cfg) == ("sae" in stages)
+        assert ("adv" in cfg) == ("adv" in stages)
+        if "adv" in stages:
+            assert cfg["adv"]["G_opt"]["type"] == "Adadelta"
+            assert cfg["adv"]["train_index"] == "full.tsv"  # unlabeled pool
+            assert cfg["adv"]["mdl"] == {"hidden_dim": 256}
