@@ -454,8 +454,9 @@ class Transcriber:
 
         Default: fixed overlapping windows, merged over the acoustic
         overlap (local-agreement seam).  ``vad="energy"``: cut at
-        low-energy points instead — segments are disjoint (overlap_s
-        becomes the minimum segment length) and their transcripts join
+        low-energy points instead — segments are disjoint (overlap_s,
+        floored at window_s/10, becomes the minimum segment length) and
+        their transcripts join
         with a space, since a pause is a word boundary.  window_s ~ the
         training distribution's utterance cap (Málrómur tops out near
         20 s).  Audio shorter than one window falls through to the plain
@@ -477,8 +478,10 @@ class Transcriber:
         win = max(1, int(window_s * sr))
         ov = max(0, min(int(overlap_s * sr), win - 1))
         if vad == "energy":
+            # floor at win/10: overlap_s=0 would otherwise allow 1-sample
+            # segments, shredding silence into per-hop micro-decodes
             bounds = energy_segments(y, sr, max_window=win,
-                                     min_window=max(1, ov))
+                                     min_window=max(1, ov, win // 10))
         else:
             bounds = window_bounds(len(y), win, ov)
         if len(bounds) == 1:

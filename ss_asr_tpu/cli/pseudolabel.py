@@ -67,7 +67,7 @@ def main(argv=None):
 
     from ss_asr_tpu.api import Transcriber
     from ss_asr_tpu.data.audio import load_wav
-    from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
+    from ss_asr_tpu.ops.frontend import log_mel_fbank_ragged
     from ss_asr_tpu.vocab import normalize_string
 
     kw = {"max_steps": args.max_steps, "sr": args.sr}
@@ -85,6 +85,7 @@ def main(argv=None):
     rows = []
     n_low, n_short, n_bad = 0, 0, 0
     kept_conf = []
+    used_names = set()
     for i in range(0, len(args.inputs), args.batch):
         chunk = args.inputs[i : i + args.batch]
         # one bucketed batched frontend program per half-second bucket
@@ -106,19 +107,9 @@ def main(argv=None):
             ok_rows.append(j)
         if not sigs:
             continue
-        step = max(args.sr // 2, 1)
-        bucket = -(-max(len(s) for s in sigs) // step) * step
-        nrows = max(len(sigs), args.batch)
-        buf = np.zeros((nrows, bucket), np.float32)
-        ns = np.zeros((nrows,), np.int32)
-        for r, s in enumerate(sigs):
-            buf[r, : len(s)] = s
-            ns[r] = len(s)
-        ns[len(sigs):] = 1
-        fb, fl = log_mel_fbank_batch(buf, ns, args.sr,
-                                     n_mels=t.cfg.feature_dim)
-        fb, fl = np.asarray(fb), np.asarray(fl)
-        fbanks = [fb[r, : fl[r]] for r in range(len(sigs))]
+        fbanks = log_mel_fbank_ragged(
+            sigs, args.sr, n_mels=t.cfg.feature_dim, min_rows=args.batch
+        )
 
         hyps = t.transcribe_fbank_detailed(fbanks)
         for (h,), fbank, j in zip(hyps, fbanks, ok_rows):
@@ -130,7 +121,14 @@ def main(argv=None):
                 n_low += 1
                 continue
             stem = os.path.splitext(os.path.basename(path))[0]
-            out_path = os.path.join(fbank_dir, stem + ".npy")
+            # crawled corpora reuse stems across directories (spk1/utt001,
+            # spk2/utt001) — disambiguate instead of silently overwriting
+            name, k = stem, 1
+            while name in used_names:
+                k += 1
+                name = f"{stem}-{k}"
+            used_names.add(name)
+            out_path = os.path.join(fbank_dir, name + ".npy")
             np.save(out_path, fbank.astype(np.float32))
             clean_text, s_len = normalize_string(h.text)
             rows.append((clean_text, out_path, s_len, fbank.shape[0],

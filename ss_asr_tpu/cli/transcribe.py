@@ -75,7 +75,7 @@ def main(argv=None):
             config = yaml.safe_load(f) or {}
 
     from ss_asr_tpu.api import Transcriber
-    from ss_asr_tpu.ops.frontend import log_mel_fbank_batch
+    from ss_asr_tpu.ops.frontend import log_mel_fbank_ragged
     from ss_asr_tpu.data.audio import load_wav
 
     kw = {"max_steps": args.max_steps, "sr": args.sr}
@@ -91,7 +91,7 @@ def main(argv=None):
         """Per-chunk fbanks: .npy rows load directly; wav rows run ONE
         bucketed batched frontend call (real corpora have a distinct
         length per file, so the per-file jitted frontend would recompile
-        for every wav — log_mel_fbank_batch's frames are numerically
+        for every wav — log_mel_fbank_ragged's frames are numerically
         identical to the per-row true-length signal, and padding the
         signal buffer to a half-second grid and the row count to --batch
         bounds the compile count by the bucket count)."""
@@ -117,21 +117,11 @@ def main(argv=None):
             wav_rows.append(j)
             sigs.append(y)
         if sigs:
-            step = max(args.sr // 2, 1)
-            bucket = -(-max(len(s) for s in sigs) // step) * step
-            rows = max(len(sigs), args.batch)
-            buf = np.zeros((rows, bucket), np.float32)
-            ns = np.zeros((rows,), np.int32)
-            for r, s in enumerate(sigs):
-                buf[r, : len(s)] = s
-                ns[r] = len(s)
-            ns[len(sigs):] = 1  # padded rows: 1 sample, output discarded
-            fb, fl = log_mel_fbank_batch(
-                buf, ns, args.sr, n_mels=t.cfg.feature_dim
+            fbanks = log_mel_fbank_ragged(
+                sigs, args.sr, n_mels=t.cfg.feature_dim, min_rows=args.batch
             )
-            fb, fl = np.asarray(fb), np.asarray(fl)
-            for r, j in enumerate(wav_rows):
-                fbs[j] = fb[r, : fl[r]]
+            for f, j in zip(fbanks, wav_rows):
+                fbs[j] = f
         return fbs
 
     sink = open(args.out, "w") if args.out else sys.stdout

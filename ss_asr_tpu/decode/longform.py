@@ -75,7 +75,10 @@ def energy_segments(
     bounds: List[Tuple[int, int]] = []
     start = 0
     while n - start > max_window:
-        lo = (start + min_window) // hop
+        # ceil, so lo * hop >= start + min_window: flooring could place the
+        # cut at (or before) start when min_window < hop, and a
+        # non-advancing cut loops forever
+        lo = -((start + min_window) // -hop)
         hi = min((start + max_window) // hop, n_hops - 1)
         if hi <= lo:
             cut = start + max_window
@@ -148,6 +151,10 @@ def merge_window_texts(texts: List[str], overlap_frac: float) -> str:
     search region is that fraction of the neighbors' lengths (padded 2x
     for rate variation).
     """
+    if overlap_frac <= 0.0:
+        # disjoint windows share no audio — nothing to deduplicate, and a
+        # 1-char seam search would delete real speech at every boundary
+        return "".join(texts)
     out = ""
     for t in texts:
         # seam search region scales with the incoming WINDOW's text (the

@@ -250,6 +250,34 @@ def log_mel_fbank_batch(
     )
 
 
+def log_mel_fbank_ragged(sigs, sr, n_mels=N_DIMS, min_rows=1):
+    """Frontend over a ragged list of signals, compile-cache friendly.
+
+    Pads the signals into one ``[max(len(sigs), min_rows), bucket]`` buffer
+    on a half-second bucket grid (padded rows carry 1 sample, their output
+    is discarded) so repeated calls hit at most one cached executable per
+    (bucket, rows) shape — the shared shape discipline of the transcribe
+    and pseudolabel CLIs.  Returns a list of ``[T_i, n_mels]`` float32
+    arrays, one per input signal.
+    """
+    import numpy as np
+
+    if not sigs:
+        return []
+    step = max(sr // 2, 1)
+    bucket = -(-max(len(s) for s in sigs) // step) * step
+    nrows = max(len(sigs), min_rows)
+    buf = np.zeros((nrows, bucket), np.float32)
+    ns = np.zeros((nrows,), np.int32)
+    for r, s in enumerate(sigs):
+        buf[r, : len(s)] = s
+        ns[r] = len(s)
+    ns[len(sigs):] = 1  # padded rows: 1 sample, output discarded
+    fb, fl = log_mel_fbank_batch(buf, ns, sr, n_mels=n_mels)
+    fb, fl = np.asarray(fb), np.asarray(fl)
+    return [fb[r, : fl[r]] for r in range(len(sigs))]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_mels", "win_ms", "stride_ms", "impl",

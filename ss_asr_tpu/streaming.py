@@ -69,7 +69,9 @@ class StreamingTranscriber:
         self._t = transcriber
         self.sr = sr or transcriber.sr
         self._fe = StreamingFrontend(
-            sr=self.sr, block=max(1, int(self.sr * frontend_block_s))
+            sr=self.sr,
+            n_mels=transcriber.cfg.feature_dim,
+            block=max(1, int(self.sr * frontend_block_s)),
         )
         # frames/second of the frontend (10 ms stride => 100)
         self._fps = 1000.0 / self._fe.stride_ms

@@ -423,3 +423,27 @@ def test_pseudolabel_cli(tmp_path, rng, capsys):
     assert rc2 == 1
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["n_kept"] == 0 and s2["rejected_low_conf"] >= 1
+
+    # duplicate stems across directories (spk1/utt001.wav, spk2/utt001.wav)
+    # must not overwrite each other's fbank files
+    dup_wavs = []
+    for spk in ("spk1", "spk2"):
+        d = tmp_path / spk
+        d.mkdir()
+        p = d / "utt001.wav"
+        y = (0.2 * rng.standard_normal(6000) * 32767).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(y.tobytes())
+        dup_wavs.append(str(p))
+    outdir3 = str(tmp_path / "pseudo3")
+    rc3 = pl_cli.main([ckp, outdir3] + dup_wavs +
+                      ["--config", str(conf_path), "--sr", "8000",
+                       "--max-steps", "8", "--min-avg-logprob=-1e9",
+                       "--min-chars", "0"])
+    assert rc3 == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["n_kept"] == 2
+    with open(s3["index"], encoding="utf-8") as f:
+        fb_paths = [line.split("\t")[1] for line in f]
+    assert len(set(fb_paths)) == 2

@@ -62,6 +62,15 @@ def test_merge_window_texts_chain():
     assert merge_window_texts(["only"], 0.2) == "only"
 
 
+def test_merge_window_texts_zero_overlap_concatenates():
+    # disjoint windows (overlap 0) must concatenate unmodified — a 1-char
+    # seam search would drop the 'a' of "and" against "sofa"'s tail
+    assert merge_window_texts(["i sat on the sofa", "and slept"], 0.0) == (
+        "i sat on the sofaand slept"
+    )
+    assert merge_window_texts(["aa", "ab"], 0.0) == "aaab"
+
+
 def test_transcribe_long_plumbing(monkeypatch):
     cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
                         mlp_out_size=8, feature_dim=40)
@@ -120,6 +129,22 @@ def test_energy_segments_cut_in_silence():
 
     with pytest.raises(ValueError):
         energy_segments(y, sr, 100, 100)
+
+
+def test_energy_segments_min_window_below_hop_terminates():
+    # min_window < hop (e.g. transcribe_long with overlap_s=0 passes
+    # min_window=1): flooring the cut to a hop multiple could land it AT
+    # start and loop forever; every cut must advance by >= min_window
+    from ss_asr_tpu.decode.longform import energy_segments
+
+    sr = 8000
+    rng = np.random.RandomState(3)
+    y = 0.3 * rng.randn(4 * sr).astype(np.float32)
+    y[: sr // 2] = 1e-4  # leading near-silence pulls the argmin to index 0
+    segs = energy_segments(y, sr, max_window=sr, min_window=1)
+    assert segs[0][0] == 0 and segs[-1][1] == len(y)
+    assert all(s < e for s, e in segs)
+    assert all(segs[i][1] == segs[i + 1][0] for i in range(len(segs) - 1))
 
 
 def test_transcribe_long_vad(monkeypatch):

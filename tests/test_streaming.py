@@ -38,6 +38,27 @@ def test_energy_cut_frame():
     assert energy_cut_frame(level, 0, 1) == 0
 
 
+def test_stream_nondefault_feature_dim():
+    """The session frontend must emit cfg.feature_dim mel bands, not the
+    global default — a 48-dim model fed 40-dim frames fails at the first
+    partial() with a broadcast error."""
+    from ss_asr_tpu.streaming import StreamingTranscriber
+
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=48)
+    params = las.init_asr(jax.random.PRNGKey(0), cfg)
+    t = Transcriber(params, cfg, sr=8000, max_steps=8, t_bucket=16)
+
+    st = StreamingTranscriber(t)
+    assert st._fe.n_mels == 48
+    y = 0.3 * np.random.RandomState(4).randn(8000).astype(np.float32)
+    st.feed(y)
+    st.partial()  # would raise before the n_mels plumbing fix
+    assert st._frames.shape[1] == 48
+    out = st.finalize()
+    assert out == t.transcribe_signal(y, sr=8000)
+
+
 def test_stream_matches_oneshot_short():
     from ss_asr_tpu.streaming import StreamingTranscriber
 
