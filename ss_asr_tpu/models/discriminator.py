@@ -12,7 +12,6 @@ import dataclasses
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from ss_asr_tpu.ops import rnn
 

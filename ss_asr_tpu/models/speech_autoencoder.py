@@ -24,7 +24,7 @@ carried in a separate ``state`` pytree for eval.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ss_asr_tpu.models import las
 from ss_asr_tpu.ops import rnn

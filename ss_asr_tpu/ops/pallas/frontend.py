@@ -44,7 +44,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 #: Frames per grid cell. 512 rows keeps the frame block (~1 MB at 16 kHz)

@@ -27,7 +27,7 @@ the forward-only variant for decode/eval paths.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -4,10 +4,8 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ss_asr_tpu.data.asr_dataset import ASRDataset
@@ -15,7 +13,6 @@ from ss_asr_tpu.models import las
 from ss_asr_tpu.train import losses
 from ss_asr_tpu.train.optim import make_optimizer
 from ss_asr_tpu.train.solver import Solver
-from ss_asr_tpu.utils import checkpoint as ckpt
 from ss_asr_tpu.utils.metrics import calc_acc, calc_cer, calc_err, draw_att
 from ss_asr_tpu.utils.profiling import StepTimer
 

@@ -12,7 +12,6 @@ from ss_asr_tpu.models import charlm
 from ss_asr_tpu.train import losses
 from ss_asr_tpu.train.optim import make_optimizer
 from ss_asr_tpu.train.solver import Solver
-from ss_asr_tpu.utils import checkpoint as ckpt
 from ss_asr_tpu.vocab import Mapper, SOS_TKN
 
 

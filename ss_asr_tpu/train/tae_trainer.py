@@ -23,7 +23,6 @@ from ss_asr_tpu.models import las, text_autoencoder as tae_mod
 from ss_asr_tpu.train import losses
 from ss_asr_tpu.train.optim import make_optimizer, prefix_mask
 from ss_asr_tpu.train.solver import Solver
-from ss_asr_tpu.utils import checkpoint as ckpt
 
 #: ASR subtrees the TAE trainer updates (reference trainer.py:634-641)
 SHARED_ASR_SUBTREES = (("asr", "embed"), ("asr", "attention"), ("asr", "decoder"), ("asr", "char_trans"))

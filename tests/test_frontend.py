@@ -162,6 +162,25 @@ def test_batch_ragged_matches_true_length_signal():
         assert np.all(got[t_valid:] == 0.0)
 
 
+def test_ragged_helper_matches_one_shot():
+    """log_mel_fbank_ragged (the CLIs' shared bucketing helper) returns
+    per-signal fbanks identical to the one-shot frontend, pads the row
+    count to min_rows without leaking padded rows into the output, and
+    handles the empty list."""
+    from ss_asr_tpu.ops import frontend
+
+    rng = np.random.default_rng(1)
+    SR = 8000
+    sigs = [rng.standard_normal(n).astype(np.float32)
+            for n in (8000, 5000, 2001)]
+    out = frontend.log_mel_fbank_ragged(sigs, SR, min_rows=8)
+    assert len(out) == 3
+    for s, got in zip(sigs, out):
+        ref = np.asarray(frontend.log_mel_fbank(s, SR))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    assert frontend.log_mel_fbank_ragged([], SR) == []
+
+
 def test_streaming_frontend_matches_one_shot():
     """Chunked long-form frontend == one-shot log_mel_fbank, every sample
     rate / chunk size / odd length combination."""
