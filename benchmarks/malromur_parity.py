@@ -75,7 +75,8 @@ MODEL_STAGES = {
 def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
                 lm_epochs: int, lm_chunk: int, lm_batch: int,
                 seed_epochs: int = 2, seed_its: int = 1,
-                stages=("tae", "sae")) -> dict:
+                stages=("tae", "sae"),
+                sae_listener_lr_scale: float = 1.0) -> dict:
     """Reference-default config (conf/default.yaml schema): Adadelta 1.0 for
     the ASR, Adam 1e-4 for the char LM (SURVEY.md §2.2). When
     ``paths["unlabeled_index"]`` is present, the sections for the seed
@@ -130,6 +131,11 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
                 },
                 "t_bucket": 128, **shared,
             }
+            if sae_listener_lr_scale != 1.0:
+                # damp the listener co-update — reconstruction pressure can
+                # tanh-saturate the shared encoder and poison the downstream
+                # fine-tune (docs/GAIN_AB.json controlled experiment)
+                cfg["sae"]["listener_lr_scale"] = sae_listener_lr_scale
         if "adv" in stages:
             # reference conf/default.yaml adv section: Adadelta both sides,
             # 256-d per-timestep MLP discriminator, label smoothing 0.1
@@ -150,7 +156,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
         max_decode_steps: int = 200, model: str = "m1",
         seed_epochs: int = 2, seed_its: int = 1, name: str = "malromur",
-        labeled_utts: int | None = None) -> dict:
+        labeled_utts: int | None = None,
+        sae_listener_lr_scale: float = 1.0) -> dict:
     """``model``: any of the thesis Table 6.5 menu (MODEL_STAGES) — "m1" =
     supervised-only baseline (Tables 6.6-6.10); "m2".."m6" = the aux seed
     chain named by the thesis (TAE / ADV / SAE in the listed order) on the
@@ -224,7 +231,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
                   "decoder_state_size": 256, "feature_dim": 40}
     config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
                          lm_batch, seed_epochs=seed_epochs, seed_its=seed_its,
-                         stages=stages or ("tae", "sae"))
+                         stages=stages or ("tae", "sae"),
+                         sae_listener_lr_scale=sae_listener_lr_scale)
     paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
@@ -276,7 +284,8 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
             lm_weight: float = 0.1, seed: int = 0, sr: int = 16000,
             max_decode_steps: int = 200, seed_epochs: int = 2,
             seed_its: int = 1, labeled_utts: int | None = None,
-            models=("m1", "m5")) -> dict:
+            models=("m1", "m5"),
+            sae_listener_lr_scale: float = 1.0) -> dict:
     """Head-to-head model-menu runs (MODEL_STAGES; default M1 supervised-only
     vs M5 TAE -> SAE seed + fine-tune) on the SAME corpus, split, labeled
     budget, LM, and seed — the thesis' central semi-supervised claim
@@ -291,7 +300,8 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
                          sr=sr, max_decode_steps=max_decode_steps,
                          model=model, seed_epochs=seed_epochs,
                          seed_its=seed_its, name=model,
-                         labeled_utts=labeled_utts)
+                         labeled_utts=labeled_utts,
+                         sae_listener_lr_scale=sae_listener_lr_scale)
     base = models[0]
     for model in models[1:]:
         gain = {}
@@ -417,6 +427,10 @@ def main():
                    help="epochs per aux seed stage (m2..m6)")
     r.add_argument("--seed-its", type=int, default=1,
                    help="seed super-iterations (m2..m6)")
+    r.add_argument("--sae-listener-lr-scale", type=float, default=1.0,
+                   help="damp the SAE stage's listener co-update (1.0 = "
+                        "reference parity; <1 guards against tanh "
+                        "saturation, see docs/GAIN_AB.json)")
     r.add_argument("--out", default=None)
 
     s = sub.add_parser("smoke", help="synthetic Málrómur-layout end-to-end smoke")
@@ -448,6 +462,9 @@ def main():
     c.add_argument("--sr", type=int, default=16000)
     c.add_argument("--seed-epochs", type=int, default=2)
     c.add_argument("--seed-its", type=int, default=1)
+    c.add_argument("--sae-listener-lr-scale", type=float, default=1.0,
+                   help="damp the SAE stage's listener co-update (1.0 = "
+                        "reference parity)")
     c.add_argument("--models", default="m1,m5",
                    help="comma-separated MODEL_STAGES menu entries; the "
                         "first is the gain baseline (default m1,m5)")
@@ -462,7 +479,8 @@ def main():
                      args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
                      lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
                      model=args.model, seed_epochs=args.seed_epochs,
-                     seed_its=args.seed_its)
+                     seed_its=args.seed_its,
+                     sae_listener_lr_scale=args.sae_listener_lr_scale)
     elif args.cmd == "compare":
         index, wav_dir, lm_corpus, sr, mdl = (
             args.index, args.wav_dir, args.lm_corpus, args.sr, None)
@@ -486,7 +504,8 @@ def main():
                          lm_weight=args.lm_weight, seed=args.seed, sr=sr,
                          max_decode_steps=args.max_decode_steps,
                          seed_epochs=args.seed_epochs, seed_its=args.seed_its,
-                         labeled_utts=args.labeled_utts, models=models)
+                         labeled_utts=args.labeled_utts, models=models,
+                         sae_listener_lr_scale=args.sae_listener_lr_scale)
     else:
         result = smoke(args.work, args.epochs, model=args.model)
     line = json.dumps(result, indent=1)

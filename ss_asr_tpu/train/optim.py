@@ -14,7 +14,7 @@ the optimizer" pattern (src/trainer.py:634-641,790-794,943-951).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import optax
@@ -58,6 +58,7 @@ def make_optimizer(
     warmup_steps: int = 0,
     decay_steps: int = 0,
     end_scale: float = 0.0,
+    update_scales: Optional[Sequence[Tuple[Dict, float]]] = None,
 ) -> optax.GradientTransformation:
     """Build '<Adadelta|Adam|SGD>' with clip-and-skip-NaN semantics.
 
@@ -73,6 +74,11 @@ def make_optimizer(
     accumulation the schedule advances once per ACCUMULATED update, not per
     micro-batch (MultiSteps wraps the whole chain). ``end_scale``
     (``opt.end_scale``) sets the cosine floor as a fraction of the peak LR.
+
+    ``update_scales``: optional ``[(bool_mask_tree, factor), ...]`` — after
+    the inner update is computed, leaves selected by each mask have their
+    update multiplied by ``factor`` (0.0 freezes them). Used for damped
+    co-updates of shared subtrees (e.g. ``sae.listener_lr_scale``).
     """
     lr = make_schedule(learning_rate, warmup_steps, decay_steps, end_scale)
     t = opt_type.lower()
@@ -94,6 +100,10 @@ def make_optimizer(
         chain = optax.chain(
             optax.masked(optax.set_to_zero(), inv),
             optax.masked(chain, mask),
+        )
+    for scale_mask, factor in update_scales or ():
+        chain = optax.chain(
+            chain, optax.masked(optax.scale(float(factor)), scale_mask)
         )
     if accum_steps and int(accum_steps) > 1:
         chain = optax.MultiSteps(chain, every_k_schedule=int(accum_steps))

@@ -62,17 +62,29 @@ class SAETrainer(Solver):
 
         mask = prefix_mask(self.params, (("sae",), ("asr", "encoder")))
         c = self.config["sae"]["opt"]
+        # Optional damping of the listener co-update (sae.listener_lr_scale,
+        # default 1.0 = reference parity). Reconstruction pressure on the
+        # bounded LSTM outputs (fbank targets span ~[-14, +4] vs h in [-1, 1])
+        # can tanh-saturate the listener when the SAE stage is over-trained,
+        # which kills gradients through it and poisons downstream ASR
+        # fine-tuning — see docs/GAIN_AB.json for the controlled experiment.
+        lr_scale = float(self.config["sae"].get("listener_lr_scale", 1.0))
+        scales = None
+        if lr_scale != 1.0:
+            enc_mask = prefix_mask(self.params, (("asr", "encoder"),))
+            scales = [(enc_mask, lr_scale)]
         self.optim = make_optimizer(c["type"], c["learning_rate"], mask=mask,
                                     accum_steps=c.get("accum_steps", 1),
                                     warmup_steps=c.get("warmup_steps", 0),
                                     decay_steps=c.get("decay_steps", 0),
-                                    end_scale=c.get("end_scale", 0.0))
+                                    end_scale=c.get("end_scale", 0.0),
+                                    update_scales=scales)
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim
 
         def recon_loss(params, bn_state, x, x_lens, train):
-            listener_out, _ = las.listener_apply(params["asr"]["encoder"], x, x_lens)
+            listener_out, enc_lens = las.listener_apply(params["asr"]["encoder"], x, x_lens)
             recon, new_bn = sae_mod.sae_forward(
                 params["sae"], bn_state, sae_cfg, x, listener_out, train=train
             )
@@ -83,7 +95,17 @@ class SAETrainer(Solver):
             if pad > 0:
                 recon = jnp.pad(recon, ((0, 0), (0, pad), (0, 0)))
             t_valid = jnp.max(x_lens)
-            return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn)
+            # listener-saturation telemetry: fraction of valid encoder
+            # activations with |h| > 0.99 — the early-warning signal for the
+            # co-update poisoning the listener (tanh saturation = no gradient)
+            valid = (
+                jnp.arange(listener_out.shape[1])[None, :]
+                < jnp.maximum(enc_lens, 1)[:, None]
+            )[..., None]
+            sat = jnp.sum((jnp.abs(listener_out) > 0.99) * valid) / jnp.maximum(
+                jnp.sum(valid) * listener_out.shape[-1], 1
+            )
+            return losses.masked_smooth_l1_mean(recon, x, t_valid), (recon, new_bn, sat)
 
         if self.mesh is not None:
             assert self.n_model == 1, (
@@ -100,31 +122,32 @@ class SAETrainer(Solver):
             D = pmesh.DATA_AXIS
 
             def local_train(params, opt_state, bn_state, x, x_lens):
-                (loss, (_, new_bn)), grads = jax.value_and_grad(
+                (loss, (_, new_bn, sat)), grads = jax.value_and_grad(
                     lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
                 )(params)
                 loss = lax.pmean(loss, D)
+                sat = lax.pmean(sat, D)
                 grads = jax.tree.map(lambda g: lax.pmean(g, D), grads)
                 new_bn = jax.tree.map(lambda s: lax.pmean(s, D), new_bn)
                 updates, opt_state = optim.update(grads, opt_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
-                return params, opt_state, new_bn, loss
+                return params, opt_state, new_bn, loss, sat
 
             def local_valid(params, bn_state, x, x_lens):
-                loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
-                return lax.pmean(loss, D), recon
+                loss, (recon, _, sat) = recon_loss(params, bn_state, x, x_lens, False)
+                return lax.pmean(loss, D), recon, lax.pmean(sat, D)
 
             train_sharded = shard_map(
                 local_train, mesh=self.mesh,
                 in_specs=(P(), P(), P(), P(D), P(D)),
-                out_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
                 check_vma=False,
             )
             self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
             self._valid_step = jax.jit(shard_map(
                 local_valid, mesh=self.mesh,
                 in_specs=(P(), P(), P(D), P(D)),
-                out_specs=(P(), P(D)),
+                out_specs=(P(), P(D), P()),
                 check_vma=False,
             ))
             self.params = self.place_replicated(self.params)
@@ -134,17 +157,17 @@ class SAETrainer(Solver):
 
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
             def train_step(params, opt_state, bn_state, x, x_lens):
-                (loss, (_, new_bn)), grads = jax.value_and_grad(
+                (loss, (_, new_bn, sat)), grads = jax.value_and_grad(
                     lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
                 )(params)
                 updates, opt_state = optim.update(grads, opt_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
-                return params, opt_state, new_bn, loss
+                return params, opt_state, new_bn, loss, sat
 
             @jax.jit
             def valid_step(params, bn_state, x, x_lens):
-                loss, (recon, _) = recon_loss(params, bn_state, x, x_lens, False)
-                return loss, recon
+                loss, (recon, _, sat) = recon_loss(params, bn_state, x, x_lens, False)
+                return loss, recon, sat
 
             self._train_step = train_step
             self._valid_step = valid_step
@@ -165,7 +188,7 @@ class SAETrainer(Solver):
                     progress=True,
                 )
                 placed = self.place_batch({"x": b.x, "x_lens": b.x_lens})
-                self.params, self.opt_state, self.bn_state, loss = self._train_step(
+                self.params, self.opt_state, self.bn_state, loss, sat = self._train_step(
                     self.params,
                     self.opt_state,
                     self.bn_state,
@@ -174,6 +197,7 @@ class SAETrainer(Solver):
                 )
                 if self.tr.step % self.logging_step == 0:
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
+                    self.lg.scalar("listener_saturation", float(sat), self.tr.step)
                 if self.tr.step % self.valid_step == 0:
                     self.valid()
                 if self.tr.step % self.save_step == 0:
@@ -187,7 +211,7 @@ class SAETrainer(Solver):
         self.save_tree(path, {"params": self.params["sae"], "bn_state": self.bn_state})
 
     def valid(self):
-        avg_loss, n = 0.0, 0
+        avg_loss, avg_sat, n = 0.0, 0.0, 0
         recon = b = None
         for b_idx, b in enumerate(self.valid_ds.iter_batches(drop_last=False)):
             self.verbose(
@@ -195,12 +219,14 @@ class SAETrainer(Solver):
                 progress=True,
             )
             placed = self.place_batch({"x": b.x, "x_lens": b.x_lens})
-            loss, recon = self._valid_step(
+            loss, recon, sat = self._valid_step(
                 self.params, self.bn_state, placed["x"], placed["x_lens"]
             )
             avg_loss += float(loss)
+            avg_sat += float(sat)
             n += 1
         avg_loss /= max(n, 1)
+        avg_sat /= max(n, 1)
 
         # spectrogram reconstruction comparisons for the last batch
         if recon is not None:
@@ -211,6 +237,7 @@ class SAETrainer(Solver):
                 self.lg.image(f"encode_compare_{i}", both, self.tr.step)
 
         self.lg.scalar("eval_loss", avg_loss, self.tr.step)
+        self.lg.scalar("eval_listener_saturation", avg_sat, self.tr.step)
         if avg_loss < self.tr.get_best():
             self.tr.set_best(avg_loss)
             self.verbose(f"Best validation loss : {avg_loss:.4f} @ global step {self.tr.step}")

@@ -232,6 +232,34 @@ def test_sae_trainer_updates_listener_only(corpus, tmp_path):
     np.testing.assert_array_equal(dec_before, dec_after)  # speller frozen
 
 
+def test_sae_listener_lr_scale_zero_freezes_listener(corpus, tmp_path):
+    """sae.listener_lr_scale: 0.0 trains the SAE but leaves the ASR listener
+    untouched — the guardrail against reconstruction pressure tanh-saturating
+    the shared encoder (docs/GAIN_AB.json)."""
+    import copy
+
+    import jax
+
+    cfg = copy.deepcopy(corpus)
+    cfg["sae"]["listener_lr_scale"] = 0.0
+    paras = _paras(tmp_path, "sae_frozen_enc")
+    t = SAETrainer(cfg, paras)
+    t.load_data()
+    t.set_model()
+    enc_before = np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"]).copy()
+    sae_before = jax.tree.map(np.copy, t.params["sae"])
+    t.exec()
+    t.close()
+    enc_after = np.asarray(t.params["asr"]["encoder"]["pblstm1"]["fwd"]["w_ih"])
+    np.testing.assert_array_equal(enc_before, enc_after)  # listener frozen
+    sae_after = t.params["sae"]
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(sae_before), jax.tree.leaves(sae_after))
+    )
+    assert changed  # the SAE itself still trains
+
+
 def test_adv_trainer_runs_and_updates_G_D(corpus, tmp_path):
     paras = _paras(tmp_path, "adv")
     t = ADVTrainer(corpus, paras)
