@@ -77,6 +77,35 @@ def test_compare_gain_math():
     assert out["semi_supervised_helps"] is True
 
 
+def test_compare_helps_uses_best_operating_point():
+    """A tie in one decode mode doesn't mask a win in another: the claim
+    boolean compares each model's min WER over modes (the gain3 regime —
+    m2 tied m1 on beam8_lm but won greedy and beam8)."""
+    from benchmarks import malromur_parity as mp
+
+    fake = {
+        "m1": {"greedy_wer": 0.106, "beam8_wer": 0.087, "beam8_lm_wer": 0.087},
+        "m2": {"greedy_wer": 0.077, "beam8_wer": 0.067, "beam8_lm_wer": 0.087},
+    }
+    orig = mp.run
+    mp.run = lambda *a, **k: dict(fake[k["model"]])
+    try:
+        out = mp.compare("i", "w", "work", None, None, 1, 1, 8,
+                         models=("m1", "m2"))
+    finally:
+        mp.run = orig
+    assert out["semi_supervised_helps"] is True
+    # and a seeded model that is worse everywhere reads False
+    fake["m2"] = {k: v + 0.5 for k, v in fake["m1"].items()}
+    mp.run = lambda *a, **k: dict(fake[k["model"]])
+    try:
+        out = mp.compare("i", "w", "work", None, None, 1, 1, 8,
+                         models=("m1", "m2"))
+    finally:
+        mp.run = orig
+    assert out["semi_supervised_helps"] is False
+
+
 def test_make_config_m5_sections():
     """model=m5 plumbing: the unlabeled pool feeds TAE/SAE, the labeled
     subset feeds the fine-tune, and the seed chain is the thesis' M5
