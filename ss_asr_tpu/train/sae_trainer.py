@@ -198,6 +198,7 @@ class SAETrainer(Solver):
                 if self.tr.step % self.logging_step == 0:
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
                     self.lg.scalar("listener_saturation", float(sat), self.tr.step)
+                    self._check_saturation(float(sat))
                 if self.tr.step % self.valid_step == 0:
                     self.valid()
                 if self.tr.step % self.save_step == 0:
@@ -206,6 +207,22 @@ class SAETrainer(Solver):
                     self.save_tree(self.asrpath_out, self.params["asr"])
                     self.save_opt(self.opt_ckppath, self.opt_state)
                 self.tr.do_step()
+
+    def _check_saturation(self, sat: float) -> None:
+        """One-shot warning when the co-updated listener is saturating —
+        past this point downstream ASR fine-tuning degrades sharply
+        (docs/GAIN_AB.json). Threshold via sae.saturation_warn (default
+        0.005 = ~5x the healthy-training ceiling measured there)."""
+        threshold = float(self.config["sae"].get("saturation_warn", 0.005))
+        if sat > threshold and not getattr(self, "saturation_warned", False):
+            self.saturation_warned = True
+            self.verbose(
+                f"WARNING: listener saturation {sat:.4f} exceeds "
+                f"{threshold} — the SAE co-update is pushing the shared "
+                "listener into tanh saturation, which poisons downstream "
+                "ASR fine-tuning. Consider sae.listener_lr_scale < 1 "
+                "(docs/GAIN_AB.json)"
+            )
 
     def _save_sae(self, path):
         self.save_tree(path, {"params": self.params["sae"], "bn_state": self.bn_state})

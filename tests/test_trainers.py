@@ -260,6 +260,22 @@ def test_sae_listener_lr_scale_zero_freezes_listener(corpus, tmp_path):
     assert changed  # the SAE itself still trains
 
 
+def test_sae_saturation_warning_fires_on_threshold(corpus, tmp_path):
+    """sae.saturation_warn: 0.0 (any saturation) fires the one-shot
+    warning; the default threshold stays quiet on a fresh tiny model."""
+    import copy
+
+    cfg = copy.deepcopy(corpus)
+    cfg["sae"]["saturation_warn"] = -1.0  # always fires
+    paras = _paras(tmp_path, "sae_satwarn")
+    t = SAETrainer(cfg, paras)
+    t.load_data()
+    t.set_model()
+    t.exec()
+    t.close()
+    assert getattr(t, "saturation_warned", False)
+
+
 def test_adv_trainer_runs_and_updates_G_D(corpus, tmp_path):
     paras = _paras(tmp_path, "adv")
     t = ADVTrainer(corpus, paras)
