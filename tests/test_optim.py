@@ -149,3 +149,27 @@ def test_warmup_schedule_ramps_and_decays():
     np.testing.assert_array_equal(np.asarray(up0["w"]), 0.0)  # step 0 of warmup
     up1, st = opt.update(g, st, params)
     assert abs(float(up1["w"][0])) > 0.0
+
+
+def test_update_scales_damps_masked_subtree():
+    """update_scales=[(mask, f)] multiplies only the masked leaves' updates:
+    factor 0.5 exactly halves them, 0.0 freezes them (the SAE
+    listener_lr_scale mechanism)."""
+    params = {"enc": jnp.zeros((3,)), "dec": jnp.zeros((3,))}
+    g = {"enc": jnp.ones((3,)) * 0.1, "dec": jnp.ones((3,)) * 0.1}
+    mask = {"enc": True, "dec": False}
+
+    plain = make_optimizer("SGD", 1.0)
+    st = plain.init(params)
+    up_plain, _ = plain.update(g, st, params)
+
+    for factor in (0.5, 0.0):
+        damped = make_optimizer("SGD", 1.0, update_scales=[(mask, factor)])
+        st = damped.init(params)
+        up, _ = damped.update(g, st, params)
+        np.testing.assert_allclose(
+            np.asarray(up["enc"]), np.asarray(up_plain["enc"]) * factor, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(up["dec"]), np.asarray(up_plain["dec"]), rtol=1e-6
+        )
