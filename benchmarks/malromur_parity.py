@@ -414,6 +414,8 @@ def main():
     r.add_argument("--work", required=True)
     r.add_argument("--hours", type=float, default=None,
                    help="low-resource subset (2.5 / 5 / 10, thesis Table 6.12)")
+    r.add_argument("--labeled-utts", type=int, default=None,
+                   help="count-based labeled budget (synthetic regimes)")
     r.add_argument("--lm-corpus", default=None,
                    help="plain-text LM corpus (Risamálheild); default: train transcripts")
     r.add_argument("--epochs", type=int, default=30)
@@ -482,7 +484,7 @@ def main():
                      args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
                      lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
                      model=args.model, seed_epochs=args.seed_epochs,
-                     seed_its=args.seed_its,
+                     seed_its=args.seed_its, labeled_utts=args.labeled_utts,
                      sae_listener_lr_scale=args.sae_listener_lr_scale)
     elif args.cmd == "compare":
         index, wav_dir, lm_corpus, sr, mdl = (
