@@ -37,8 +37,11 @@ import argparse
 import json
 import os
 import shutil
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def infer_mdl(asr_ckpt: str) -> dict:
@@ -85,35 +88,34 @@ def make_saturation_probe(train_index: str, n: int = 32):
 
 
 def rerun_sae_damped(work: str, out_dir: str, scale: float,
-                     epochs: int, mdl: dict) -> str:
+                     epochs: int, mdl: dict, batch: int) -> str:
     """Re-run the SAE stage from the recorded asr_1 with a damped listener
-    co-update; returns the resulting ASR checkpoint path."""
+    co-update; returns the resulting ASR checkpoint path. The SAE config is
+    built by malromur_parity.make_config itself, so the ONLY difference
+    from the reference-parity asr_2 is listener_lr_scale."""
+    from benchmarks.malromur_parity import make_config
     from ss_asr_tpu.train import SAETrainer, make_paras
 
-    ck = os.path.join(out_dir, "sae", "ck", "sae_damped")
+    stage_dir = os.path.join(out_dir, "sae")
+    if os.path.exists(stage_dir):  # stale state would resume, not re-run
+        shutil.rmtree(stage_dir)
+    ck = os.path.join(stage_dir, "ck", "sae_damped")
     os.makedirs(ck, exist_ok=True)
     asr_in = os.path.join(ck, "asr_in.npz")
     shutil.copyfile(os.path.join(work, "result", "m5", "asr_1.npz"), asr_in)
-    # same size rules as malromur_parity.make_config
-    fk = min(36, mdl["feature_dim"] - 2)
-    H = mdl["encoder_state_size"]
-    cfg = {
-        "asr": {"mdl": mdl},
-        "sae": {
-            "opt": {"type": "Adam", "learning_rate": 1e-4},
-            "mdl": {"kernel_sizes": [[1, fk], [5, 1], [3, 1]],
-                    "num_filters": [32, 64, 256] if H >= 64 else [4, 8, 16],
-                    "pool_kernel_sizes": [[3, 1], [5, 1], [2000, 40]]},
-            "train_index": os.path.join(work, "processed", "train.tsv"),
-            "valid_index": os.path.join(work, "processed", "eval.tsv"),
-            "t_bucket": 128, "train_batch_size": 32,
-            "n_epochs": epochs, "valid_step": 10**9, "save_step": 10**9,
-            "logging_step": 250, "listener_lr_scale": scale,
-        },
-    }
+    proc = os.path.join(work, "processed")
+    paths = {"train_index": os.path.join(proc, "train.tsv"),
+             "eval_index": os.path.join(proc, "eval.tsv"),
+             "unlabeled_index": os.path.join(proc, "train.tsv"),
+             "lm_corpus": os.path.join(proc, "train.tsv")}  # unused here
+    cfg = make_config(paths, mdl, epochs=1, batch=batch, lm_epochs=1,
+                      lm_chunk=200, lm_batch=128, seed_epochs=epochs,
+                      stages=("tae", "sae"), sae_listener_lr_scale=scale)
+    cfg = {"asr": {"mdl": mdl}, "sae": cfg["sae"]}
+    cfg["sae"]["listener_lr_scale"] = scale  # explicit even at scale 1.0
     paras = make_paras(name="sae_damped",
-                       logdir=os.path.join(out_dir, "sae", "log"),
-                       ckpdir=os.path.join(out_dir, "sae", "ck"), seed=0)
+                       logdir=os.path.join(stage_dir, "log"),
+                       ckpdir=os.path.join(stage_dir, "ck"), seed=0)
     t = SAETrainer(cfg, paras)
     t.load_data()
     asr_out = os.path.join(ck, "asr_2_damped.npz")
@@ -125,11 +127,15 @@ def rerun_sae_damped(work: str, out_dir: str, scale: float,
 
 def finetune_arm(work: str, out_dir: str, name: str, init_path, seed: int,
                  epochs: int, labeled_index: str, mdl: dict,
-                 max_decode_steps: int) -> dict:
+                 max_decode_steps: int, batch: int) -> dict:
     from benchmarks.quality_protocol import eval_decode_modes
     from ss_asr_tpu.train import ASRTrainer, make_paras
 
     arm = os.path.join(out_dir, f"{name}_s{seed}")
+    if os.path.exists(arm):
+        # a stale arm dir would RESUME (trained ckpt + optimizer state +
+        # tracker step), silently corrupting the controlled experiment
+        shutil.rmtree(arm)
     ck = os.path.join(arm, "ck", f"{name}_s{seed}")
     os.makedirs(ck, exist_ok=True)
     if init_path is not None:
@@ -143,10 +149,10 @@ def finetune_arm(work: str, out_dir: str, name: str, init_path, seed: int,
     config = {
         "asr": {
             "train_index": labeled_index, "valid_index": eval_index,
-            "test_index": eval_index, "mdl": mdl,
+            "test_index": eval_index, "mdl": {**mdl, "tf_rate": 0.9},
             "opt": {"type": "adadelta", "learning_rate": 1.0},
-            "train_batch_size": 32, "valid_batch_size": 32,
-            "n_epochs": epochs, "tf_rate": 0.9,
+            "train_batch_size": batch, "valid_batch_size": batch,
+            "n_epochs": epochs,
             "logging_step": 250, "valid_step": 2000, "save_step": 10**9,
         },
         "char_lm": {"mdl": lm_mdl, "opt": {}},
@@ -156,14 +162,17 @@ def finetune_arm(work: str, out_dir: str, name: str, init_path, seed: int,
     t = ASRTrainer(config, paras)
     t.load_data(); t.set_model(); t.exec(); t.close()
     r = eval_decode_modes(config, paras, 0.2, max_steps=max_decode_steps)
-    return {"metrics": {k: r[k] for k in ("greedy_wer", "greedy_acc", "greedy_cer")},
+    # keep every decode mode's metrics — the beam passes already ran
+    metrics = {k: v for k, v in r.items()
+               if k.endswith(("_wer", "_acc", "_cer"))}
+    return {"metrics": metrics,
             "final_ckpt": os.path.join(ck, "asr.npz")}
 
 
 def run_ab(work: str, out_dir: str, seeds=(0, 1, 2), epochs: int = 250,
            damped_scale: float = 0.1, sae_epochs: int = 6,
            labeled_index: str | None = None,
-           max_decode_steps: int = 60) -> dict:
+           max_decode_steps: int = 60, batch: int = 32) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     labeled_index = labeled_index or _find_labeled_index(work)
     probe = make_saturation_probe(labeled_index)
@@ -173,7 +182,8 @@ def run_ab(work: str, out_dir: str, seeds=(0, 1, 2), epochs: int = 250,
     asr1 = os.path.join(work, "result", "m5", "asr_1.npz")
     asr2 = os.path.join(work, "result", "m5", "asr_2.npz")
     mdl = infer_mdl(asr1)
-    asr2d = rerun_sae_damped(work, out_dir, damped_scale, sae_epochs, mdl)
+    asr2d = rerun_sae_damped(work, out_dir, damped_scale, sae_epochs, mdl,
+                             batch)
 
     results = {"init_saturation": {
         "postTAE": probe(load_pytree(asr1)),
@@ -184,7 +194,7 @@ def run_ab(work: str, out_dir: str, seeds=(0, 1, 2), epochs: int = 250,
                        ("postSAE", asr2), ("postSAEdamped", asr2d)):
         for seed in seeds:
             r = finetune_arm(work, out_dir, name, init, seed, epochs,
-                             labeled_index, mdl, max_decode_steps)
+                             labeled_index, mdl, max_decode_steps, batch)
             r["final_saturation"] = probe(load_pytree(r["final_ckpt"]))
             del r["final_ckpt"]
             results[f"{name}_s{seed}"] = r
@@ -212,13 +222,15 @@ def main():
     ap.add_argument("--sae-epochs", type=int, default=6)
     ap.add_argument("--damped-scale", type=float, default=0.1)
     ap.add_argument("--max-decode-steps", type=int, default=60)
+    ap.add_argument("--batch", type=int, default=32,
+                    help="match the producing compare run's --batch")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out_dir = args.out_dir or os.path.join(args.work, "sae_ab")
     seeds = tuple(int(s) for s in args.seeds.split(","))
     results = run_ab(args.work, out_dir, seeds=seeds, epochs=args.epochs,
                      damped_scale=args.damped_scale, sae_epochs=args.sae_epochs,
-                     max_decode_steps=args.max_decode_steps)
+                     max_decode_steps=args.max_decode_steps, batch=args.batch)
     line = json.dumps(results, indent=1)
     print(line)
     if args.out:
