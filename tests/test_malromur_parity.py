@@ -158,3 +158,20 @@ def test_model_menu_stage_configs():
             assert cfg["adv"]["G_opt"]["type"] == "Adadelta"
             assert cfg["adv"]["train_index"] == "full.tsv"  # unlabeled pool
             assert cfg["adv"]["mdl"] == {"hidden_dim": 256}
+
+
+def test_sae_ab_infer_mdl_roundtrip(tmp_path):
+    """sae_poisoning_ab.infer_mdl recovers the exact ASRConfig sizes from a
+    saved checkpoint's shapes."""
+    import jax
+
+    from benchmarks.sae_poisoning_ab import infer_mdl
+    from ss_asr_tpu.models.las import ASRConfig, init_asr
+    from ss_asr_tpu.utils.checkpoint import save_pytree
+
+    mdl = {"encoder_state_size": 12, "mlp_out_size": 6,
+           "decoder_state_size": 10, "feature_dim": 8}
+    params = init_asr(jax.random.PRNGKey(0), ASRConfig.from_dict(mdl))
+    p = str(tmp_path / "asr.npz")
+    save_pytree(p, params)
+    assert infer_mdl(p) == mdl
