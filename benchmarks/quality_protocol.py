@@ -169,7 +169,8 @@ def make_config(paths: dict, size: str, epochs: int, batch: int,
 
 def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                       max_steps: int = 60, lm_sweep=None,
-                      rescore: bool = False) -> dict:
+                      rescore: bool = False,
+                      decode_modes=("greedy", "beam", "beam_lm")) -> dict:
     """Decode the eval set three ways; reports CER + the thesis' actual
     metrics (word error and char accuracy, src/postprocess.py:7-50 / Tables
     6.6-6.12) per decode mode.
@@ -182,7 +183,10 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     n-best decode, then ``decode.rescore`` re-ranks under every sweep
     weight (one LM pass total).  Reported as ``rescore@w`` modes + a
     ``rescore_sweep`` table, so one-pass (search-steered) and two-pass
-    (n-best-restricted) fusion are directly comparable on the same model."""
+    (n-best-restricted) fusion are directly comparable on the same model.
+
+    ``decode_modes``: subset of {"greedy", "beam", "beam_lm"} — quick
+    experiments can skip the expensive beam passes (e.g. ("greedy",))."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -200,10 +204,12 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     ckpdir = os.path.join(paras.ckpdir, paras.name)
     cfg = las.ASRConfig.from_dict(c["mdl"])
     params = jax.tree.map(jnp.asarray, ckpt.load_pytree(os.path.join(ckpdir, "asr.npz")))
-    lm_cfg = charlm.CharLMConfig.from_dict(config["char_lm"]["mdl"])
-    lm_params = jax.tree.map(
-        jnp.asarray, ckpt.load_pytree(os.path.join(ckpdir, "char_lm.npz"))
-    )
+    lm_cfg = lm_params = None
+    if rescore or "beam_lm" in decode_modes:  # greedy/beam-only needs no LM
+        lm_cfg = charlm.CharLMConfig.from_dict(config["char_lm"]["mdl"])
+        lm_params = jax.tree.map(
+            jnp.asarray, ckpt.load_pytree(os.path.join(ckpdir, "char_lm.npz"))
+        )
 
     # one big bucket -> one padded shape -> exactly one XLA compile per
     # decode mode (remote compiles are the dominant cost of this protocol)
@@ -212,20 +218,22 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
     mapper = ds.mapper
 
     weights = [lm_weight] + [w for w in (lm_sweep or []) if w != lm_weight]
-    modes = {
-        "greedy": lambda x, xl: greedy_decode(params, cfg, x, xl, max_steps),
-        f"beam{beam}": lambda x, xl: beam_decode(
+    modes = {}
+    if "greedy" in decode_modes:
+        modes["greedy"] = lambda x, xl: greedy_decode(params, cfg, x, xl, max_steps)
+    if "beam" in decode_modes:
+        modes[f"beam{beam}"] = lambda x, xl: beam_decode(
             params, cfg, x, xl, beam_size=beam, max_steps=max_steps
-        ),
-    }
-    for w in weights:
-        name = f"beam{beam}_lm" if w == lm_weight else f"beam{beam}_lm@{w:g}"
-        modes[name] = (
-            lambda w: lambda x, xl: beam_decode(
-                params, cfg, x, xl, beam_size=beam, max_steps=max_steps,
-                lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=w,
-            )
-        )(w)
+        )
+    if "beam_lm" in decode_modes:
+        for w in weights:
+            name = f"beam{beam}_lm" if w == lm_weight else f"beam{beam}_lm@{w:g}"
+            modes[name] = (
+                lambda w: lambda x, xl: beam_decode(
+                    params, cfg, x, xl, beam_size=beam, max_steps=max_steps,
+                    lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=w,
+                )
+            )(w)
     rescore_modes = [f"rescore@{w:g}" for w in sorted(weights)] if rescore else []
     all_modes = list(modes) + rescore_modes
     errs = {m: 0 for m in all_modes}
@@ -281,7 +289,7 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                 for met in ("cer", "wer", "acc")}}
             for w in sorted(weights)
         ]
-    if len(weights) > 1:
+    if len(weights) > 1 and {"greedy", "beam", "beam_lm"} <= set(decode_modes):
         out["lm_weight_sweep"] = [
             {
                 "lm_weight": w,
