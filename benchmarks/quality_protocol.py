@@ -316,7 +316,8 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         lm_weight: float, batch: int = 8, homophones: bool = False,
         opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
         mixed: bool = False, lm_sweep=None, augment: dict | None = None,
-        rescore: bool = False) -> dict:
+        rescore: bool = False,
+        decode_modes=("greedy", "beam", "beam_lm")) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
 
     os.makedirs(work, exist_ok=True)
@@ -330,11 +331,12 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
     t = ASRTrainer(config, paras)
     t.load_data(); t.set_model(); t.exec(); t.close()
 
-    lm = CHARLMTrainer(config, paras)
-    lm.load_data(); lm.set_model(); lm.exec(); lm.close()
+    if rescore or "beam_lm" in decode_modes:  # greedy/beam-only: skip LM train
+        lm = CHARLMTrainer(config, paras)
+        lm.load_data(); lm.set_model(); lm.exec(); lm.close()
 
     result = eval_decode_modes(config, paras, lm_weight, lm_sweep=lm_sweep,
-                               rescore=rescore)
+                               rescore=rescore, decode_modes=decode_modes)
     import jax
 
     result["platform"] = jax.devices()[0].platform
@@ -342,7 +344,8 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
                         "seed": seed, "lm_weight": lm_weight,
                         "homophones": homophones, "opt": opt, "lr": lr,
                         "heldout": heldout, "mixed": mixed, "augment": augment,
-                        "rescore": rescore}
+                        "rescore": rescore,
+                        "decode_modes": list(decode_modes)}
     return result
 
 
@@ -380,15 +383,28 @@ def main():
                     help="also evaluate two-pass fusion: one fusion-free "
                          "n-best decode + decode.rescore at every sweep "
                          "weight (reported as rescore@w / rescore_sweep)")
+    ap.add_argument("--modes", default="greedy,beam,beam_lm",
+                    help="comma-separated decode modes to run (subset of "
+                         "greedy,beam,beam_lm) — e.g. '--modes greedy' for a "
+                         "quick pass that skips beam search AND LM training")
     args = ap.parse_args()
 
+    modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
+    bad = set(modes) - {"greedy", "beam", "beam_lm"}
+    if bad:
+        ap.error(f"unknown --modes entries: {sorted(bad)}")
     sweep = [float(w) for w in args.lm_sweep.split(",")] if args.lm_sweep else None
     augment = json.loads(args.augment) if args.augment else None
-    result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
-                 args.lm_weight, homophones=args.homophones,
-                 opt=args.opt, lr=args.lr, heldout=args.heldout,
-                 mixed=args.mixed, lm_sweep=sweep, augment=augment,
-                 rescore=args.rescore)
+    # corpus-builder/trainer chatter goes to stderr; stdout carries only the
+    # JSON table so `... | python -c 'json.load(sys.stdin)'` pipelines work
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        result = run(args.work, args.size, args.n_utts, args.epochs, args.seed,
+                     args.lm_weight, homophones=args.homophones,
+                     opt=args.opt, lr=args.lr, heldout=args.heldout,
+                     mixed=args.mixed, lm_sweep=sweep, augment=augment,
+                     rescore=args.rescore, decode_modes=modes)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:
