@@ -56,6 +56,25 @@ def test_sort_and_split(tiny_corpus, tmp_path):
     assert len(tr) + len(ev) == 10
 
 
+def test_subset_by_t(tiny_corpus, tmp_path):
+    """Low-resource subsetting (the parity harness' 2.5/5/10-hour
+    conditions): ~t seconds at avg_utt_s per row, deterministic by seed."""
+    from ss_asr_tpu.data.index import subset_by_t
+
+    out = str(tmp_path / "sub.tsv")
+    subset_by_t(3 * 4.5, tiny_corpus, out, seed=0)
+    sub = load_index(out)
+    assert len(sub) == 3
+    full_texts = set(load_index(tiny_corpus)["normalized_text"])
+    assert set(sub["normalized_text"]) <= full_texts
+    # deterministic: same seed -> same sample
+    subset_by_t(3 * 4.5, tiny_corpus, out, seed=0)
+    assert list(load_index(out)["normalized_text"]) == list(sub["normalized_text"])
+    # asking for >= the whole corpus is a usage error, not silent truncation
+    with pytest.raises(AssertionError):
+        subset_by_t(100 * 4.5, tiny_corpus, out, seed=0)
+
+
 def test_asr_batches_bucketed(tiny_corpus):
     ds = ASRDataset(tiny_corpus, batch_size=4, t_bucket=32, l_bucket=8)
     batches = list(ds.iter_batches(prefetch=0))
