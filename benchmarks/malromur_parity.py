@@ -98,7 +98,7 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
         },
         "char_lm": {
             "opt": {"type": "Adam", "learning_rate": 1e-4},
-            "mdl": {"hidden_size": 128, "embedding_size": 128, "tf_rate": 0.9},
+            "mdl": {"hidden_size": 128, "tf_rate": 0.9},
             "train_index": paths["lm_corpus"],
             "chunk_size": lm_chunk, "train_batch_size": lm_batch,
             "n_epochs": lm_epochs, "valid_step": 10**9,
@@ -157,7 +157,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         max_decode_steps: int = 200, model: str = "m1",
         seed_epochs: int = 2, seed_its: int = 1, name: str = "malromur",
         labeled_utts: int | None = None,
-        sae_listener_lr_scale: float = 1.0) -> dict:
+        sae_listener_lr_scale: float = 1.0,
+        reuse_lm: str | None = None) -> dict:
     """``model``: any of the thesis Table 6.5 menu (MODEL_STAGES) — "m1" =
     supervised-only baseline (Tables 6.6-6.10); "m2".."m6" = the aux seed
     chain named by the thesis (TAE / ADV / SAE in the listed order) on the
@@ -167,7 +168,9 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     ``name`` namespaces checkpoints/logs (``compare`` runs m1 and m5 over
     the same preprocessed corpus). ``labeled_utts`` is a count-based
     low-resource subset — the synthetic gain experiment's analogue of the
-    thesis' ``hours`` budget (tone utterances are seconds long)."""
+    thesis' ``hours`` budget (tone utterances are seconds long).
+    ``reuse_lm`` copies an already-trained char-LM checkpoint in instead of
+    retraining (``compare`` trains it once — same corpus/config/seed)."""
     from ss_asr_tpu.cli.preprocess import preprocess_malromur
     from ss_asr_tpu.data.index import load_index, make_split, subset_by_t
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
@@ -182,10 +185,24 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     processed = os.path.join(work, "processed")
 
     # 1. preprocess (filters classification == 'correct', computes fbanks on
-    #    device, writes the length-sorted index.tsv)
+    #    device, writes the length-sorted index.tsv). The cache is keyed on
+    #    the SOURCE corpus (path, sr, index mtime/size), not bare existence —
+    #    reusing a --work dir with a different corpus must re-preprocess,
+    #    not silently train on stale features.
     idx_path = os.path.join(processed, "index.tsv")
-    if not os.path.exists(idx_path):
+    marker_path = os.path.join(processed, ".source.json")
+    source = {"index": os.path.abspath(index),
+              "wav_dir": os.path.abspath(wav_dir), "sr": sr,
+              "index_mtime": os.path.getmtime(index),
+              "index_size": os.path.getsize(index)}
+    cached = None
+    if os.path.exists(marker_path):
+        with open(marker_path, encoding="utf-8") as f:
+            cached = json.load(f)
+    if not (os.path.exists(idx_path) and cached == source):
         idx_path = preprocess_malromur(index, wav_dir, processed, sr=sr)
+        with open(marker_path, "w", encoding="utf-8") as f:
+            json.dump(source, f)
     n_total = len(load_index(idx_path))
 
     # 2. split; optional low-resource subset of the TRAIN side only (the
@@ -236,19 +253,28 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
-    # 4. train
-    lm = CHARLMTrainer(config, paras)
-    lm.load_data(); lm.set_model(); lm.exec(); lm.close()
+    # 4. train — from a CLEAN checkpoint dir: a reused --work must not
+    #    silently resume from a previous run's fine-tuned asr.npz/optimizer
+    #    state (that would, e.g., give a rerun m1 twice the supervised
+    #    budget of its freshly-seeded m5 rival and bias the comparison)
+    import shutil
+
+    ckpdir = os.path.join(paras.ckpdir, paras.name)
+    shutil.rmtree(ckpdir, ignore_errors=True)
+
+    if reuse_lm is not None:
+        os.makedirs(ckpdir, exist_ok=True)
+        shutil.copyfile(reuse_lm, os.path.join(ckpdir, "char_lm.npz"))
+    else:
+        lm = CHARLMTrainer(config, paras)
+        lm.load_data(); lm.set_model(); lm.exec(); lm.close()
     if stages:
         # aux seed chain (thesis Table 6.5 recipe for this model), then
         # hand the seeded ASR to the supervised fine-tune as its
         # pretrained checkpoint
-        import shutil
-
         from ss_asr_tpu.train import asr_seed_train
 
         asr_seed_train(config, paras)
-        ckpdir = os.path.join(paras.ckpdir, paras.name)
         n_outs = sum(1 for s in config["seed_train"]["stages"] if s != "tae")
         seeded = os.path.join(ckpdir, f"asr_{1 + n_outs}.npz")
         shutil.copyfile(seeded, os.path.join(ckpdir, "asr.npz"))
@@ -260,10 +286,17 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     result = eval_decode_modes(config, paras, lm_weight,
                                max_steps=max_decode_steps)
 
-    # 6. attach the thesis row this run should be compared against
-    cond = str(hours) if hours else "full"
-    cond = {"2.5": "2.5", "5.0": "5", "5": "5", "10.0": "10", "10": "10"}.get(cond, cond)
-    result["thesis_target"] = THESIS_TARGETS.get(cond, THESIS_TARGETS["full"])
+    # 6. attach the thesis row this run should be compared against; a
+    #    condition the thesis never ran (e.g. --hours 7.5, or a count-based
+    #    --labeled-utts budget) gets NO target rather than a mislabeled one
+    if hours:
+        cond = {"2.5": "2.5", "5.0": "5", "5": "5",
+                "10.0": "10", "10": "10"}.get(str(hours), str(hours))
+    elif labeled_utts:
+        cond = f"{labeled_utts}u"
+    else:
+        cond = "full"
+    result["thesis_target"] = THESIS_TARGETS.get(cond)
     result["condition"] = cond
     result["n_corpus_utts"] = n_total
     result["config"] = {"hours": hours, "labeled_utts": labeled_utts,
@@ -291,8 +324,13 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
     budget, LM, and seed — the thesis' central semi-supervised claim
     (Tables 6.6-6.12: aux training on unlabeled audio/text lifts
     low-resource ASR) as one command. All runs share the preprocessed
-    corpus; checkpoints/logs are namespaced per model."""
+    corpus AND the char LM (trained once — identical corpus/config/seed);
+    checkpoints/logs are namespaced per model."""
+    if len(set(models)) != len(models):
+        raise ValueError(f"duplicate model entries in {models!r}: each menu "
+                         "entry owns one checkpoint namespace")
     out = {}
+    reuse_lm = None
     for model in models:
         out[model] = run(index, wav_dir, work, hours, lm_corpus, epochs,
                          lm_epochs, batch, mdl=mdl, lm_chunk=lm_chunk,
@@ -301,7 +339,9 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
                          model=model, seed_epochs=seed_epochs,
                          seed_its=seed_its, name=model,
                          labeled_utts=labeled_utts,
-                         sae_listener_lr_scale=sae_listener_lr_scale)
+                         sae_listener_lr_scale=sae_listener_lr_scale,
+                         reuse_lm=reuse_lm)
+        reuse_lm = os.path.join(work, "result", model, "char_lm.npz")
     base = models[0]
     for model in models[1:]:
         gain = {}
@@ -479,46 +519,60 @@ def main():
     c.add_argument("--out", default=None)
 
     args = ap.parse_args()
+    # trainer/preprocess chatter goes to stderr; stdout carries only the
+    # JSON table (same contract as quality_protocol.py)
+    import contextlib
+
+    stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        result = _dispatch(ap, args)
+    line = json.dumps(result, indent=1)
+    print(line, file=stdout)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+def _dispatch(ap, args):
     if args.cmd == "run":
-        result = run(args.index, args.wav_dir, args.work, args.hours,
-                     args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
-                     lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
-                     model=args.model, seed_epochs=args.seed_epochs,
-                     seed_its=args.seed_its, labeled_utts=args.labeled_utts,
-                     sae_listener_lr_scale=args.sae_listener_lr_scale)
-    elif args.cmd == "compare":
-        index, wav_dir, lm_corpus, sr, mdl = (
-            args.index, args.wav_dir, args.lm_corpus, args.sr, None)
+        return run(args.index, args.wav_dir, args.work, args.hours,
+                   args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
+                   lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
+                   model=args.model, seed_epochs=args.seed_epochs,
+                   seed_its=args.seed_its, labeled_utts=args.labeled_utts,
+                   sae_listener_lr_scale=args.sae_listener_lr_scale)
+    if args.cmd == "compare":
+        index, wav_dir, lm_corpus, sr = (
+            args.index, args.wav_dir, args.lm_corpus, args.sr)
         if args.synthetic:
             os.makedirs(args.work, exist_ok=True)
             index, wav_dir, lm_corpus, _ = build_gain_corpus(
                 args.work, args.synthetic, seed=args.seed)
             sr = 8000
-            if args.size == "tiny":
-                mdl = {"encoder_state_size": 8, "mlp_out_size": 8,
-                       "decoder_state_size": 8, "feature_dim": 40}
         elif not (index and wav_dir):
             ap.error("compare needs --index/--wav-dir or --synthetic N")
+        # --size applies to real corpora too (quick pipeline checks);
+        # flagship = run()'s default thesis-scale model
+        mdl = None
+        if args.size == "tiny":
+            mdl = {"encoder_state_size": 8, "mlp_out_size": 8,
+                   "decoder_state_size": 8, "feature_dim": 40}
         models = tuple(m.strip() for m in args.models.split(",") if m.strip())
         bad = [m for m in models if m not in MODEL_STAGES]
         if bad or not models:
             ap.error(f"--models: unknown entries {bad or args.models!r}; "
                      f"choose from {sorted(MODEL_STAGES)}")
-        result = compare(index, wav_dir, args.work, args.hours, lm_corpus,
-                         args.epochs, args.lm_epochs, args.batch, mdl=mdl,
-                         lm_weight=args.lm_weight, seed=args.seed, sr=sr,
-                         max_decode_steps=args.max_decode_steps,
-                         seed_epochs=args.seed_epochs, seed_its=args.seed_its,
-                         labeled_utts=args.labeled_utts, models=models,
-                         sae_listener_lr_scale=args.sae_listener_lr_scale)
-    else:
-        result = smoke(args.work, args.epochs, model=args.model)
-    line = json.dumps(result, indent=1)
-    print(line)
-    if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            f.write(line + "\n")
+        if len(set(models)) != len(models):
+            ap.error(f"--models: duplicate entries in {args.models!r}")
+        return compare(index, wav_dir, args.work, args.hours, lm_corpus,
+                       args.epochs, args.lm_epochs, args.batch, mdl=mdl,
+                       lm_weight=args.lm_weight, seed=args.seed, sr=sr,
+                       max_decode_steps=args.max_decode_steps,
+                       seed_epochs=args.seed_epochs, seed_its=args.seed_its,
+                       labeled_utts=args.labeled_utts, models=models,
+                       sae_listener_lr_scale=args.sae_listener_lr_scale)
+    return smoke(args.work, args.epochs, model=args.model)
 
 
 if __name__ == "__main__":

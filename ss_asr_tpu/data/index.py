@@ -72,9 +72,18 @@ def sort_index(
 def subset_by_t(
     t: float, index: str, out_index: str, avg_utt_s: float = 4.5, seed: Optional[int] = None
 ) -> None:
-    """Sample a subset totalling ~t seconds of speech (low-resource setups)."""
+    """Sample a subset totalling ~t seconds of speech (low-resource setups).
+
+    The budget is realized as a COUNT, ``int(t / avg_utt_s)`` rows — the
+    reference's approximation (src/preprocess.py subset_by_t); tune
+    ``avg_utt_s`` to the corpus' post-filter mean duration if the realized
+    hours must be exact."""
     df = load_index(index)
     num = int(t / avg_utt_s)
-    assert num < len(df)
+    if num >= len(df):
+        raise ValueError(
+            f"subset_by_t: {t:.0f}s at avg {avg_utt_s}s/utt needs {num} rows "
+            f"but {index} holds only {len(df)} — the requested budget is the "
+            "whole corpus or more; drop the subset or lower t")
     sampled = df.sample(n=num, random_state=seed)
     save_index(sampled, out_index)

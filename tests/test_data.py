@@ -71,7 +71,7 @@ def test_subset_by_t(tiny_corpus, tmp_path):
     subset_by_t(3 * 4.5, tiny_corpus, out, seed=0)
     assert list(load_index(out)["normalized_text"]) == list(sub["normalized_text"])
     # asking for >= the whole corpus is a usage error, not silent truncation
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="whole corpus"):
         subset_by_t(100 * 4.5, tiny_corpus, out, seed=0)
 
 
