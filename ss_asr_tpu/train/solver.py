@@ -113,6 +113,12 @@ class Solver:
         else:
             self.host_shard = None
 
+        # keep_snapshots: K > 0 additionally retains the K most recent
+        # step-stamped checkpoints (<module_id>.snap-<step>.npz) on every
+        # cadence save, enabling checkpoint averaging at decode time
+        # (utils/checkpoint.average_pytrees, cli/avg_ckpt.py). Default off:
+        # the reference keeps only latest+best (src/trainer.py:448-451).
+        self.keep_snapshots = int(self.set_if_exists("keep_snapshots", 0))
         self.valid_step = self.set_if_exists("valid_step", 500)
         self.logging_step = self.set_if_exists("logging_step", 250)
         self.save_step = self.set_if_exists("save_step", 1000)
@@ -437,10 +443,21 @@ class Solver:
         self._save_barrier()
 
     def save_state(self, params, opt_state=None, path: Optional[str] = None) -> None:
-        """Save params (and optimizer accumulators) atomically."""
+        """Save params (and optimizer accumulators) atomically.
+
+        With ``keep_snapshots: K`` and a default-path save (the save_step
+        cadence / close()), also writes a step-stamped snapshot and prunes
+        to the K most recent — the inputs to checkpoint averaging."""
         self.save_tree(path or self.ckppath, params)
         if opt_state is not None and path is None:
             self.save_opt(self.opt_ckppath, opt_state)
+        if path is None and self.keep_snapshots > 0:
+            snap = ckpt.snapshot_path(self.ckpdir, self.module_id,
+                                      self.tr.step, self.ckpt_ext)
+            self.save_tree(snap, params)
+            if self.is_writer:
+                ckpt.prune_snapshots(self.ckpdir, self.module_id,
+                                     self.keep_snapshots)
 
     def genpath(self, p, module_id: str) -> Tuple[str, str]:
         """In/out checkpoint path pair for parameter relays (trainer.py:170-191)."""

@@ -104,6 +104,84 @@ def exists_auto(path: str) -> bool:
     return exists(path)
 
 
+# -- snapshot history + checkpoint averaging ---------------------------
+#
+# The reference keeps only <module_id>.cpt (latest) and <module_id>_best.cpt
+# (src/trainer.py:448-451, 522-527).  ``keep_snapshots: K`` additionally
+# retains the K most recent step-stamped copies (``asr.snap-000001000.npz``),
+# which enables checkpoint averaging — the standard end-to-end-ASR trick of
+# decoding from the elementwise mean of the last K checkpoints to smooth SGD
+# noise (Vaswani et al. 2017 §6.1 average-last-5; routine in ESPnet recipes).
+
+
+def snapshot_path(ckpdir: str, module_id: str, step: int, ext: str = ".npz") -> str:
+    """Step-stamped checkpoint path; zero-padded so lexical sort == step sort."""
+    return os.path.join(ckpdir, f"{module_id}.snap-{step:09d}{ext}")
+
+
+def list_snapshots(ckpdir: str, module_id: str) -> list:
+    """All snapshots of a module, as (step, path) sorted ascending by step."""
+    import glob
+    import re
+
+    pat = os.path.join(glob.escape(ckpdir), f"{module_id}.snap-*")
+    out = []
+    for p in glob.glob(pat):
+        m = re.fullmatch(rf"{re.escape(module_id)}\.snap-(\d+)(\.npz|{re.escape(ORBAX_SUFFIX)})",
+                         os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def prune_snapshots(ckpdir: str, module_id: str, keep: int) -> list:
+    """Delete all but the ``keep`` most recent snapshots; returns removed paths."""
+    import shutil
+
+    removed = []
+    for _, p in list_snapshots(ckpdir, module_id)[: -keep or None]:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            os.remove(p)
+        removed.append(p)
+    return removed
+
+
+def average_pytrees(paths) -> Dict:
+    """Elementwise mean of checkpoints (npz or orbax, by suffix).
+
+    Accumulates in float64 and casts back to each leaf's original dtype.
+    Every checkpoint must have the identical key set and shapes (they come
+    from one training run); a mismatch raises ValueError naming the leaf.
+    """
+    paths = list(paths)
+    if not paths:
+        raise ValueError("average_pytrees: no checkpoints given")
+    acc: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, Any] = {}
+    ref_keys = None
+    for p in paths:
+        flat = _flatten(load_auto(p))
+        if ref_keys is None:
+            ref_keys = set(flat)
+        elif set(flat) != ref_keys:
+            diff = sorted(set(flat) ^ ref_keys)
+            raise ValueError(f"average_pytrees: {p} key set differs from "
+                             f"{paths[0]} (e.g. {diff[:3]})")
+        for k, v in flat.items():
+            v = np.asarray(v)
+            if k not in acc:
+                acc[k] = np.zeros(v.shape, np.float64)
+                dtypes[k] = v.dtype
+            elif acc[k].shape != v.shape:
+                raise ValueError(f"average_pytrees: leaf {k!r} shape "
+                                 f"{v.shape} in {p} != {acc[k].shape}")
+            acc[k] += v.astype(np.float64)
+    n = len(paths)
+    return _unflatten({k: (a / n).astype(dtypes[k]) for k, a in acc.items()})
+
+
 def save_opt_state(path: str, opt_state: Any) -> None:
     """Persist an optimizer-state pytree (optax NamedTuples) as flat leaves.
 
