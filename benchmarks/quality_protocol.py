@@ -170,7 +170,8 @@ def make_config(paths: dict, size: str, epochs: int, batch: int,
 def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                       max_steps: int = 60, lm_sweep=None,
                       rescore: bool = False,
-                      decode_modes=("greedy", "beam", "beam_lm")) -> dict:
+                      decode_modes=("greedy", "beam", "beam_lm"),
+                      avg_params=None) -> dict:
     """Decode the eval set three ways; reports CER + the thesis' actual
     metrics (word error and char accuracy, src/postprocess.py:7-50 / Tables
     6.6-6.12) per decode mode.
@@ -234,6 +235,17 @@ def eval_decode_modes(config, paras, lm_weight: float, beam: int = 8,
                     lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=w,
                 )
             )(w)
+    if avg_params is not None:
+        # the same decode passes from the checkpoint-averaged weights
+        # (keep_snapshots + average_pytrees), reported side-by-side as
+        # <mode>_avg so the smoothing gain is read off one table
+        avg_p = jax.tree.map(jnp.asarray, avg_params)
+        if "greedy" in decode_modes:
+            modes["greedy_avg"] = lambda x, xl: greedy_decode(
+                avg_p, cfg, x, xl, max_steps)
+        if "beam" in decode_modes:
+            modes[f"beam{beam}_avg"] = lambda x, xl: beam_decode(
+                avg_p, cfg, x, xl, beam_size=beam, max_steps=max_steps)
     rescore_modes = [f"rescore@{w:g}" for w in sorted(weights)] if rescore else []
     all_modes = list(modes) + rescore_modes
     errs = {m: 0 for m in all_modes}
@@ -317,8 +329,10 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
         opt: str = "Adadelta", lr: float = 1.0, heldout: bool = False,
         mixed: bool = False, lm_sweep=None, augment: dict | None = None,
         rescore: bool = False,
-        decode_modes=("greedy", "beam", "beam_lm")) -> dict:
+        decode_modes=("greedy", "beam", "beam_lm"),
+        avg_snapshots: int = 0) -> dict:
     from ss_asr_tpu.train import ASRTrainer, CHARLMTrainer, make_paras
+    from ss_asr_tpu.utils import checkpoint as ckpt
 
     os.makedirs(work, exist_ok=True)
     paths = build_corpus(work, n_utts, seed, homophones=homophones,
@@ -329,14 +343,32 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
                        ckpdir=os.path.join(work, "result"), seed=seed, verbose=False)
 
     t = ASRTrainer(config, paras)
-    t.load_data(); t.set_model(); t.exec(); t.close()
+    t.load_data()
+    if avg_snapshots > 0:
+        # spread K cadence snapshots over the run; close() adds the final
+        # step, so the averaged window ends at the last checkpoint
+        total = t.train_ds.num_batches() * epochs
+        t.save_step = max(1, total // (avg_snapshots + 1))
+        t.keep_snapshots = avg_snapshots
+    t.set_model(); t.exec(); t.close()
 
     if rescore or "beam_lm" in decode_modes:  # greedy/beam-only: skip LM train
         lm = CHARLMTrainer(config, paras)
         lm.load_data(); lm.set_model(); lm.exec(); lm.close()
 
+    avg_params = None
+    avg_steps = []
+    if avg_snapshots > 0:
+        ckpdir = os.path.join(paras.ckpdir, paras.name)
+        snaps = ckpt.list_snapshots(ckpdir, "asr")[-avg_snapshots:]
+        avg_steps = [s for s, _ in snaps]
+        avg_params = ckpt.average_pytrees([p for _, p in snaps])
+
     result = eval_decode_modes(config, paras, lm_weight, lm_sweep=lm_sweep,
-                               rescore=rescore, decode_modes=decode_modes)
+                               rescore=rescore, decode_modes=decode_modes,
+                               avg_params=avg_params)
+    if avg_snapshots > 0:
+        result["avg_snapshot_steps"] = avg_steps
     import jax
 
     result["platform"] = jax.devices()[0].platform
@@ -345,7 +377,8 @@ def run(work: str, size: str, n_utts: int, epochs: int, seed: int,
                         "homophones": homophones, "opt": opt, "lr": lr,
                         "heldout": heldout, "mixed": mixed, "augment": augment,
                         "rescore": rescore,
-                        "decode_modes": list(decode_modes)}
+                        "decode_modes": list(decode_modes),
+                        "avg_snapshots": avg_snapshots}
     return result
 
 
@@ -387,6 +420,10 @@ def main():
                     help="comma-separated decode modes to run (subset of "
                          "greedy,beam,beam_lm) — e.g. '--modes greedy' for a "
                          "quick pass that skips beam search AND LM training")
+    ap.add_argument("--avg-snapshots", type=int, default=0,
+                    help="K > 0: also decode from the mean of the last K "
+                         "training snapshots (checkpoint averaging), "
+                         "reported as <mode>_avg columns")
     args = ap.parse_args()
 
     modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
@@ -404,7 +441,8 @@ def main():
                      args.lm_weight, homophones=args.homophones,
                      opt=args.opt, lr=args.lr, heldout=args.heldout,
                      mixed=args.mixed, lm_sweep=sweep, augment=augment,
-                     rescore=args.rescore, decode_modes=modes)
+                     rescore=args.rescore, decode_modes=modes,
+                     avg_snapshots=args.avg_snapshots)
     line = json.dumps(result, indent=1)
     print(line)
     if args.out:

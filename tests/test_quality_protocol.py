@@ -46,3 +46,25 @@ def test_cli_rejects_unknown_mode():
     )
     assert proc.returncode == 2
     assert "bogus" in proc.stderr
+
+
+def test_avg_snapshots_adds_averaged_decode_modes(tmp_path):
+    result = run(str(tmp_path), size="tiny", n_utts=12, epochs=2, seed=0,
+                 lm_weight=0.3, batch=4, decode_modes=("greedy",),
+                 avg_snapshots=2)
+
+    # averaged-checkpoint columns sit beside the plain ones
+    for met in ("cer", "wer", "acc"):
+        assert f"greedy_{met}" in result
+        assert f"greedy_avg_{met}" in result
+    assert result["config"]["avg_snapshots"] == 2
+    # the averaged window covers the run's LAST snapshots (close() stamps
+    # the final step)
+    steps = result["avg_snapshot_steps"]
+    assert len(steps) == 2 and steps[0] < steps[1]
+
+    from ss_asr_tpu.utils import checkpoint as ckpt
+
+    ckpdir = str(tmp_path / "result" / "qp")
+    snaps = ckpt.list_snapshots(ckpdir, "asr")
+    assert [s for s, _ in snaps][-2:] == steps
