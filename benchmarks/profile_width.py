@@ -26,6 +26,7 @@ and this artifact records what that knob buys on real hardware.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -48,13 +49,16 @@ def log(*a):
 
 def build_chain(cfg, optim, B: int, K: int, T: int, L: int):
     from ss_asr_tpu.models import las
+    from ss_asr_tpu.ops import rnn
     from ss_asr_tpu.train import losses
+
+    copts = rnn.wide_h_compiler_options(cfg.encoder_state_size)
 
     eps = float((time.time_ns() % 997) * 1e-12)
     base = int(time.time_ns() % (2**31))
     x_lens = jnp.full((B,), T, dtype=jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=copts)
     def chain(params, opt_state, key):
         kx, ky = jax.random.split(jax.random.key(base))
         x = jax.random.normal(kx, (B, T, cfg.feature_dim), jnp.float32) + eps
@@ -151,10 +155,10 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
     # backward in one program crashes the TPU compiler (each compiles in
     # isolation; see ops/rnn.py SPELL_IMPL) — wide widths measure the
     # shipped wide-decoder config: fused listener kernels + scan decoder.
-    # The LSTM kernels compile at H=512 but crash the compiler at H=768
-    # (VMEM weight/stream footprint; ops/rnn.py LSTM_KERNEL_MAX_H), so
-    # wider listeners fall back to the lax.scan path. Both boundaries are
-    # also encoded as H-aware auto-gating in ops/rnn.py; they're set
+    # Round-3 late fix: the LSTM kernels' old H=768 compile crash was the
+    # VMEM-resident f32 W_hh block; with bf16 weights past
+    # WEIGHT_BF16_MIN_H + H-aware chunk shrink the kernels now dispatch up
+    # to LSTM_KERNEL_MAX_H=1024 (probe-verified). The gates are set
     # explicitly here so the artifact records the impls measured.
     rnn.SPELL_IMPL = "auto" if H <= rnn.SPELL_KERNEL_MAX_H else "scan"
     rnn.LSTM_IMPL = "auto" if H <= rnn.LSTM_KERNEL_MAX_H else "scan"

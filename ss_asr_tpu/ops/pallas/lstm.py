@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(len_ref, gx_ref, whh_ref, y_ref, h_ref, c_ref):
+def _lstm_kernel(len_ref, gx_ref, whh_ref, y_ref, h_ref, c_ref, *rest):
     """One grid step == one time step.  Carries (h, c) live in VMEM scratch."""
     t = pl.program_id(0)
 
@@ -44,9 +44,16 @@ def _lstm_kernel(len_ref, gx_ref, whh_ref, y_ref, h_ref, c_ref):
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
+    if rest:  # wide H: W_hh arrives via one explicit DMA into scratch
+        whh_vmem, sem = rest
+        _load_whh(t, whh_ref, whh_vmem, sem)
+        whh_ref = whh_vmem
+
     h = h_ref[:]
     c = c_ref[:]
-    gates = gx_ref[0] + jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+    gates = gx_ref[0] + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
+    )
     H = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -80,8 +87,19 @@ def lstm_seq_pallas(
     """
     T, B, G = gates_x.shape
     H = G // 4
+    whh = whh.astype(_wdt(H))  # wide H: bf16 keeps the resident block in VMEM
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
 
+    whh_stream = H >= WEIGHT_BF16_MIN_H
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+    ]
+    if whh_stream:
+        whh_spec = _whh_any_spec()
+        scratch += [pltpu.VMEM((H, G), whh.dtype), pltpu.SemaphoreType.DMA]
+    else:
+        whh_spec = pl.BlockSpec((H, G), lambda t: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(T,),
@@ -89,13 +107,10 @@ def lstm_seq_pallas(
             # lengths as a [B, 1] VMEM vector (SMEM loads must be scalar)
             pl.BlockSpec((B, 1), lambda t: (0, 0)),
             pl.BlockSpec((1, B, G), lambda t: (t, 0, 0)),
-            pl.BlockSpec((H, G), lambda t: (0, 0)),
+            whh_spec,
         ],
         out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         _lstm_kernel,
@@ -110,7 +125,25 @@ def lstm_seq_pallas(
 CHUNK = 8
 
 
-def _make_fwd_kernel(reverse: bool):
+def _whh_any_spec():
+    """Wide-H weight placement: leave ``W_hh`` in compiler-chosen (HBM)
+    memory and DMA it ONCE into a single VMEM scratch at grid step 0.  A
+    plain VMEM in_spec is double-buffered by the pipeline even though its
+    index_map is constant — at H=768 that charges 2x4.7 MB of the 16 MB
+    scoped-VMEM budget (the measured full-model overflow was 17.84 MB; see
+    docs/PROFILE_WIDTH.json round-3 wide-H rows)."""
+    return pl.BlockSpec(memory_space=pl.ANY)
+
+
+def _load_whh(k, whh_ref, whh_vmem, sem):
+    @pl.when(k == 0)
+    def _():
+        dma = pltpu.make_async_copy(whh_ref, whh_vmem, sem)
+        dma.start()
+        dma.wait()
+
+
+def _make_fwd_kernel(reverse: bool, whh_stream: bool = False):
     """Forward over one CHUNK of time steps; streams out h and c states
     (backward residuals).
 
@@ -126,7 +159,7 @@ def _make_fwd_kernel(reverse: bool):
     twin the old path paid four per direction-layer).
     """
 
-    def kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref):
+    def kernel(len_ref, gx_ref, whh_ref, y_ref, cs_ref, h_ref, c_ref, *rest):
         k = pl.program_id(0)
         C = gx_ref.shape[0]
         Tc = pl.num_programs(0)
@@ -135,6 +168,11 @@ def _make_fwd_kernel(reverse: bool):
         def _():
             h_ref[:] = jnp.zeros_like(h_ref)
             c_ref[:] = jnp.zeros_like(c_ref)
+
+        if whh_stream:
+            whh_vmem, sem = rest
+            _load_whh(k, whh_ref, whh_vmem, sem)
+            whh_ref = whh_vmem
 
         def step(j, _):
             if reverse:
@@ -173,7 +211,7 @@ def _make_fwd_kernel(reverse: bool):
 _lstm_fwd_kernel = _make_fwd_kernel(False)
 
 
-def _make_bwd_kernel(reverse: bool):
+def _make_bwd_kernel(reverse: bool, whh_stream: bool = False):
     """Adjoint of the time loop over one CHUNK; the (dh, dc) carries live in
     VMEM.  Residuals stream UNPACKED — y, cs, dy blocks plus one-row
     boundary sidecars (yb/csb hold the adjacent chunk's edge state) — so the
@@ -187,7 +225,7 @@ def _make_bwd_kernel(reverse: bool):
     make it one big batched matmul outside (sum_t h_prev_t^T dgates_t)."""
 
     def kernel(len_ref, gx_ref, y_ref, cs_ref, dy_ref, yb_ref, csb_ref,
-               whh_ref, dgx_ref, dh_ref, dc_ref):
+               whh_ref, dgx_ref, dh_ref, dc_ref, *rest):
         k = pl.program_id(0)
         Tc = pl.num_programs(0)
         C = gx_ref.shape[0]
@@ -196,6 +234,11 @@ def _make_bwd_kernel(reverse: bool):
         def _():
             dh_ref[:] = jnp.zeros_like(dh_ref)
             dc_ref[:] = jnp.zeros_like(dc_ref)
+
+        if whh_stream:
+            whh_vmem, sem = rest
+            _load_whh(k, whh_ref, whh_vmem, sem)
+            whh_ref = whh_vmem
 
         def step(j, _):
             if reverse:
@@ -278,6 +321,15 @@ _lstm_bwd_kernel = _make_bwd_kernel(False)
 #: (halved stream bytes + faster MXU pass; accumulation stays f32).
 KERNEL_DTYPE = "float32"
 
+#: At H >= this width the VMEM-resident ``W_hh`` block is held in bf16
+#: regardless of KERNEL_DTYPE (the [H, 4H] f32 weight alone is 9.4 MB at
+#: H=768 / 16.8 MB at H=1024 — past the 16 MB scoped-VMEM budget once the
+#: double-buffered streams are added).  Streams and carries stay f32, and
+#: the recurrent matmul accumulates in f32, so this matches XLA's DEFAULT
+#: matmul precision on TPU (single-pass bf16 inputs, f32 accumulation) —
+#: it is not a numerics downgrade relative to the lax.scan path.
+WEIGHT_BF16_MIN_H = 768
+
 
 def _kdt():
     import jax.numpy as _jnp
@@ -285,15 +337,42 @@ def _kdt():
     return _jnp.bfloat16 if KERNEL_DTYPE == "bfloat16" else _jnp.float32
 
 
-def _chunk_for(B: int) -> int:
-    """DMA block length, shrunk for large batches so the double-buffered
-    in/out streams ([C, B, 4H] gx/dgx + three [C, B, H] residual streams)
-    stay inside the 16 MB scoped-VMEM budget. B=128 with CHUNK=8 blocks
-    needs >20 MB and fails compilation (docs/PROFILE_OPT.json); halving the
-    chunk restores the fit with negligible per-step cost (the CHUNK=8 vs 16
-    A/B was noise-level)."""
+def _wdt(H: int):
+    if KERNEL_DTYPE == "bfloat16" or H >= WEIGHT_BF16_MIN_H:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _chunk_for(B: int, H: int = 256) -> int:
+    """DMA block length, shrunk so the backward kernel's VMEM footprint —
+    the resident [H, 4H] weight block plus the double-buffered in/out
+    streams ([C, B, 4H] gx + f32 dgx + three [C, B, H] f32 residual
+    streams) — stays inside a ~14 MB scoped-VMEM budget (16 MB minus
+    slack for carries/sidecars).  B=128 with CHUNK=8 blocks needs >20 MB
+    and fails compilation (docs/PROFILE_OPT.json); wide recurrences eat
+    the budget from the weight side instead (H=1024: 8.4 MB of bf16
+    W_hh), landing at the probe-verified C=4 @ H=768 / C=2 @ H=1024."""
+    if H <= 512:
+        # legacy rule, exactly the on-chip-verified shapes (H <= 512):
+        # B=32/64 keep CHUNK=8, B=96/128 halve to 4, B=256 to 2
+        c = CHUNK
+        while c > 2 and B * c > 512:
+            c //= 2
+        return c
+    # Empirically derated budget: the compiler's scoped accounting exceeds
+    # the naive two-buffer model by ~4.5 MB (it charged 17.84 MB where the
+    # model says 13.3 MB, H=768 C=4), so size against ~11.5 MB.  On-chip:
+    # H=768 C=2 compiles at the STOCK 16 MB limit; H=1024 lands at the C=2
+    # floor and additionally needs rnn.wide_h_compiler_options (the
+    # trainers attach it automatically past H=512).
+    budget = 11.5 * 2**20
+    whh_bytes = H * 4 * H * (2 if _wdt(H) == jnp.bfloat16 else 4)
+    sx = 2 if _kdt() == jnp.bfloat16 else 4
+    # per-chunk-step stream bytes, double-buffered: gx in (4H*sx) +
+    # dgx out f32 (4H*4) + y/cs/dy residuals f32 (3H*4)
+    per_c = B * H * (4 * sx + 16 + 12) * 2
     c = CHUNK
-    while c > 2 and B * c > 512:
+    while c > 2 and whh_bytes + c * per_c > budget:
         c //= 2
     return c
 
@@ -357,25 +436,32 @@ def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False, chunk=None):
         tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731
     else:
         tmap = lambda k: (k, 0, 0)  # noqa: E731
+    whh_stream = H >= WEIGHT_BF16_MIN_H
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+    ]
+    if whh_stream:
+        whh_spec = _whh_any_spec()
+        scratch += [pltpu.VMEM((H, G), whh.dtype), pltpu.SemaphoreType.DMA]
+    else:
+        whh_spec = pl.BlockSpec((H, G), lambda k: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda k: (0, 0)),
             pl.BlockSpec((CH, B, G), tmap),
-            pl.BlockSpec((H, G), lambda k: (0, 0)),
+            whh_spec,
         ],
         out_specs=[
             pl.BlockSpec((CH, B, H), tmap),
             pl.BlockSpec((CH, B, H), tmap),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_fwd_kernel(reverse),
+        _make_fwd_kernel(reverse, whh_stream),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
@@ -387,9 +473,10 @@ def _fwd_core(lengths2d, gates_x, whh, interpret, reverse=False, chunk=None):
 
 def _fwd_pallas(gates_x, whh, lengths, interpret, reverse=False):
     gates_x = gates_x.astype(_kdt())
-    whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
-    c = _chunk_for(B)
+    H = G // 4
+    whh = whh.astype(_wdt(H))
+    c = _chunk_for(B, H)
     Tp = ((T + c - 1) // c) * c
     gates_x = _pad_time(gates_x, Tp)  # padded steps are masked by lengths
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
@@ -423,6 +510,16 @@ def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
         tmap = lambda k: (Tc - 1 - k, 0, 0)  # noqa: E731 — newest first
         # predecessor chunk is (Tc-1-k)-1 (clamped)
         bmap = lambda k: (jnp.maximum(Tc - 2 - k, 0), 0, 0)  # noqa: E731
+    whh_stream = H >= WEIGHT_BF16_MIN_H
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+    ]
+    if whh_stream:
+        whh_spec = _whh_any_spec()
+        scratch += [pltpu.VMEM((H, G), whh.dtype), pltpu.SemaphoreType.DMA]
+    else:
+        whh_spec = pl.BlockSpec((H, G), lambda k: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Tc,),
@@ -434,18 +531,15 @@ def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
             pl.BlockSpec((CH, B, H), tmap),
             pl.BlockSpec((1, B, H), bmap),
             pl.BlockSpec((1, B, H), bmap),
-            pl.BlockSpec((H, G), lambda k: (0, 0)),
+            whh_spec,
         ],
         out_specs=[
             pl.BlockSpec((CH, B, G), tmap),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     (dgx,) = pl.pallas_call(
-        _make_bwd_kernel(reverse),
+        _make_bwd_kernel(reverse, whh_stream),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, G), jnp.float32),
@@ -457,10 +551,10 @@ def _bwd_core(lengths2d, gates_x, y, cs, dy, yb, csb, whh, interpret,
 
 def _bwd_pallas(gates_x, whh, lengths, y, cs, dy, interpret, reverse=False):
     gates_x = gates_x.astype(_kdt())
-    whh = whh.astype(_kdt())
     T, B, G = gates_x.shape
     H = G // 4
-    c = _chunk_for(B)
+    whh = whh.astype(_wdt(H))
+    c = _chunk_for(B, H)
     Tp = ((T + c - 1) // c) * c
     lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
     # residual pack [T, B, 4H] = [h_prev | c_prev | c_t | dy]  (one stream).

@@ -95,17 +95,38 @@ GSPMD_PARTITION = True
 SPELL_IMPL = "auto"
 
 
-#: Widest hidden size the fused LSTM kernels auto-dispatch at. H=512 is
-#: the widest probe-verified width on v5e (full listener fwd+bwd compiles
-#: and runs); H=768 already crashes the TPU compiler — the VMEM-resident
-#: weight/stream footprint grows with H and the exact ceiling sits between
-#: the two. "auto" falls back to scan above this; "pallas" still forces.
-LSTM_KERNEL_MAX_H = 512
+#: Widest hidden size the fused LSTM kernels auto-dispatch at.  The round-3
+#: ceiling was H=512: the [H, 4H] f32 W_hh block resident in VMEM is 9.4 MB
+#: at H=768 and blew the 16 MB scoped-VMEM budget with the streams.  Fixed
+#: by holding W_hh in bf16 past ``pallas.lstm.WEIGHT_BF16_MIN_H`` (matches
+#: XLA's default bf16-input matmul precision — not a numerics downgrade)
+#: plus H-aware DMA chunk shrink (``_chunk_for``): H=768 (C=4) and H=1024
+#: (C=2) are probe-verified on v5e — compile, run, and match scan grads to
+#: cosine 1-1e-7 / rel-L2 ~3e-4.  "auto" falls back to scan above this;
+#: "pallas" still forces.
+LSTM_KERNEL_MAX_H = 1024
 
 #: Widest decoder the spell kernels auto-dispatch at: past 256, a program
 #: with BOTH the spell backward kernel and any recurrent listener backward
 #: crashes the TPU compiler (see SPELL_IMPL) — "auto" falls back to scan.
 SPELL_KERNEL_MAX_H = 256
+
+
+def wide_h_compiler_options(max_h: int):
+    """XLA compiler options for programs containing wide-H fused kernels.
+
+    The TPU compiler budgets kernel VMEM against a 16 MB *scoped* limit
+    (a compiler default — v5e has 128 MB of physical VMEM).  At H=1024 the
+    backward LSTM kernel's weight block + streams need ~20 MB, so training
+    programs must raise the limit: measured on v5e, the full flagship-shape
+    train step at H=1024 compiles and runs at 32 MB where it is rejected at
+    the default (H=768 also compiles stock via a smaller DMA chunk, with
+    bit-identical losses either way).  Returns None below the threshold or
+    off-TPU; use as ``jax.jit(fn, compiler_options=...)``.
+    """
+    if max_h <= 512 or jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 
 def impl_salt() -> tuple:

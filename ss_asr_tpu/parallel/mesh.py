@@ -122,7 +122,8 @@ def shard_map_grads(grads_fn, mesh: Mesh, n_batch_args: int):
 
 
 def dp_train_step(mesh: Mesh, local_grads, optim, n_batch_args: int,
-                  aux_specs=None, fold_key: bool = True):
+                  aux_specs=None, fold_key: bool = True,
+                  compiler_options=None):
     """Build a full data-parallel train step: one ``shard_map`` inside ``jit``.
 
     ``local_grads(params, *batch_args, key) -> (loss, grads, aux)`` runs per
@@ -163,7 +164,8 @@ def dp_train_step(mesh: Mesh, local_grads, optim, n_batch_args: int,
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       compiler_options=compiler_options)
     def step(params, opt_state, *args):
         *batch, key = args
         return sharded(params, opt_state, key, *batch)
@@ -172,7 +174,7 @@ def dp_train_step(mesh: Mesh, local_grads, optim, n_batch_args: int,
 
 
 def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, n_rep_args: int = 0,
-                 out_specs=None):
+                 out_specs=None, compiler_options=None):
     """Data-parallel eval: ``local_fn(params, *batch_args, *rep_args)``.
 
     ``batch_args`` are sharded over DATA_AXIS; ``rep_args`` (e.g. PRNG keys)
@@ -194,7 +196,7 @@ def dp_eval_step(mesh: Mesh, local_fn, n_batch_args: int, n_rep_args: int = 0,
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=compiler_options)
 
 
 def pad_batch_to(tree, batch: int):

@@ -75,6 +75,12 @@ class ASRTrainer(Solver):
             per_utt = losses.masked_nll_per_utt(logits[:, :ans_len], y[:, 1:], y)
             return per_utt, logits, att
 
+        # wide recurrences (H > 512) need a raised scoped-VMEM limit for the
+        # fused kernels' backward pass (ops/rnn.wide_h_compiler_options)
+        from ss_asr_tpu.ops import rnn as _rnn
+
+        copts = _rnn.wide_h_compiler_options(cfg.encoder_state_size)
+
         if self.mesh is not None and self.n_model > 1:
             # (data x model) tensor parallelism via jit+GSPMD: params sharded
             # by the parallel.mesh rules (4H gate / vocab / psi dims over the
@@ -94,7 +100,8 @@ class ASRTrainer(Solver):
             )
             assert self.valid_batch_size * jax.process_count() % n_data == 0
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            @functools.partial(jax.jit, donate_argnums=(0, 1),
+                               compiler_options=copts)
             def tp_train_step(params, opt_state, x, x_lens, y, key):
                 loss, grads, logits = local_grads(params, x, x_lens, y, key)
                 updates, opt_state = optim.update(grads, opt_state, params)
@@ -102,7 +109,8 @@ class ASRTrainer(Solver):
                 return params, opt_state, loss, logits
 
             self._train_step = self.run_in_mesh(tp_train_step)
-            self._valid_step = self.run_in_mesh(jax.jit(local_valid))
+            self._valid_step = self.run_in_mesh(
+                jax.jit(local_valid, compiler_options=copts))
             self.params = self.place_tp(self.params)
             self.opt_state = self.place_tp(self.opt_state)
         elif self.mesh is not None:
@@ -119,14 +127,17 @@ class ASRTrainer(Solver):
             )
             assert self.valid_batch_size * jax.process_count() % n_data == 0
             self._train_step = pmesh.dp_train_step(
-                self.mesh, local_grads, optim, n_batch_args=3
+                self.mesh, local_grads, optim, n_batch_args=3,
+                compiler_options=copts
             )
-            self._valid_step = pmesh.dp_eval_step(self.mesh, local_valid, 3)
+            self._valid_step = pmesh.dp_eval_step(self.mesh, local_valid, 3,
+                                                  compiler_options=copts)
             self.params = self.place_replicated(self.params)
             self.opt_state = self.place_replicated(self.opt_state)
         else:
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            @functools.partial(jax.jit, donate_argnums=(0, 1),
+                               compiler_options=copts)
             def train_step(params, opt_state, x, x_lens, y, key):
                 loss, grads, logits = local_grads(params, x, x_lens, y, key)
                 updates, opt_state = optim.update(grads, opt_state, params)
@@ -134,7 +145,7 @@ class ASRTrainer(Solver):
                 return params, opt_state, loss, logits
 
             self._train_step = train_step
-            self._valid_step = jax.jit(local_valid)
+            self._valid_step = jax.jit(local_valid, compiler_options=copts)
 
     # ------------------------------------------------------------------
     def exec(self):

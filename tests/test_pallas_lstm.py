@@ -168,3 +168,75 @@ def test_pallas_vjp_grads_match_scan(rng):
         np.testing.assert_allclose(
             np.asarray(gp_p[k]), np.asarray(gp_s[k]), atol=1e-4, err_msg=k
         )
+
+
+def test_chunk_for_wide_h():
+    """Wide recurrences shrink the DMA chunk from the WEIGHT side of the
+    VMEM budget (the resident [H, 4H] block): the probe-verified v5e
+    configurations are C=4 at H=768 and C=2 at H=1024 (B=32).  H <= 512
+    keeps the legacy on-chip-verified batch rule exactly."""
+    from ss_asr_tpu.ops.pallas.lstm import _chunk_for, _wdt
+
+    assert _chunk_for(32, 256) == 8
+    assert _chunk_for(32, 512) == 8
+    assert _chunk_for(32, 768) == 2
+    assert _chunk_for(32, 1024) == 2
+    assert _chunk_for(128, 256) == 4  # legacy batch rule unchanged
+
+    # wide-H programs past the stock scoped-vmem fit get the raised limit
+    # (the trainers attach this automatically); None off-TPU / narrow H
+    from ss_asr_tpu.ops import rnn as _rnn
+
+    assert _rnn.wide_h_compiler_options(512) is None
+    assert _rnn.wide_h_compiler_options(1024) is None  # CPU backend here
+    import jax as _jax
+    import unittest.mock as _mock
+
+    with _mock.patch.object(_jax, "default_backend", lambda: "tpu"):
+        assert _rnn.wide_h_compiler_options(256) is None
+        opts = _rnn.wide_h_compiler_options(768)
+        assert opts == {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    # weight dtype gate: bf16 only at wide H (or explicit KERNEL_DTYPE)
+    assert _wdt(256) == jnp.float32
+    assert _wdt(512) == jnp.float32
+    assert _wdt(768) == jnp.bfloat16
+    assert _wdt(1024) == jnp.bfloat16
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_wide_h_bf16_weights_parity(rng, reverse):
+    """H >= WEIGHT_BF16_MIN_H holds W_hh (and the per-step h operand) in
+    bf16 — XLA's default TPU matmul precision, f32 accumulation.  Against
+    the f32 lax.scan reference that costs ~bf16-rounding of |y| <= 1
+    activations; grads must stay directionally exact (the on-chip probe
+    measured rel-L2 ~3e-4 at H=768/1024)."""
+    from ss_asr_tpu.ops.pallas.lstm import lstm_scan_pallas_trainable
+
+    B, T, I, H = 3, 9, 16, 768
+    p = rnn.init_lstm(jax.random.key(7), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([9, 5, 2], dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def loss_scan(p):
+        y, _ = rnn.lstm_scan(p, xs, lengths=lens, reverse=reverse)
+        return jnp.sum(y * w), y
+
+    def loss_pallas(p):
+        y = lstm_scan_pallas_trainable(
+            p, xs, lengths=lens, interpret=True, reverse=reverse
+        )
+        return jnp.sum(y * w), y
+
+    gs, ys = jax.grad(loss_scan, has_aux=True)(p)
+    gp, yp = jax.grad(loss_pallas, has_aux=True)(p)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(ys), atol=2e-2)
+    # masked rows stay exactly zero regardless of weight dtype
+    assert np.all(np.asarray(yp)[1, 5:] == 0)
+    for k in ("w_ih", "w_hh", "b"):
+        a = np.asarray(gp[k], np.float64).ravel()
+        b = np.asarray(gs[k], np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.999, (k, cos)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        assert rel < 2e-2, (k, rel)
