@@ -52,7 +52,8 @@ def build_chain(cfg, optim, B: int, K: int, T: int, L: int):
     from ss_asr_tpu.ops import rnn
     from ss_asr_tpu.train import losses
 
-    copts = rnn.wide_h_compiler_options(cfg.encoder_state_size)
+    copts = rnn.wide_h_compiler_options(cfg.encoder_state_size,
+                                        spell_h=cfg.decoder_state_size)
 
     eps = float((time.time_ns() % 997) * 1e-12)
     base = int(time.time_ns() % (2**31))
@@ -151,15 +152,12 @@ def measure_width(H: int, B: int, T: int = 512, L: int = 48):
 
     cfg = las.ASRConfig(encoder_state_size=H, decoder_state_size=H,
                         mlp_out_size=H // 2)
-    # At H >= 512 the spell backward kernel + any recurrent listener
-    # backward in one program crashes the TPU compiler (each compiles in
-    # isolation; see ops/rnn.py SPELL_IMPL) — wide widths measure the
-    # shipped wide-decoder config: fused listener kernels + scan decoder.
-    # Round-3 late fix: the LSTM kernels' old H=768 compile crash was the
-    # VMEM-resident f32 W_hh block; with bf16 weights past
-    # WEIGHT_BF16_MIN_H + H-aware chunk shrink the kernels now dispatch up
-    # to LSTM_KERNEL_MAX_H=1024 (probe-verified). The gates are set
-    # explicitly here so the artifact records the impls measured.
+    # Round-3 late fixes: both wide-H "compiler crashes" were scoped-VMEM
+    # exhaustion. The LSTM kernels now dispatch to H=1024 (bf16 W_hh past
+    # WEIGHT_BF16_MIN_H + H-aware chunks) and the spell kernels to D=512;
+    # build_chain attaches rnn.wide_h_compiler_options (raised scoped-vmem
+    # limit) exactly as the ASR trainer does. The gates are set explicitly
+    # here so the artifact records the impls measured.
     rnn.SPELL_IMPL = "auto" if H <= rnn.SPELL_KERNEL_MAX_H else "scan"
     rnn.LSTM_IMPL = "auto" if H <= rnn.LSTM_KERNEL_MAX_H else "scan"
     optim = make_optimizer("Adadelta", 1.0)

@@ -106,27 +106,43 @@ SPELL_IMPL = "auto"
 #: "pallas" still forces.
 LSTM_KERNEL_MAX_H = 1024
 
-#: Widest decoder the spell kernels auto-dispatch at: past 256, a program
-#: with BOTH the spell backward kernel and any recurrent listener backward
-#: crashes the TPU compiler (see SPELL_IMPL) — "auto" falls back to scan.
-SPELL_KERNEL_MAX_H = 256
+#: Widest decoder the spell kernels auto-dispatch at.  The round-3 early
+#: boundary was 256: past it, a program with BOTH the spell backward kernel
+#: and any recurrent listener backward "crashed the TPU compiler" — later
+#: diagnosed as scoped-VMEM exhaustion (17.88 MB vs the 16 MB default at
+#: D=512), the same failure class as the LSTM wide-H ceiling.  With the
+#: raised limit from ``wide_h_compiler_options`` (the ASR trainer attaches
+#: it automatically when the spell kernels dispatch past D=256) the full
+#: H=D=512 model compiles and trains on v5e.  D > 512 is unprobed — scan
+#: there (the decoder is ~5% of wide-H FLOPs).
+SPELL_KERNEL_MAX_H = 512
 
 
-def wide_h_compiler_options(max_h: int):
+def wide_h_compiler_options(max_h: int, spell_h: int = 0):
     """XLA compiler options for programs containing wide-H fused kernels.
 
     The TPU compiler budgets kernel VMEM against a 16 MB *scoped* limit
-    (a compiler default — v5e has 128 MB of physical VMEM).  At H=1024 the
-    backward LSTM kernel's weight block + streams need ~20 MB, so training
-    programs must raise the limit: measured on v5e, the full flagship-shape
-    train step at H=1024 compiles and runs at 32 MB where it is rejected at
-    the default (H=768 also compiles stock via a smaller DMA chunk, with
-    bit-identical losses either way).  Returns None below the threshold or
-    off-TPU; use as ``jax.jit(fn, compiler_options=...)``.
+    (a compiler default — v5e has 128 MB of physical VMEM).  Two cases need
+    it raised, both measured on v5e:
+
+    * LSTM kernels past H=512: at H=1024 the backward kernel's weight
+      block + streams need ~20 MB; the full train step compiles and runs
+      at 32 MB where the default rejects it (H=768 also compiles stock via
+      a smaller DMA chunk, with bit-identical losses either way).
+    * Spell kernels past D=256 co-resident with any listener backward:
+      17.88 MB at D=512 (the boundary round-3 first recorded as a
+      "compiler crash"); compiles and trains at the raised limit.
+
+    Returns None when neither case applies or off-TPU; use as
+    ``jax.jit(fn, compiler_options=...)``.  ``spell_h`` is the decoder
+    width IF the spell kernels will dispatch for it (caller may pass it
+    unconditionally; the gate is re-checked here).
     """
-    if max_h <= 512 or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    if max_h > 512 or (spell_h > 256 and _use_pallas_spell(spell_h)):
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return None
 
 
 def impl_salt() -> tuple:

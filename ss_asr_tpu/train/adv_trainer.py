@@ -16,6 +16,8 @@ Both optimizers are masked subtree updates over one shared param tree
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,12 @@ class ADVTrainer(Solver):
                 self.D_state = ckpt.load_opt_state(self.d_opt_ckppath, self.D_state)
 
         tae_cfg, smoothing = self.tae_cfg, self.label_smoothing
+        # the G-step backprops through the shared listener: wide encoders
+        # need the raised scoped-VMEM limit for the LSTM backward kernels
+        from ss_asr_tpu.ops import rnn as _rnn
+
+        copts = _rnn.wide_h_compiler_options(
+            max(self.asr_cfg.encoder_state_size, tae_cfg.state_size))
         G_optim, D_optim = self.G_optim, self.D_optim
 
         def d_losses(params, x, x_lens, y, y_lens, smooth):
@@ -162,37 +170,37 @@ class ADVTrainer(Solver):
                 d_step_local, mesh=self.mesh,
                 in_specs=(P(), P(), P(D), P(D), P(D), P(D)),
                 out_specs=(P(), P(), P(), P()), check_vma=False,
-            ), donate_argnums=(1,))
+            ), donate_argnums=(1,), compiler_options=copts)
             self._g_step = jax.jit(shard_map(
                 g_step_local, mesh=self.mesh,
                 in_specs=(P(), P(), P(D), P(D)),
                 out_specs=(P(), P(), P()), check_vma=False,
-            ), donate_argnums=(1,))
+            ), donate_argnums=(1,), compiler_options=copts)
             self._valid_step = jax.jit(shard_map(
                 valid_local, mesh=self.mesh,
                 in_specs=(P(), P(D), P(D), P(D), P(D)),
                 out_specs=(P(), P(), P(D), P(D)), check_vma=False,
-            ))
+            ), compiler_options=copts)
             self.params = self.place_replicated(self.params)
             self.G_state = self.place_replicated(self.G_state)
             self.D_state = self.place_replicated(self.D_state)
         else:
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def d_step(params, d_state, x, x_lens, y, y_lens):
                 grads, d_state, rl, fl = d_local(params, d_state, x, x_lens, y, y_lens)
                 updates, d_state = D_optim.update(grads, d_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
                 return params, d_state, rl, fl
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def g_step(params, g_state, x, x_lens):
                 grads, g_state, loss = g_local(params, g_state, x, x_lens)
                 updates, g_state = G_optim.update(grads, g_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
                 return params, g_state, loss
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def valid_step(params, x, x_lens, y, y_lens):
                 rl, fl, real, fake = d_losses(params, x, x_lens, y, y_lens, 0.0)
                 return rl, fl, real, fake

@@ -79,7 +79,9 @@ class ASRTrainer(Solver):
         # fused kernels' backward pass (ops/rnn.wide_h_compiler_options)
         from ss_asr_tpu.ops import rnn as _rnn
 
-        copts = _rnn.wide_h_compiler_options(cfg.encoder_state_size)
+        copts = _rnn.wide_h_compiler_options(
+            max(cfg.encoder_state_size, cfg.decoder_state_size),
+            spell_h=cfg.decoder_state_size)
 
         if self.mesh is not None and self.n_model > 1:
             # (data x model) tensor parallelism via jit+GSPMD: params sharded

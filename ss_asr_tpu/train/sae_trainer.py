@@ -82,6 +82,11 @@ class SAETrainer(Solver):
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, sae_cfg, optim = self.asr_cfg, self.sae_cfg, self.optim
+        # SAE backprops through the shared listener: wide encoders need the
+        # raised scoped-VMEM limit for the fused LSTM backward kernels
+        from ss_asr_tpu.ops import rnn as _rnn
+
+        copts = _rnn.wide_h_compiler_options(asr_cfg.encoder_state_size)
 
         def recon_loss(params, bn_state, x, x_lens, train):
             listener_out, enc_lens = las.listener_apply(params["asr"]["encoder"], x, x_lens)
@@ -143,19 +148,21 @@ class SAETrainer(Solver):
                 out_specs=(P(), P(), P(), P(), P()),
                 check_vma=False,
             )
-            self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
+            self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2),
+                                       compiler_options=copts)
             self._valid_step = jax.jit(shard_map(
                 local_valid, mesh=self.mesh,
                 in_specs=(P(), P(), P(D), P(D)),
                 out_specs=(P(), P(D), P()),
                 check_vma=False,
-            ))
+            ), compiler_options=copts)
             self.params = self.place_replicated(self.params)
             self.opt_state = self.place_replicated(self.opt_state)
             self.bn_state = self.place_replicated(self.bn_state)
         else:
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                               compiler_options=copts)
             def train_step(params, opt_state, bn_state, x, x_lens):
                 (loss, (_, new_bn, sat)), grads = jax.value_and_grad(
                     lambda p: recon_loss(p, bn_state, x, x_lens, True), has_aux=True
@@ -164,7 +171,7 @@ class SAETrainer(Solver):
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
                 return params, opt_state, new_bn, loss, sat
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def valid_step(params, bn_state, x, x_lens):
                 loss, (recon, _, sat) = recon_loss(params, bn_state, x, x_lens, False)
                 return loss, recon, sat

@@ -71,6 +71,14 @@ class TAETrainer(Solver):
         self.opt_state = self.setup_opt_state(self.optim, self.params)
 
         asr_cfg, tae_cfg, optim = self.asr_cfg, self.tae_cfg, self.optim
+        # TAE trains THROUGH the shared speller/attention, so wide decoders
+        # need the same raised scoped-VMEM limit as supervised training
+        from ss_asr_tpu.ops import rnn as _rnn
+
+        copts = _rnn.wide_h_compiler_options(
+            max(asr_cfg.encoder_state_size, asr_cfg.decoder_state_size,
+                tae_cfg.state_size),
+            spell_h=asr_cfg.decoder_state_size)
 
         def loss_of(params, y, y_noised, noise_lens, key):
             decode_step = y.shape[1]
@@ -101,24 +109,27 @@ class TAETrainer(Solver):
                 return lax.pmean(loss, pmesh.DATA_AXIS), logits
 
             self._train_step = pmesh.dp_train_step(
-                self.mesh, local_grads, optim, n_batch_args=3
+                self.mesh, local_grads, optim, n_batch_args=3,
+                compiler_options=copts
             )
             self._valid_step = pmesh.dp_eval_step(
                 self.mesh, local_valid, n_batch_args=3, n_rep_args=1,
                 out_specs=(P(), P(pmesh.DATA_AXIS)),
+                compiler_options=copts,
             )
             self.params = self.place_replicated(self.params)
             self.opt_state = self.place_replicated(self.opt_state)
         else:
 
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            @functools.partial(jax.jit, donate_argnums=(0, 1),
+                               compiler_options=copts)
             def train_step(params, opt_state, y, y_noised, noise_lens, key):
                 loss, grads, logits = local_grads(params, y, y_noised, noise_lens, key)
                 updates, opt_state = optim.update(grads, opt_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
                 return params, opt_state, loss, logits
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def valid_step(params, y, y_noised, noise_lens, key):
                 return loss_of(params, y, y_noised, noise_lens, key)
 

@@ -196,6 +196,10 @@ def test_chunk_for_wide_h():
         assert _rnn.wide_h_compiler_options(256) is None
         opts = _rnn.wide_h_compiler_options(768)
         assert opts == {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        # spell-kernel co-residency case: D in (256, 512] also needs the
+        # raised limit when the spell kernels dispatch (D=512 measured)
+        assert _rnn.wide_h_compiler_options(512, spell_h=512) == opts
+        assert _rnn.wide_h_compiler_options(256, spell_h=256) is None
     # weight dtype gate: bf16 only at wide H (or explicit KERNEL_DTYPE)
     assert _wdt(256) == jnp.float32
     assert _wdt(512) == jnp.float32
