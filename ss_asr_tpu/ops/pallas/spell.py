@@ -46,10 +46,13 @@ CHUNK = 8
 BATCH_BLOCK_MAX = 48
 
 #: Block-row cap for multi-block grids: a 48-row block inside a 2-D grid
-#: trips an internal Mosaic compile error on real TPU (B=96/BB=48 probe,
-#: round 3) even though the single-block BB=48 call compiles fine; BB=32
-#: compiles and holds the linear-scaling throughput (B=96: 14.61 ms,
-#: 6573 utt/s — the best recorded utt/s point).
+#: fails to compile at the STOCK 16 MB scoped-VMEM limit (round-3 early
+#: recorded it as a "Mosaic internal compile error"); BB=32 compiles and
+#: holds the linear-scaling throughput (B=96: 14.61 ms, 6573 utt/s).
+#: With the raised limit (rnn.wide_h_compiler_options) BB=48 compiles and
+#: measures ~2% faster at B=96 (14.56 vs 14.90 ms, PROFILE_OPT.json
+#: phase 4) — inside the run-to-run band, so the stock-safe cap stays;
+#: large-batch users can raise it together with the jit option.
 BATCH_BLOCK_MULTI = 32
 
 #: Block-row cap past two BATCH_BLOCK_MAX blocks: XLA's scoped-vmem
@@ -58,7 +61,9 @@ BATCH_BLOCK_MULTI = 32
 #: limit by 2.4 MB while BB=16 compiles and holds throughput (20.12 ms,
 #: 6363 utt/s; B=256: 43.66 ms, 5864 utt/s; docs/PROFILE_OPT.json
 #: phase 3).  Verified points: (B<=48, single block), (B=64, BB=32),
-#: (B=96, BB=32), (B=128, BB=16), (B=256, BB=16).
+#: (B=96, BB=32), (B=128, BB=16), (B=256, BB=16).  Under the raised
+#: scoped-vmem limit BB=32 at B=128 compiles and measures 19.90 vs
+#: 20.29 ms (phase 4) — same band-edge story as BATCH_BLOCK_MULTI.
 BATCH_BLOCK_LARGE = 16
 
 
