@@ -127,11 +127,14 @@ CHUNK = 8
 
 def _whh_any_spec():
     """Wide-H weight placement: leave ``W_hh`` in compiler-chosen (HBM)
-    memory and DMA it ONCE into a single VMEM scratch at grid step 0.  A
-    plain VMEM in_spec is double-buffered by the pipeline even though its
-    index_map is constant — at H=768 that charges 2x4.7 MB of the 16 MB
-    scoped-VMEM budget (the measured full-model overflow was 17.84 MB; see
-    docs/PROFILE_WIDTH.json round-3 wide-H rows)."""
+    memory and DMA it ONCE into a single VMEM scratch at grid step 0.
+    Measured NEUTRAL on the compiler's scoped-VMEM accounting (the H=768
+    full-model request was 17.84 MB with either placement), so the fit
+    comes from the bf16 weight + small chunks + the raised limit — this
+    spec is kept because it guarantees exactly one resident copy at
+    runtime (a pipelined in_spec's buffering is the compiler's choice)
+    and it is the placement every wide-H configuration was verified
+    with on-chip."""
     return pl.BlockSpec(memory_space=pl.ANY)
 
 
@@ -351,7 +354,8 @@ def _chunk_for(B: int, H: int = 256) -> int:
     slack for carries/sidecars).  B=128 with CHUNK=8 blocks needs >20 MB
     and fails compilation (docs/PROFILE_OPT.json); wide recurrences eat
     the budget from the weight side instead (H=1024: 8.4 MB of bf16
-    W_hh), landing at the probe-verified C=4 @ H=768 / C=2 @ H=1024."""
+    W_hh), landing at C=2 for H >= 768 (on-chip-verified; C=4 under the
+    raised limit A/B'd noise-level, docs/PERF.md)."""
     if H <= 512:
         # legacy rule, exactly the on-chip-verified shapes (H <= 512):
         # B=32/64 keep CHUNK=8, B=96/128 halve to 4, B=256 to 2
