@@ -111,11 +111,13 @@ LSTM_KERNEL_MAX_H = 1024
 #: and any recurrent listener backward "crashed the TPU compiler" — later
 #: diagnosed as scoped-VMEM exhaustion (17.88 MB vs the 16 MB default at
 #: D=512), the same failure class as the LSTM wide-H ceiling.  With the
-#: raised limit from ``wide_h_compiler_options`` (the ASR trainer attaches
-#: it automatically when the spell kernels dispatch past D=256) the full
-#: H=D=512 model compiles and trains on v5e.  D > 512 is unprobed — scan
-#: there (the decoder is ~5% of wide-H FLOPs).
-SPELL_KERNEL_MAX_H = 512
+#: raised limit from ``wide_h_compiler_options`` (the trainers attach it
+#: automatically when the spell kernels dispatch past D=256) the full
+#: model compiles and trains on v5e at D=512 (16.52 ms, the best measured
+#: MFU point, 36.5%) and D=768 (37.37 ms = 36.1% MFU vs 40.44 with the
+#: scan decoder).  D=1024 demands 43.3 MB of scoped VMEM — past even the
+#: raised limit — so "auto" falls back to scan there.
+SPELL_KERNEL_MAX_H = 768
 
 
 def wide_h_compiler_options(max_h: int, spell_h: int = 0):
