@@ -406,3 +406,24 @@ def test_sae_opt_state_gates_on_own_checkpoint(corpus, tmp_path):
     t2 = SAETrainer(corpus, paras)
     t2.load_data(); t2.set_model()
     assert t2.loaded_ckpt is False  # fresh params -> fresh optimizer
+
+
+def test_asr_trainer_wide_h_cpu_plumbing(corpus, tmp_path):
+    """The compiler-options plumbing must be a no-op off-TPU: a CPU
+    backend cannot receive TPU-only xla flags, so wide_h_compiler_options
+    resolves to None there and every trainer jit site accepts
+    ``compiler_options=None`` (the path all these CPU tests run through,
+    asserted explicitly here once)."""
+    import copy
+
+    import ss_asr_tpu.ops.rnn as rnn
+
+    assert rnn.wide_h_compiler_options(768) is None  # CPU backend
+    assert rnn.wide_h_compiler_options(1024, spell_h=1024) is None
+    cfg = copy.deepcopy(corpus)
+    cfg["asr"]["n_epochs"] = 1
+    t = ASRTrainer(cfg, _paras(tmp_path))
+    t.load_data()
+    t.set_model()
+    t.exec()
+    t.close()
