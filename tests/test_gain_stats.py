@@ -1,0 +1,104 @@
+"""Unit tests for the gain-artifact statistics aggregator
+(benchmarks/gain_stats.py): pooled means, ordering-consistency counts, and
+seed-block discovery over synthetic artifacts shaped like
+docs/GAIN_M1_VS_M5.json / docs/GAIN_AB.json."""
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from benchmarks.gain_stats import (  # noqa: E402
+    build_summary,
+    head_to_head_seed_blocks,
+    summarize_ab,
+    summarize_head_to_head,
+)
+
+
+def _block(m1, m2, m5):
+    """Head-to-head seed block with the given greedy WERs (other metrics
+    derived deterministically so pooling is checkable)."""
+    out = {}
+    for name, wer in (("m1", m1), ("m2", m2), ("m5", m5)):
+        out[name] = {}
+        for mode in ("greedy", "beam8", "beam8_lm"):
+            out[name][f"{mode}_wer"] = wer
+            out[name][f"{mode}_acc"] = 1.0 - wer
+            out[name][f"{mode}_cer"] = wer / 2
+    return out
+
+
+def _gain_doc():
+    return {
+        "round3d_rerun": {
+            "note": "x",
+            # seed 0: full thesis ordering m1 > m2 > m5
+            "labeled_64": _block(0.5, 0.44, 0.42),
+            # seed 1: gain holds, margin flips
+            "labeled_64_seed1": _block(0.6, 0.50, 0.53),
+            # an unrelated budget block must NOT be pooled
+            "labeled_128": _block(0.05, 0.09, 0.07),
+        }
+    }
+
+
+def _ab_doc():
+    return {
+        "arms": {
+            "scratch": {"per_seed": {f"s{i}": {"greedy_wer": w}
+                                     for i, w in enumerate([0.10, 0.15, 0.05])}},
+            "post_TAE": {"per_seed": {f"s{i}": {"greedy_wer": w}
+                                      for i, w in enumerate([0.07, 0.10, 0.07])}},
+            "post_SAE_damped_0.1": {"per_seed": {f"s{i}": {"greedy_wer": w}
+                                                 for i, w in enumerate([0.06, 0.08, 0.07])}},
+        }
+    }
+
+
+def test_seed_block_discovery_orders_and_filters():
+    blocks = head_to_head_seed_blocks(_gain_doc(), "labeled_64")
+    assert [s for s, _ in blocks] == ["seed0", "seed1"]
+    # labeled_128 is a different budget, not a seed of labeled_64
+    assert all(b["m1"]["greedy_wer"] >= 0.5 for _, b in blocks)
+
+
+def test_head_to_head_pooling_and_consistency():
+    h = summarize_head_to_head(_gain_doc())
+    assert h["n_seeds"] == 2
+    m1 = h["pooled"]["m1"]["greedy_wer"]
+    assert math.isclose(m1["mean"], 0.55, abs_tol=1e-9)
+    assert math.isclose(m1["std"], 0.05, abs_tol=1e-9)
+    cons = h["ordering_consistency"]["greedy"]
+    assert cons["m1_worst_wer"]["count"] == "2/2"
+    assert cons["m5_beats_m2_wer"]["count"] == "1/2"
+    assert cons["m5_beats_m2_wer"]["seeds"] == ["seed0"]
+    # paired gains are negative (aux arms beat the baseline) in the mean
+    assert h["paired_gain_vs_m1"]["m2_minus_m1"]["greedy_wer"]["mean"] < 0
+    assert h["paired_gain_vs_m1"]["m5_minus_m1"]["greedy_wer"]["mean"] < 0
+
+
+def test_ab_ranking_and_per_seed_best():
+    a = summarize_ab(_ab_doc())
+    assert a["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
+    assert a["arm_ranking_by_mean_wer"][-1] == "scratch"
+    # seed 0: damped 0.06 best; seed 1: damped 0.08 best; seed 2: scratch 0.05
+    assert a["best_arm_by_seed"] == [
+        "post_SAE_damped_0.1", "post_SAE_damped_0.1", "scratch"
+    ]
+
+
+def test_build_summary_on_real_artifacts():
+    """The shipped artifacts parse and pool without error, and the summary
+    states both conclusions."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "docs", "GAIN_M1_VS_M5.json")) as f:
+        gain = json.load(f)
+    with open(os.path.join(repo, "docs", "GAIN_AB.json")) as f:
+        ab = json.load(f)
+    s = build_summary(gain, ab)
+    assert s["head_to_head"]["n_seeds"] >= 2
+    assert s["controlled_ab"]["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
+    assert len(s["conclusions"]) == 2
