@@ -142,13 +142,23 @@ def conclusions(h2h: dict, ab: dict) -> list:
     out = []
     if h2h.get("n_seeds", 0) >= 2:
         g = h2h["ordering_consistency"]["greedy"]
+        n = h2h["n_seeds"]
+        n_gain = len(g["m1_worst_wer"]["seeds"])
+        n_margin = len(g["m5_beats_m2_wer"]["seeds"])
+
+        def qual(k):  # data-driven wording — never overstate
+            if k == n:
+                return "seed-robust"
+            if k > n / 2:
+                return "majority-of-seeds"
+            return "seed-dependent"
+
         out.append(
             "Semi-supervised GAIN (m1 worst greedy WER): "
-            f"{g['m1_worst_wer']['count']} seeds; "
+            f"{g['m1_worst_wer']['count']} seeds ({qual(n_gain)}); "
             "M5-best MARGIN (m5 <= m2 greedy WER): "
-            f"{g['m5_beats_m2_wer']['count']} seeds — "
-            "the gain is the seed-robust claim; the margin is the "
-            "seed-dependent one at this synthetic scale."
+            f"{g['m5_beats_m2_wer']['count']} seeds ({qual(n_margin)}) "
+            "at this synthetic scale."
         )
     rank = ab.get("arm_ranking_by_mean_wer", [])
     if rank:
