@@ -64,10 +64,32 @@ def head_to_head_seed_blocks(gain: dict, budget: str = "labeled_64"):
     return out
 
 
-def summarize_head_to_head(gain: dict, budget: str = "labeled_64") -> dict:
-    seeds = head_to_head_seed_blocks(gain, budget)
+def _models_in(block: dict):
+    """Model-menu entries inside one seed block, in insertion order.
+
+    A compare() result also carries derived ``gain_<m>_minus_<base>``
+    sub-dicts whose keys look like model metrics — those are differences,
+    not arms, and must not be pooled as models.
+    """
+    return [k for k, v in block.items()
+            if isinstance(v, dict) and "greedy_wer" in v
+            and not k.startswith("gain_")]
+
+
+def pool_seed_blocks(seeds, base: str | None = None) -> dict:
+    """Pool [(seed_label, {model: {mode_metric: x}})] into per-model
+    mean/std, per-seed ordering-consistency counts, and paired gains.
+
+    The two claims under test (thesis Tables 6.5-6.12):
+      (a) GAIN — the baseline (first model, usually m1) is the worst arm;
+      (b) MARGIN — each later menu entry beats each earlier aux entry
+          (for m1,m2,m5 this is the thesis' M5-best ordering).
+    """
     if not seeds:
         return {"n_seeds": 0}
+    models = _models_in(seeds[0][1])
+    base = base or models[0]
+    aux = [m for m in models if m != base]
     pooled = {
         model: {
             f"{mode}_{met}": _mean_std(
@@ -75,45 +97,54 @@ def summarize_head_to_head(gain: dict, budget: str = "labeled_64") -> dict:
             )
             for mode in MODES
             for met in ("wer", "acc", "cer")
+            if all(f"{mode}_{met}" in blk[model] for _, blk in seeds)
         }
-        for model in MODELS
+        for model in models
     }
-    # Per-seed ordering checks, the two claims under test:
-    #  (a) GAIN: the supervised baseline m1 is the worst arm (highest WER)
-    #  (b) MARGIN: m5 beats m2 (the thesis' M5-best ordering, Table 6.12)
     consistency = {}
     for mode in MODES:
         k = f"{mode}_wer"
-        gain_hits = [
-            s for s, blk in seeds
-            if blk["m1"][k] >= max(blk["m2"][k], blk["m5"][k])
-        ]
-        margin_hits = [s for s, blk in seeds if blk["m5"][k] <= blk["m2"][k]]
-        consistency[mode] = {
-            "m1_worst_wer": {"seeds": gain_hits,
-                             "count": f"{len(gain_hits)}/{len(seeds)}"},
-            "m5_beats_m2_wer": {"seeds": margin_hits,
-                                "count": f"{len(margin_hits)}/{len(seeds)}"},
-        }
-    # Paired per-seed gains (aux arm minus baseline), pooled.
+        if not all(k in blk[m] for _, blk in seeds for m in models):
+            continue
+        row = {}
+        if aux:
+            hits = [s for s, blk in seeds
+                    if blk[base][k] >= max(blk[m][k] for m in aux)]
+            row[f"{base}_worst_wer"] = {
+                "seeds": hits, "count": f"{len(hits)}/{len(seeds)}"}
+        for i, a in enumerate(aux):
+            for b in aux[i + 1:]:
+                hits = [s for s, blk in seeds if blk[b][k] <= blk[a][k]]
+                row[f"{b}_beats_{a}_wer"] = {
+                    "seeds": hits, "count": f"{len(hits)}/{len(seeds)}"}
+        consistency[mode] = row
     gains = {
-        f"{arm}_minus_m1": {
+        f"{arm}_minus_{base}": {
             f"{mode}_wer": _mean_std(
-                [blk[arm][f"{mode}_wer"] - blk["m1"][f"{mode}_wer"]
+                [blk[arm][f"{mode}_wer"] - blk[base][f"{mode}_wer"]
                  for _, blk in seeds]
             )
             for mode in MODES
+            if all(f"{mode}_wer" in blk[m] for _, blk in seeds
+                   for m in (arm, base))
         }
-        for arm in ("m2", "m5")
+        for arm in aux
     }
     return {
-        "budget": budget,
         "n_seeds": len(seeds),
         "seeds": [s for s, _ in seeds],
+        "base": base,
         "pooled": pooled,
         "ordering_consistency": consistency,
-        "paired_gain_vs_m1": gains,
+        f"paired_gain_vs_{base}": gains,
     }
+
+
+def summarize_head_to_head(gain: dict, budget: str = "labeled_64") -> dict:
+    seeds = head_to_head_seed_blocks(gain, budget)
+    out = pool_seed_blocks(seeds, base="m1" if seeds else None)
+    out["budget"] = budget
+    return out
 
 
 def summarize_ab(ab: dict) -> dict:
@@ -143,8 +174,11 @@ def conclusions(h2h: dict, ab: dict) -> list:
     if h2h.get("n_seeds", 0) >= 2:
         g = h2h["ordering_consistency"]["greedy"]
         n = h2h["n_seeds"]
-        n_gain = len(g["m1_worst_wer"]["seeds"])
-        n_margin = len(g["m5_beats_m2_wer"]["seeds"])
+        base = h2h.get("base", "m1")
+        margin_keys = [k for k in g if k.endswith("_wer")
+                       and k != f"{base}_worst_wer"]
+        n_gain = len(g[f"{base}_worst_wer"]["seeds"])
+        n_margin = len(g[margin_keys[0]]["seeds"]) if margin_keys else 0
 
         def qual(k):  # data-driven wording — never overstate
             if k == n:
@@ -153,13 +187,13 @@ def conclusions(h2h: dict, ab: dict) -> list:
                 return "majority-of-seeds"
             return "seed-dependent"
 
-        out.append(
-            "Semi-supervised GAIN (m1 worst greedy WER): "
-            f"{g['m1_worst_wer']['count']} seeds ({qual(n_gain)}); "
-            "M5-best MARGIN (m5 <= m2 greedy WER): "
-            f"{g['m5_beats_m2_wer']['count']} seeds ({qual(n_margin)}) "
-            "at this synthetic scale."
-        )
+        msg = (f"Semi-supervised GAIN ({base} worst greedy WER): "
+               f"{g[f'{base}_worst_wer']['count']} seeds ({qual(n_gain)})")
+        if margin_keys:
+            b, a = margin_keys[0][:-len("_wer")].split("_beats_")
+            msg += (f"; {b.upper()}-best MARGIN ({b} <= {a} greedy WER): "
+                    f"{g[margin_keys[0]]['count']} seeds ({qual(n_margin)})")
+        out.append(msg + " at this synthetic scale.")
     rank = ab.get("arm_ranking_by_mean_wer", [])
     if rank:
         out.append(

@@ -504,6 +504,12 @@ def main():
     c.add_argument("--batch", type=int, default=32)
     c.add_argument("--lm-weight", type=float, default=0.1)
     c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--seeds", default=None, metavar="K0,K1,...",
+                   help="run the full compare once per seed (fresh corpus "
+                        "draw + training RNG, work/seed<k> subdirs) and pool "
+                        "per-seed ordering statistics "
+                        "(benchmarks/gain_stats.pool_seed_blocks); "
+                        "overrides --seed")
     c.add_argument("--sr", type=int, default=16000)
     c.add_argument("--seed-epochs", type=int, default=2)
     c.add_argument("--seed-its", type=int, default=1)
@@ -543,14 +549,7 @@ def _dispatch(ap, args):
                    seed_its=args.seed_its, labeled_utts=args.labeled_utts,
                    sae_listener_lr_scale=args.sae_listener_lr_scale)
     if args.cmd == "compare":
-        index, wav_dir, lm_corpus, sr = (
-            args.index, args.wav_dir, args.lm_corpus, args.sr)
-        if args.synthetic:
-            os.makedirs(args.work, exist_ok=True)
-            index, wav_dir, lm_corpus, _ = build_gain_corpus(
-                args.work, args.synthetic, seed=args.seed)
-            sr = 8000
-        elif not (index and wav_dir):
+        if not args.synthetic and not (args.index and args.wav_dir):
             ap.error("compare needs --index/--wav-dir or --synthetic N")
         # --size applies to real corpora too (quick pipeline checks);
         # flagship = run()'s default thesis-scale model
@@ -565,13 +564,47 @@ def _dispatch(ap, args):
                      f"choose from {sorted(MODEL_STAGES)}")
         if len(set(models)) != len(models):
             ap.error(f"--models: duplicate entries in {args.models!r}")
-        return compare(index, wav_dir, args.work, args.hours, lm_corpus,
-                       args.epochs, args.lm_epochs, args.batch, mdl=mdl,
-                       lm_weight=args.lm_weight, seed=args.seed, sr=sr,
-                       max_decode_steps=args.max_decode_steps,
-                       seed_epochs=args.seed_epochs, seed_its=args.seed_its,
-                       labeled_utts=args.labeled_utts, models=models,
-                       sae_listener_lr_scale=args.sae_listener_lr_scale)
+        try:
+            seed_list = ([int(s) for s in args.seeds.split(",") if s.strip()]
+                         if args.seeds else [args.seed])
+        except ValueError:
+            ap.error(f"--seeds: expected comma-separated ints, got "
+                     f"{args.seeds!r}")
+        if len(seed_list) != len(set(seed_list)):
+            ap.error(f"--seeds: duplicate entries in {args.seeds!r}")
+
+        def one_compare(seed: int, work: str) -> dict:
+            index, wav_dir, lm_corpus, sr = (
+                args.index, args.wav_dir, args.lm_corpus, args.sr)
+            if args.synthetic:
+                os.makedirs(work, exist_ok=True)
+                # each seed draws its own corpus — the sweep varies corpus
+                # AND training RNG together, like independent replications
+                index, wav_dir, lm_corpus, _ = build_gain_corpus(
+                    work, args.synthetic, seed=seed)
+                sr = 8000
+            return compare(index, wav_dir, work, args.hours, lm_corpus,
+                           args.epochs, args.lm_epochs, args.batch, mdl=mdl,
+                           lm_weight=args.lm_weight, seed=seed, sr=sr,
+                           max_decode_steps=args.max_decode_steps,
+                           seed_epochs=args.seed_epochs,
+                           seed_its=args.seed_its,
+                           labeled_utts=args.labeled_utts, models=models,
+                           sae_listener_lr_scale=args.sae_listener_lr_scale)
+
+        if len(seed_list) == 1:
+            return one_compare(seed_list[0], args.work)
+        from benchmarks.gain_stats import pool_seed_blocks
+
+        per_seed = {}
+        for k in seed_list:
+            per_seed[f"seed{k}"] = one_compare(
+                k, os.path.join(args.work, f"seed{k}"))
+            print(f"--seeds: seed {k} done", file=sys.stderr, flush=True)
+        pooled = pool_seed_blocks(sorted(per_seed.items(),
+                                         key=lambda kv: int(kv[0][4:])),
+                                  base=models[0])
+        return {"per_seed": per_seed, "pooled": pooled}
     return smoke(args.work, args.epochs, model=args.model)
 
 

@@ -100,5 +100,9 @@ def test_build_summary_on_real_artifacts():
         ab = json.load(f)
     s = build_summary(gain, ab)
     assert s["head_to_head"]["n_seeds"] >= 2
+    # derived gain_* diff blocks must not be pooled as model arms
+    assert sorted(s["head_to_head"]["pooled"]) == ["m1", "m2", "m5"]
+    assert sorted(s["head_to_head"]["ordering_consistency"]["greedy"]) == [
+        "m1_worst_wer", "m5_beats_m2_wer"]
     assert s["controlled_ab"]["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
     assert len(s["conclusions"]) == 2

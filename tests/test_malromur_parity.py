@@ -175,3 +175,73 @@ def test_sae_ab_infer_mdl_roundtrip(tmp_path):
     p = str(tmp_path / "asr.npz")
     save_pytree(p, params)
     assert infer_mdl(p) == mdl
+
+
+def test_compare_seeds_sweep(tmp_path, monkeypatch, capsys):
+    """--seeds K0,K1 runs one full compare per seed in work/seed<k> subdirs
+    (fresh corpus draw per seed) and pools per-seed ordering stats."""
+    import json
+    import sys
+
+    from benchmarks import malromur_parity as mp
+
+    wer = {  # seed 0: m5 wins; seed 1: m5 loses — consistency must read 1/2
+        0: {"m1": 0.5, "m5": 0.4},
+        1: {"m1": 0.6, "m5": 0.65},
+    }
+    calls = []
+
+    def fake_run(index, wav_dir, work, *a, **k):
+        calls.append((k["model"], k["seed"], work))
+        w = wer[k["seed"]][k["model"]]
+        return {f"{mode}_{met}": (w if met != "acc" else 1 - w)
+                for mode in ("greedy", "beam8", "beam8_lm")
+                for met in ("wer", "acc", "cer")}
+
+    corpus_seeds = []
+
+    def fake_corpus(work, n, seed=0):
+        corpus_seeds.append(seed)
+        os.makedirs(work, exist_ok=True)
+        return "idx", "wavs", "lm", None
+
+    monkeypatch.setattr(mp, "run", fake_run)
+    monkeypatch.setattr(mp, "build_gain_corpus", fake_corpus)
+    monkeypatch.setattr(sys, "argv", [
+        "malromur_parity.py", "compare", "--work", str(tmp_path),
+        "--synthetic", "8", "--seeds", "0,1", "--models", "m1,m5"])
+    mp.main()
+    out = json.loads(capsys.readouterr().out)
+    assert sorted(out["per_seed"]) == ["seed0", "seed1"]
+    assert out["pooled"]["n_seeds"] == 2
+    cons = out["pooled"]["ordering_consistency"]["greedy"]
+    assert cons["m1_worst_wer"]["count"] == "1/2"
+    assert corpus_seeds == [0, 1]
+    # each seed ran in its own namespaced work dir
+    works = {w for _, s, w in calls}
+    assert {os.path.basename(w) for w in works} == {"seed0", "seed1"}
+
+
+def test_compare_single_seed_backcompat(tmp_path, monkeypatch, capsys):
+    """Without --seeds the compare output shape is unchanged (no per_seed
+    wrapper) and the work dir is used directly."""
+    import json
+    import sys
+
+    from benchmarks import malromur_parity as mp
+
+    def fake_run(index, wav_dir, work, *a, **k):
+        assert os.path.basename(work) != "seed0"
+        return {"greedy_wer": 0.5 if k["model"] == "m1" else 0.4,
+                "greedy_acc": 0.5, "greedy_cer": 0.2}
+
+    monkeypatch.setattr(mp, "run", fake_run)
+    monkeypatch.setattr(mp, "build_gain_corpus",
+                        lambda work, n, seed=0: ("idx", "wavs", "lm", None))
+    monkeypatch.setattr(sys, "argv", [
+        "malromur_parity.py", "compare", "--work", str(tmp_path),
+        "--synthetic", "8", "--models", "m1,m5"])
+    mp.main()
+    out = json.loads(capsys.readouterr().out)
+    assert "per_seed" not in out
+    assert out["semi_supervised_helps"] is True
