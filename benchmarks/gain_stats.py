@@ -206,33 +206,49 @@ def conclusions(h2h: dict, ab: dict) -> list:
     return out
 
 
-def build_summary(gain: dict, ab: dict) -> dict:
+def build_summary(gain: dict, ab: dict, ab64: dict | None = None) -> dict:
     h2h = summarize_head_to_head(gain)
     abs_ = summarize_ab(ab)
-    return {
+    out = {
         "what": (
             "Pooled per-seed statistics over the recorded gain artifacts "
             "(docs/GAIN_M1_VS_M5.json head-to-head runs, docs/GAIN_AB.json "
-            "controlled fine-tune-init A/B). Regenerate with "
-            "benchmarks/gain_stats.py after adding seed runs."
+            "controlled fine-tune-init A/B, and docs/GAIN_AB_64.json — the "
+            "same A/B at the 64-labeled mid-error regime — when present). "
+            "Regenerate with benchmarks/gain_stats.py after adding seed runs."
         ),
         "head_to_head": h2h,
         "controlled_ab": abs_,
         "conclusions": conclusions(h2h, abs_),
     }
+    if ab64:
+        s64 = summarize_ab(ab64)
+        out["controlled_ab_64"] = s64
+        rank = s64.get("arm_ranking_by_mean_wer", [])
+        if rank:
+            out["conclusions"].append(
+                "Controlled A/B at the 64-labeled mid-error regime, "
+                "mean-WER ranking (best first): " + " < ".join(rank) + "."
+            )
+    return out
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--gain", default=os.path.join(REPO, "docs", "GAIN_M1_VS_M5.json"))
     ap.add_argument("--ab", default=os.path.join(REPO, "docs", "GAIN_AB.json"))
+    ap.add_argument("--ab64", default=os.path.join(REPO, "docs", "GAIN_AB_64.json"))
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "GAIN_SUMMARY.json"))
     args = ap.parse_args(argv)
     with open(args.gain) as f:
         gain = json.load(f)
     with open(args.ab) as f:
         ab = json.load(f)
-    summary = build_summary(gain, ab)
+    ab64 = None
+    if os.path.exists(args.ab64):
+        with open(args.ab64) as f:
+            ab64 = json.load(f)
+    summary = build_summary(gain, ab, ab64)
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     json.dump(summary["conclusions"], sys.stdout, indent=1)

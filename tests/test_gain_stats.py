@@ -106,3 +106,19 @@ def test_build_summary_on_real_artifacts():
         "m1_worst_wer", "m5_beats_m2_wer"]
     assert s["controlled_ab"]["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
     assert len(s["conclusions"]) == 2
+
+
+def test_build_summary_with_ab64():
+    """An optional 64-labeled A/B artifact adds a pooled section and a
+    conclusion line; absence changes nothing."""
+    gain, ab = _gain_doc(), _ab_doc()
+    ab64 = {"arms": {
+        "scratch": {"per_seed": {"s0": {"greedy_wer": 0.5}}},
+        "postSAEdamped": {"per_seed": {"s0": {"greedy_wer": 0.4}}},
+    }}
+    s = build_summary(gain, ab, ab64)
+    assert s["controlled_ab_64"]["arm_ranking_by_mean_wer"] == [
+        "postSAEdamped", "scratch"]
+    assert len(s["conclusions"]) == 3
+    assert "64-labeled" in s["conclusions"][-1]
+    assert "controlled_ab_64" not in build_summary(gain, ab, None)
