@@ -38,21 +38,27 @@ MODELS = ("m1", "m2", "m5")
 def _mean_std(xs):
     xs = [float(x) for x in xs]
     n = len(xs)
+    if n == 0:
+        return {"mean": None, "std": None, "n": 0}
     m = sum(xs) / n
     var = sum((x - m) ** 2 for x in xs) / n  # population: seeds ARE the set
     return {"mean": round(m, 4), "std": round(math.sqrt(var), 4), "n": n}
 
 
 def head_to_head_seed_blocks(gain: dict, budget: str = "labeled_64"):
-    """[(seed_label, {m1:{...}, m2:{...}, m5:{...}}), ...] for one budget.
+    """[(seed_label, {m1:{...}, m2:{...}, ...}), ...] for one budget.
 
     The first run at a budget is stored under the bare budget key (that run's
     seed is the harness default, 0); re-runs append ``_seed<k>`` suffixes.
+    A block must carry at least two model arms to be poolable (partial menus
+    are allowed — pool_seed_blocks intersects and records drops). A bare-key
+    block coexisting with an explicit ``_seed0`` re-run is ambiguous (same
+    seed recorded twice) and raises rather than double-counting.
     """
     rerun = gain.get("round3d_rerun", {})
     out = []
     for key, block in rerun.items():
-        if not isinstance(block, dict) or not all(m in block for m in MODELS):
+        if not isinstance(block, dict) or len(_models_in(block)) < 2:
             continue
         if key == budget:
             out.append(("seed0", block))
@@ -60,6 +66,14 @@ def head_to_head_seed_blocks(gain: dict, budget: str = "labeled_64"):
             m = re.fullmatch(re.escape(budget) + r"_seed(\d+)", key)
             if m:
                 out.append((f"seed{m.group(1)}", block))
+    labels = [s for s, _ in out]
+    if len(labels) != len(set(labels)):
+        dup = sorted({s for s in labels if labels.count(s) > 1})
+        raise ValueError(
+            f"duplicate seed labels {dup} under budget {budget!r}: the bare "
+            f"'{budget}' block IS seed 0 — record a seed-0 re-run by "
+            "replacing it, not by adding a _seed0 sibling"
+        )
     out.sort(key=lambda kv: int(kv[0][4:]))
     return out
 
@@ -81,15 +95,40 @@ def pool_seed_blocks(seeds, base: str | None = None) -> dict:
     mean/std, per-seed ordering-consistency counts, and paired gains.
 
     The two claims under test (thesis Tables 6.5-6.12):
-      (a) GAIN — the baseline (first model, usually m1) is the worst arm;
-      (b) MARGIN — each later menu entry beats each earlier aux entry
-          (for m1,m2,m5 this is the thesis' M5-best ordering).
+      (a) GAIN — the baseline (first model, usually m1) is STRICTLY the
+          worst arm;
+      (b) MARGIN — each later menu entry STRICTLY beats each earlier aux
+          entry (for m1,m2,m5 this is the thesis' M5-best ordering).
+    Exact WER ties count for neither direction — they are recorded in a
+    ``ties`` list so the x/N conclusion strings can never overstate.
+
+    Only models present in EVERY seed block are pooled (apples-to-apples);
+    anything dropped is recorded under ``dropped_models`` rather than
+    silently vanishing.
     """
     if not seeds:
         return {"n_seeds": 0}
     models = _models_in(seeds[0][1])
-    base = base or models[0]
+    in_all = set(models)
+    seen = set(models)
+    for _, blk in seeds[1:]:
+        ms = set(_models_in(blk))
+        in_all &= ms
+        seen |= ms
+    dropped = sorted(seen - in_all)
+    models = [m for m in models if m in in_all]
+    if base is not None and base not in in_all:
+        raise ValueError(f"base model {base!r} missing from some seed "
+                         f"blocks (pooled models: {models})")
+    base = base or (models[0] if models else None)
     aux = [m for m in models if m != base]
+
+    def tally(hit_seeds, tie_seeds):
+        row = {"seeds": hit_seeds, "count": f"{len(hit_seeds)}/{len(seeds)}"}
+        if tie_seeds:
+            row["ties"] = tie_seeds
+        return row
+
     pooled = {
         model: {
             f"{mode}_{met}": _mean_std(
@@ -108,15 +147,18 @@ def pool_seed_blocks(seeds, base: str | None = None) -> dict:
             continue
         row = {}
         if aux:
-            hits = [s for s, blk in seeds
-                    if blk[base][k] >= max(blk[m][k] for m in aux)]
-            row[f"{base}_worst_wer"] = {
-                "seeds": hits, "count": f"{len(hits)}/{len(seeds)}"}
+            row[f"{base}_worst_wer"] = tally(
+                [s for s, blk in seeds
+                 if blk[base][k] > max(blk[m][k] for m in aux)],
+                [s for s, blk in seeds
+                 if blk[base][k] == max(blk[m][k] for m in aux)],
+            )
         for i, a in enumerate(aux):
             for b in aux[i + 1:]:
-                hits = [s for s, blk in seeds if blk[b][k] <= blk[a][k]]
-                row[f"{b}_beats_{a}_wer"] = {
-                    "seeds": hits, "count": f"{len(hits)}/{len(seeds)}"}
+                row[f"{b}_beats_{a}_wer"] = tally(
+                    [s for s, blk in seeds if blk[b][k] < blk[a][k]],
+                    [s for s, blk in seeds if blk[b][k] == blk[a][k]],
+                )
         consistency[mode] = row
     gains = {
         f"{arm}_minus_{base}": {
@@ -130,7 +172,7 @@ def pool_seed_blocks(seeds, base: str | None = None) -> dict:
         }
         for arm in aux
     }
-    return {
+    out = {
         "n_seeds": len(seeds),
         "seeds": [s for s, _ in seeds],
         "base": base,
@@ -138,6 +180,9 @@ def pool_seed_blocks(seeds, base: str | None = None) -> dict:
         "ordering_consistency": consistency,
         f"paired_gain_vs_{base}": gains,
     }
+    if dropped:
+        out["dropped_models"] = dropped
+    return out
 
 
 def summarize_head_to_head(gain: dict, budget: str = "labeled_64") -> dict:
@@ -147,26 +192,46 @@ def summarize_head_to_head(gain: dict, budget: str = "labeled_64") -> dict:
     return out
 
 
+def _seed_id(key: str):
+    """Fine-tune seed id from a per_seed key like 'scratch_s0' / 's2'."""
+    m = re.search(r"(?:^|_)s(\d+)$", key)
+    return int(m.group(1)) if m else None
+
+
 def summarize_ab(ab: dict) -> dict:
     arms = ab.get("arms", {})
     pooled = {}
-    per_seed_wer = {}
+    per_seed_wer = {}  # arm -> {seed_id: wer}
+    skipped = []
     for arm, rec in arms.items():
-        wers = [v["greedy_wer"] for v in rec["per_seed"].values()]
-        pooled[arm] = {"greedy_wer": _mean_std(wers)}
+        if not rec.get("per_seed"):
+            skipped.append(arm)  # recorded-then-pruned arm: visible, not fatal
+            continue
+        wers = {}
+        for key, v in rec["per_seed"].items():
+            sid = _seed_id(key)
+            if sid is None:  # unparsable key — positional fallback
+                sid = len(wers)
+            wers[sid] = v["greedy_wer"]
+        pooled[arm] = {"greedy_wer": _mean_std(list(wers.values()))}
         per_seed_wer[arm] = wers
     ranking = sorted(pooled, key=lambda a: pooled[a]["greedy_wer"]["mean"])
-    # per-seed best arm (seeds are aligned: every arm ran fine-tune seeds
-    # 0..n-1 on the identical corpus/budget)
-    n = min(len(v) for v in per_seed_wer.values()) if per_seed_wer else 0
+    # per-seed best arm, matched BY SEED ID across arms (dict/key order is
+    # not alignment) over the ids every arm ran
+    common = (sorted(set.intersection(*(set(v) for v in per_seed_wer.values())))
+              if per_seed_wer else [])
     best_by_seed = [
-        min(per_seed_wer, key=lambda a: per_seed_wer[a][i]) for i in range(n)
+        min(per_seed_wer, key=lambda a: per_seed_wer[a][i]) for i in common
     ]
-    return {
+    out = {
         "pooled": pooled,
         "arm_ranking_by_mean_wer": ranking,
         "best_arm_by_seed": best_by_seed,
+        "aligned_seed_ids": common,
     }
+    if skipped:
+        out["skipped_empty_arms"] = skipped
+    return out
 
 
 def conclusions(h2h: dict, ab: dict) -> list:
@@ -178,7 +243,6 @@ def conclusions(h2h: dict, ab: dict) -> list:
         margin_keys = [k for k in g if k.endswith("_wer")
                        and k != f"{base}_worst_wer"]
         n_gain = len(g[f"{base}_worst_wer"]["seeds"])
-        n_margin = len(g[margin_keys[0]]["seeds"]) if margin_keys else 0
 
         def qual(k):  # data-driven wording — never overstate
             if k == n:
@@ -187,12 +251,13 @@ def conclusions(h2h: dict, ab: dict) -> list:
                 return "majority-of-seeds"
             return "seed-dependent"
 
-        msg = (f"Semi-supervised GAIN ({base} worst greedy WER): "
+        msg = (f"Semi-supervised GAIN ({base} strictly worst greedy WER): "
                f"{g[f'{base}_worst_wer']['count']} seeds ({qual(n_gain)})")
-        if margin_keys:
-            b, a = margin_keys[0][:-len("_wer")].split("_beats_")
-            msg += (f"; {b.upper()}-best MARGIN ({b} <= {a} greedy WER): "
-                    f"{g[margin_keys[0]]['count']} seeds ({qual(n_margin)})")
+        for mk in margin_keys:  # every aux pair, none silently dropped
+            b, a = mk[:-len("_wer")].split("_beats_")
+            n_m = len(g[mk]["seeds"])
+            msg += (f"; {b.upper()}-best MARGIN ({b} < {a} greedy WER): "
+                    f"{g[mk]['count']} seeds ({qual(n_m)})")
         out.append(msg + " at this synthetic scale.")
     rank = ab.get("arm_ranking_by_mean_wer", [])
     if rank:

@@ -509,7 +509,11 @@ def main():
                         "draw + training RNG, work/seed<k> subdirs) and pool "
                         "per-seed ordering statistics "
                         "(benchmarks/gain_stats.pool_seed_blocks); "
-                        "overrides --seed")
+                        "overrides --seed. Output is always the "
+                        "{per_seed, pooled} wrapper, even for one entry. "
+                        "NB real (--index) corpora re-preprocess per seed "
+                        "(each subdir is self-contained); for big corpora "
+                        "preprocess once and sweep --seed in separate runs")
     c.add_argument("--sr", type=int, default=16000)
     c.add_argument("--seed-epochs", type=int, default=2)
     c.add_argument("--seed-its", type=int, default=1)
@@ -564,12 +568,16 @@ def _dispatch(ap, args):
                      f"choose from {sorted(MODEL_STAGES)}")
         if len(set(models)) != len(models):
             ap.error(f"--models: duplicate entries in {args.models!r}")
+        sweep = args.seeds is not None
         try:
             seed_list = ([int(s) for s in args.seeds.split(",") if s.strip()]
-                         if args.seeds else [args.seed])
+                         if sweep else [args.seed])
         except ValueError:
             ap.error(f"--seeds: expected comma-separated ints, got "
                      f"{args.seeds!r}")
+        if sweep and not seed_list:
+            # an empty $SEEDS expansion must not read as a successful sweep
+            ap.error(f"--seeds: no seeds in {args.seeds!r}")
         if len(seed_list) != len(set(seed_list)):
             ap.error(f"--seeds: duplicate entries in {args.seeds!r}")
 
@@ -592,7 +600,7 @@ def _dispatch(ap, args):
                            labeled_utts=args.labeled_utts, models=models,
                            sae_listener_lr_scale=args.sae_listener_lr_scale)
 
-        if len(seed_list) == 1:
+        if not sweep:
             return one_compare(seed_list[0], args.work)
         from benchmarks.gain_stats import pool_seed_blocks
 

@@ -122,3 +122,64 @@ def test_build_summary_with_ab64():
     assert len(s["conclusions"]) == 3
     assert "64-labeled" in s["conclusions"][-1]
     assert "controlled_ab_64" not in build_summary(gain, ab, None)
+
+
+def test_pool_intersects_partial_menus_and_records_drops():
+    """A seed block recorded with a smaller model menu pools over the
+    intersection; the dropped arm is visible, not silent."""
+    from benchmarks.gain_stats import pool_seed_blocks
+
+    full = _block(0.5, 0.44, 0.42)
+    partial = {k: v for k, v in _block(0.6, 0.5, 0.53).items() if k != "m2"}
+    p = pool_seed_blocks([("seed0", full), ("seed1", partial)], base="m1")
+    assert sorted(p["pooled"]) == ["m1", "m5"]
+    assert p["dropped_models"] == ["m2"]
+    # and a base missing from some block is an error, not a KeyError deep in
+    import pytest
+    no_base = {k: v for k, v in full.items() if k != "m1"}
+    with pytest.raises(ValueError):
+        pool_seed_blocks([("seed0", full), ("seed1", no_base)], base="m1")
+
+
+def test_ties_count_for_neither_claim():
+    from benchmarks.gain_stats import pool_seed_blocks
+
+    tied = _block(0.5, 0.5, 0.5)  # three-way tie
+    p = pool_seed_blocks([("seed0", tied)], base="m1")
+    g = p["ordering_consistency"]["greedy"]
+    assert g["m1_worst_wer"]["count"] == "0/1"
+    assert g["m1_worst_wer"]["ties"] == ["seed0"]
+    assert g["m5_beats_m2_wer"]["count"] == "0/1"
+    assert g["m5_beats_m2_wer"]["ties"] == ["seed0"]
+
+
+def test_duplicate_seed0_blocks_raise():
+    import pytest
+
+    doc = _gain_doc()
+    doc["round3d_rerun"]["labeled_64_seed0"] = _block(0.1, 0.2, 0.3)
+    with pytest.raises(ValueError, match="duplicate seed labels"):
+        head_to_head_seed_blocks(doc, "labeled_64")
+
+
+def test_ab_aligns_by_seed_id_not_key_order():
+    """Arms whose per_seed dicts are serialized in different orders (or with
+    different key prefixes) still pair the SAME fine-tune seed."""
+    ab = {"arms": {
+        "A": {"per_seed": {"A_s0": {"greedy_wer": 0.1},
+                           "A_s1": {"greedy_wer": 0.9}}},
+        # B serialized s1-first: positional pairing would swap the winners
+        "B": {"per_seed": {"B_s1": {"greedy_wer": 0.05},
+                           "B_s0": {"greedy_wer": 0.95}}},
+    }}
+    a = summarize_ab(ab)
+    assert a["aligned_seed_ids"] == [0, 1]
+    assert a["best_arm_by_seed"] == ["A", "B"]
+
+
+def test_ab_skips_empty_arm():
+    ab = _ab_doc()
+    ab["arms"]["pruned"] = {"per_seed": {}}
+    a = summarize_ab(ab)
+    assert a["skipped_empty_arms"] == ["pruned"]
+    assert "pruned" not in a["pooled"]

@@ -245,3 +245,28 @@ def test_compare_single_seed_backcompat(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out)
     assert "per_seed" not in out
     assert out["semi_supervised_helps"] is True
+
+
+def test_compare_seeds_single_entry_keeps_wrapper(tmp_path, monkeypatch, capsys):
+    """--seeds with ONE entry still produces the {per_seed, pooled} schema
+    and the seed<k> subdir — scripts reading result['pooled'] never break."""
+    import json
+    import sys
+
+    from benchmarks import malromur_parity as mp
+
+    def fake_run(index, wav_dir, work, *a, **k):
+        assert os.path.basename(work) == "seed3"
+        return {"greedy_wer": 0.5 if k["model"] == "m1" else 0.4,
+                "greedy_acc": 0.5, "greedy_cer": 0.2}
+
+    monkeypatch.setattr(mp, "run", fake_run)
+    monkeypatch.setattr(mp, "build_gain_corpus",
+                        lambda work, n, seed=0: ("idx", "wavs", "lm", None))
+    monkeypatch.setattr(sys, "argv", [
+        "malromur_parity.py", "compare", "--work", str(tmp_path),
+        "--synthetic", "8", "--seeds", "3", "--models", "m1,m5"])
+    mp.main()
+    out = json.loads(capsys.readouterr().out)
+    assert sorted(out["per_seed"]) == ["seed3"]
+    assert out["pooled"]["n_seeds"] == 1
