@@ -211,6 +211,52 @@ def _find_labeled_index(work: str) -> str:
     return os.path.join(proc, "train.tsv")
 
 
+ARM_LABELS = {  # raw run_ab arm prefixes -> recorded-artifact arm names
+    "scratch": "scratch",
+    "postTAE": "post_TAE",
+    "postSAE": "post_SAE_parity",
+    "postSAEdamped": "post_SAE_damped",
+}
+
+
+def shape_for_record(results: dict, damped_scale: float = 0.1,
+                     what: str | None = None,
+                     regime: dict | None = None) -> dict:
+    """Raw run_ab() output -> the docs/GAIN_AB*.json layout
+    (``arms.<name>.per_seed`` + per-arm mean/range), poolable by
+    benchmarks/gain_stats.summarize_ab."""
+    def label_for(prefix: str) -> str:
+        label = ARM_LABELS.get(prefix, prefix)
+        if label == "post_SAE_damped":
+            label = f"post_SAE_damped_{damped_scale}"
+        return label
+
+    arms: dict = {}
+    for key, rec in results.items():
+        if "_s" not in key or "metrics" not in rec:
+            continue
+        prefix, seed = key.rsplit("_s", 1)
+        label = label_for(prefix)
+        entry = dict(rec["metrics"])
+        if "final_saturation" in rec:
+            entry["final_saturation"] = rec["final_saturation"]
+        arms.setdefault(label, {"per_seed": {}})["per_seed"][key] = entry
+    for rec in arms.values():
+        wers = [v["greedy_wer"] for v in rec["per_seed"].values()]
+        rec["greedy_wer_mean"] = round(sum(wers) / len(wers), 4)
+        rec["greedy_wer_range"] = [min(wers), max(wers)]
+    out = {}
+    if what:
+        out["what"] = what
+    if regime:
+        out["regime"] = regime
+    if "init_saturation" in results:
+        out["init_saturation"] = {
+            label_for(k): v for k, v in results["init_saturation"].items()}
+    out["arms"] = arms
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", required=True,

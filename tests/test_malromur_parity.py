@@ -270,3 +270,33 @@ def test_compare_seeds_single_entry_keeps_wrapper(tmp_path, monkeypatch, capsys)
     out = json.loads(capsys.readouterr().out)
     assert sorted(out["per_seed"]) == ["seed3"]
     assert out["pooled"]["n_seeds"] == 1
+
+
+def test_sae_ab_shape_for_record():
+    """Raw run_ab output reshapes into the GAIN_AB artifact layout and is
+    poolable by gain_stats.summarize_ab."""
+    from benchmarks.gain_stats import summarize_ab
+    from benchmarks.sae_poisoning_ab import shape_for_record
+
+    raw = {
+        "init_saturation": {"postTAE": {"frac_gt_099": 0.0},
+                            "postSAE": {"frac_gt_099": 0.02},
+                            "postSAEdamped": {"frac_gt_099": 0.0}},
+        "scratch_s0": {"metrics": {"greedy_wer": 0.10, "greedy_acc": 0.9},
+                       "final_saturation": {"frac_gt_099": 0.001}},
+        "scratch_s1": {"metrics": {"greedy_wer": 0.20, "greedy_acc": 0.8},
+                       "final_saturation": {"frac_gt_099": 0.0}},
+        "postSAEdamped_s0": {"metrics": {"greedy_wer": 0.05},
+                             "final_saturation": {"frac_gt_099": 0.0}},
+        "postSAEdamped_s1": {"metrics": {"greedy_wer": 0.07},
+                             "final_saturation": {"frac_gt_099": 0.0}},
+    }
+    doc = shape_for_record(raw, damped_scale=0.1, what="w", regime={"r": 1})
+    assert sorted(doc["arms"]) == ["post_SAE_damped_0.1", "scratch"]
+    assert doc["arms"]["scratch"]["greedy_wer_mean"] == 0.15
+    assert doc["arms"]["scratch"]["greedy_wer_range"] == [0.10, 0.20]
+    assert doc["init_saturation"]["post_SAE_parity"]["frac_gt_099"] == 0.02
+    assert doc["init_saturation"]["post_SAE_damped_0.1"]["frac_gt_099"] == 0.0
+    s = summarize_ab(doc)
+    assert s["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
+    assert s["best_arm_by_seed"] == ["post_SAE_damped_0.1"] * 2
