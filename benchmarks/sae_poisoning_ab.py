@@ -221,12 +221,20 @@ ARM_LABELS = {  # raw run_ab arm prefixes -> recorded-artifact arm names
 
 def shape_for_record(results: dict, damped_scale: float = 0.1,
                      what: str | None = None,
-                     regime: dict | None = None) -> dict:
+                     regime: dict | None = None,
+                     labels: dict | None = None) -> dict:
     """Raw run_ab() output -> the docs/GAIN_AB*.json layout
     (``arms.<name>.per_seed`` + per-arm mean/range), poolable by
-    benchmarks/gain_stats.summarize_ab."""
+    benchmarks/gain_stats.summarize_ab.
+
+    ``labels`` overrides the default raw-prefix -> arm-name mapping — e.g.
+    when the producing compare run was ITSELF damped, its asr_2 is not a
+    parity checkpoint and the 'postSAE' arm must not be recorded as one.
+    """
+    label_map = dict(ARM_LABELS, **(labels or {}))
+
     def label_for(prefix: str) -> str:
-        label = ARM_LABELS.get(prefix, prefix)
+        label = label_map.get(prefix, prefix)
         if label == "post_SAE_damped":
             label = f"post_SAE_damped_{damped_scale}"
         return label
@@ -261,7 +269,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", required=True,
                     help="a malromur_parity compare/run work dir that already "
-                         "holds result/m5/{asr_1,asr_2,char_lm}.npz")
+                         "holds result/m5/{asr_1,asr_2,char_lm}.npz. NB the "
+                         "'postSAE' arm inherits whatever "
+                         "--sae-listener-lr-scale the producing run used — "
+                         "it is only a reference-PARITY arm if that run used "
+                         "1.0 (verify via the recorded init_saturation probe: "
+                         "parity saturates, std~0.7; damped does not)")
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--seeds", default="0,1,2")
     ap.add_argument("--epochs", type=int, default=250)

@@ -300,3 +300,14 @@ def test_sae_ab_shape_for_record():
     s = summarize_ab(doc)
     assert s["arm_ranking_by_mean_wer"][0] == "post_SAE_damped_0.1"
     assert s["best_arm_by_seed"] == ["post_SAE_damped_0.1"] * 2
+
+
+def test_sae_ab_shape_labels_override():
+    """When the producing run was itself damped, its asr_2 is not parity —
+    the labels override records the honest arm name."""
+    from benchmarks.sae_poisoning_ab import shape_for_record
+
+    raw = {"postSAE_s0": {"metrics": {"greedy_wer": 0.3}}}
+    doc = shape_for_record(
+        raw, labels={"postSAE": "post_SAE_damped_0.1_from_run"})
+    assert list(doc["arms"]) == ["post_SAE_damped_0.1_from_run"]
