@@ -472,22 +472,26 @@ def _supervise() -> int:
     unrecoverable from inside. Hence this supervisor: the parent never
     touches jax; it spawns the actual benchmark as a child (same argv,
     ``_SS_ASR_BENCH_CHILD=1``), forwards its stderr live, and treats
-    "no stderr output for SS_ASR_BENCH_STALL_S seconds" (default 300;
+    "no stderr output for SS_ASR_BENCH_STALL_S seconds" (default 900;
     every compile and every timing rep logs a line, so healthy gaps are
-    bounded by one compile) as a relay hang: the child's process group is
-    killed and the bench re-runs once with JAX_PLATFORMS=cpu, whose JSON
-    then carries ``platform_fallback: "cpu"`` so a CPU number can never
-    masquerade as a TPU record. An explicit JAX_PLATFORMS env var is the
-    caller's decision — supervision is skipped entirely then.
+    bounded by one compile — but remote compile latency through the relay
+    is erratic, 15 s to ~17 min observed for same-size programs, so the
+    window must be generous) as a relay hang: the child's process group
+    is killed and the bench retries ONCE more on the relay (a transient
+    tunnel drop or a one-off slow compile usually clears), then falls
+    back to JAX_PLATFORMS=cpu, whose JSON carries
+    ``platform_fallback: "cpu"`` so a CPU number can never masquerade as
+    a TPU record. An explicit JAX_PLATFORMS env var is the caller's
+    decision — supervision is skipped entirely then.
     """
     import selectors
     import signal
     import subprocess
 
-    stall_s = float(os.environ.get("SS_ASR_BENCH_STALL_S", 300))
+    stall_s = float(os.environ.get("SS_ASR_BENCH_STALL_S", 900))
     poll_s = min(10.0, max(0.25, stall_s / 4))
 
-    for platform in (None, "cpu"):
+    for attempt, platform in enumerate((None, None, "cpu")):
         env = dict(os.environ)
         env[_CHILD_ENV] = "1"
         argv = list(sys.argv[1:])
@@ -505,6 +509,9 @@ def _supervise() -> int:
                 argv.append("--quick")
             log(f"supervisor: re-running bench on {platform} "
                 f"(quick shapes)")
+        elif attempt:
+            log("supervisor: retrying once on the relay before any "
+                "CPU fallback")
         proc = subprocess.Popen(
             [sys.executable, "-u", sys.argv[0], *argv],
             env=env,

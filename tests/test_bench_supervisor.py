@@ -68,6 +68,27 @@ def test_crashed_child_falls_back_to_cpu(tmp_path, monkeypatch, capfd):
     assert "rc=3" in err
 
 
+def test_transient_hang_recovers_on_relay_retry(tmp_path, monkeypatch, capfd):
+    """A one-off hang (slow compile / dropped tunnel) must get a second
+    relay attempt before any CPU fallback — a fallback-marked artifact
+    costs the round its TPU headline."""
+    marker = tmp_path / "first_attempt_done"
+    script = _write_child(tmp_path, f'''
+        import json, os, sys, time
+        assert os.environ.get("JAX_PLATFORMS") != "cpu", "fell back too early"
+        if not os.path.exists({str(marker)!r}):
+            open({str(marker)!r}, "w").close()
+            time.sleep(600)  # first attempt: silent hang
+        print(json.dumps({{"metric": "m", "value": 4.0}}))
+    ''')
+    rc = _run_supervise(monkeypatch, script)
+    out, err = capfd.readouterr()
+    assert rc == 0
+    assert json.loads(out)["value"] == 4.0
+    assert "retrying once on the relay" in err
+    assert "re-running bench on cpu" not in err
+
+
 def test_both_attempts_failing_emits_error_artifact(tmp_path, monkeypatch,
                                                     capfd):
     script = _write_child(tmp_path, '''
