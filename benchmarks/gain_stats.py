@@ -208,13 +208,22 @@ def summarize_ab(ab: dict) -> dict:
             skipped.append(arm)  # recorded-then-pruned arm: visible, not fatal
             continue
         wers = {}
+        skipped_keys = []
         for key, v in rec["per_seed"].items():
             sid = _seed_id(key)
-            if sid is None:  # unparsable key — positional fallback
-                sid = len(wers)
+            if sid is None:
+                # unparsable key: pool its WER but keep it OUT of the
+                # by-seed alignment under its raw key — a positional id
+                # could collide with a parsed seed id and silently
+                # overwrite that seed's WER in the pooled mean
+                skipped_keys.append(key)
+                sid = f"unaligned:{key}"
             wers[sid] = v["greedy_wer"]
         pooled[arm] = {"greedy_wer": _mean_std(list(wers.values()))}
-        per_seed_wer[arm] = wers
+        if skipped_keys:
+            pooled[arm]["unaligned_keys"] = skipped_keys
+        per_seed_wer[arm] = {k: w for k, w in wers.items()
+                             if isinstance(k, int)}
     ranking = sorted(pooled, key=lambda a: pooled[a]["greedy_wer"]["mean"])
     # per-seed best arm, matched BY SEED ID across arms (dict/key order is
     # not alignment) over the ids every arm ran
@@ -261,13 +270,21 @@ def conclusions(h2h: dict, ab: dict) -> list:
         out.append(msg + " at this synthetic scale.")
     rank = ab.get("arm_ranking_by_mean_wer", [])
     if rank:
-        out.append(
-            "Controlled A/B mean-WER ranking (best first): "
-            + " < ".join(rank)
-            + " — the damped TAE->SAE chain leads, reproducing the thesis' "
-            "M5-best ordering (Table 6.12) once the saturation guardrail "
-            "is on."
-        )
+        msg = ("Controlled A/B mean-WER ranking (best first): "
+               + " < ".join(rank))
+        # data-driven wording — the thesis-ordering claim is only true when
+        # the data shows it: a damped TAE->SAE arm must actually lead
+        if rank[0].startswith("post_SAE_damped"):
+            msg += (" — the damped TAE->SAE chain leads, reproducing the "
+                    "thesis' M5-best ordering (Table 6.12) once the "
+                    "saturation guardrail is on.")
+        elif rank[0] == "post_TAE":
+            msg += (" — the TAE-only chain leads; the thesis' M5-best "
+                    "(TAE->SAE) ordering does NOT reproduce on this data.")
+        elif rank[0] == "scratch":
+            msg += (" — the supervised-only baseline leads; no aux arm "
+                    "helps on this data.")
+        out.append(msg)
     return out
 
 

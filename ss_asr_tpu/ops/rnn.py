@@ -100,10 +100,12 @@ SPELL_IMPL = "auto"
 #: at H=768 and blew the 16 MB scoped-VMEM budget with the streams.  Fixed
 #: by holding W_hh in bf16 past ``pallas.lstm.WEIGHT_BF16_MIN_H`` (matches
 #: XLA's default bf16-input matmul precision — not a numerics downgrade)
-#: plus H-aware DMA chunk shrink (``_chunk_for``): H=768 (C=4) and H=1024
-#: (C=2) are probe-verified on v5e — compile, run, and match scan grads to
-#: cosine 1-1e-7 / rel-L2 ~3e-4.  "auto" falls back to scan above this;
-#: "pallas" still forces.
+#: plus H-aware DMA chunk shrink (``_chunk_for``): H=768 and H=1024 ship
+#: at C=2 (probe-verified on v5e at the STOCK 16 MB scoped limit — compile,
+#: run, and match scan grads to cosine 1-1e-7 / rel-L2 ~3e-4; C=4 at H=768
+#: was verified only under the raised limit and A/B'd noise-level, so C=2
+#: is the shipped rule, see ``_chunk_for``).  "auto" falls back to scan
+#: above this; "pallas" still forces.
 LSTM_KERNEL_MAX_H = 1024
 
 #: Widest decoder the spell kernels auto-dispatch at.  The round-3 early

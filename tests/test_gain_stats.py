@@ -177,6 +177,52 @@ def test_ab_aligns_by_seed_id_not_key_order():
     assert a["best_arm_by_seed"] == ["A", "B"]
 
 
+def test_ab_unparsable_key_cannot_collide_with_seed_id():
+    """A per_seed key without a seed suffix pools into the mean but stays
+    OUT of the by-seed alignment — a positional fallback id could collide
+    with a parsed seed id and silently overwrite that seed's WER."""
+    ab = {"arms": {
+        "A": {"per_seed": {"odd": {"greedy_wer": 0.5},
+                           "s0": {"greedy_wer": 0.1}}},
+        "B": {"per_seed": {"s0": {"greedy_wer": 0.2}}},
+    }}
+    a = summarize_ab(ab)
+    # both WERs pool (n=2 mean 0.3), but only s0 aligns
+    assert a["pooled"]["A"]["greedy_wer"]["n"] == 2
+    assert abs(a["pooled"]["A"]["greedy_wer"]["mean"] - 0.3) < 1e-9
+    assert a["pooled"]["A"]["unaligned_keys"] == ["odd"]
+    assert a["aligned_seed_ids"] == [0]
+    assert a["best_arm_by_seed"] == ["A"]  # 0.1 < 0.2 at seed 0, not 0.5
+
+
+def test_conclusions_thesis_ordering_claim_is_gated_on_data():
+    """The 'reproduces the thesis M5-best ordering' sentence must only be
+    emitted when a damped TAE->SAE arm actually ranks first."""
+    from benchmarks.gain_stats import conclusions, summarize_ab
+
+    # damped arm leads (the _ab_doc fixture) -> claim present
+    lead = conclusions({}, summarize_ab(_ab_doc()))
+    assert any("M5-best ordering" in c and "NOT" not in c for c in lead)
+
+    # scratch leads -> the claim must flip, not repeat
+    flipped = {"arms": {
+        "scratch": {"per_seed": {"s0": {"greedy_wer": 0.05}}},
+        "post_SAE_damped_0.1": {"per_seed": {"s0": {"greedy_wer": 0.5}}},
+    }}
+    out = conclusions({}, summarize_ab(flipped))
+    assert len(out) == 1
+    assert "supervised-only baseline leads" in out[0]
+    assert "reproducing the thesis" not in out[0]
+
+    # TAE-only leads -> explicit non-reproduction wording
+    tae = {"arms": {
+        "post_TAE": {"per_seed": {"s0": {"greedy_wer": 0.05}}},
+        "post_SAE_damped_0.1": {"per_seed": {"s0": {"greedy_wer": 0.5}}},
+    }}
+    out = conclusions({}, summarize_ab(tae))
+    assert "does NOT reproduce" in out[0]
+
+
 def test_ab_skips_empty_arm():
     ab = _ab_doc()
     ab["arms"]["pruned"] = {"per_seed": {}}

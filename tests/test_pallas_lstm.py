@@ -41,6 +41,26 @@ def test_pallas_vjp_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_pallas_seq_wide_h_bf16_weights_parity(rng):
+    """The forward-only seq path (lstm_seq_pallas via lstm_scan_pallas) has
+    its own copy of the wide-H DMA-load logic (whh_stream branch,
+    pallas/lstm.py) — exercise it at H >= WEIGHT_BF16_MIN_H against the f32
+    lax.scan reference, mirroring test_pallas_wide_h_bf16_weights_parity
+    for the trainable path.  bf16 W_hh costs ~bf16 rounding of |y| <= 1."""
+    from ss_asr_tpu.ops.pallas.lstm import WEIGHT_BF16_MIN_H
+
+    B, T, I, H = 3, 7, 16, WEIGHT_BF16_MIN_H
+    p = rnn.init_lstm(jax.random.key(11), I, H)
+    xs = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = jnp.asarray([7, 4, 2], dtype=jnp.int32)
+    want, _ = rnn.lstm_scan(p, xs, lengths=lens)
+    got = lstm_scan_pallas(p, xs, lengths=lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    # masked rows stay exactly zero regardless of weight dtype
+    assert np.all(np.asarray(got)[1, 4:] == 0)
+    assert np.all(np.asarray(got)[2, 2:] == 0)
+
+
 def test_chunk_for_large_batches():
     """_chunk_for shrinks the DMA block so double-buffered streams fit the
     16 MB scoped-VMEM budget (B=128 with CHUNK=8 failed compilation)."""
