@@ -76,7 +76,8 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
                 lm_epochs: int, lm_chunk: int, lm_batch: int,
                 seed_epochs: int = 2, seed_its: int = 1,
                 stages=("tae", "sae"),
-                sae_listener_lr_scale: float = 1.0) -> dict:
+                sae_listener_lr_scale: float = 1.0,
+                augment: dict | None = None) -> dict:
     """Reference-default config (conf/default.yaml schema): Adadelta 1.0 for
     the ASR, Adam 1e-4 for the char LM (SURVEY.md §2.2). When
     ``paths["unlabeled_index"]`` is present, the sections for the seed
@@ -95,6 +96,9 @@ def make_config(paths: dict, mdl: dict, epochs: int, batch: int,
             "train_batch_size": batch, "valid_batch_size": batch,
             "n_epochs": epochs, "valid_step": 2000, "logging_step": 250,
             "save_step": 2000, "wer_step": 1000,
+            # SpecAugment on the supervised fine-tune only (ops/augment.py;
+            # absent = identity, the reference has no augmentation)
+            **({"augment": augment} if augment else {}),
         },
         "char_lm": {
             "opt": {"type": "Adam", "learning_rate": 1e-4},
@@ -158,7 +162,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         seed_epochs: int = 2, seed_its: int = 1, name: str = "malromur",
         labeled_utts: int | None = None,
         sae_listener_lr_scale: float = 1.0,
-        reuse_lm: str | None = None) -> dict:
+        reuse_lm: str | None = None,
+        augment: dict | None = None) -> dict:
     """``model``: any of the thesis Table 6.5 menu (MODEL_STAGES) — "m1" =
     supervised-only baseline (Tables 6.6-6.10); "m2".."m6" = the aux seed
     chain named by the thesis (TAE / ADV / SAE in the listed order) on the
@@ -249,7 +254,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
     config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
                          lm_batch, seed_epochs=seed_epochs, seed_its=seed_its,
                          stages=stages or ("tae", "sae"),
-                         sae_listener_lr_scale=sae_listener_lr_scale)
+                         sae_listener_lr_scale=sae_listener_lr_scale,
+                         augment=augment)
     paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
                       ckpdir=os.path.join(work, "result"), seed=seed)
 
@@ -303,7 +309,7 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
                         "epochs": epochs, "batch": batch,
                         "lm_weight": lm_weight, "seed": seed, "mdl": mdl,
                         "model": model, "seed_epochs": seed_epochs,
-                        "seed_its": seed_its}
+                        "seed_its": seed_its, "augment": augment}
     return result
 
 
@@ -318,7 +324,8 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
             max_decode_steps: int = 200, seed_epochs: int = 2,
             seed_its: int = 1, labeled_utts: int | None = None,
             models=("m1", "m5"),
-            sae_listener_lr_scale: float = 1.0) -> dict:
+            sae_listener_lr_scale: float = 1.0,
+            augment: dict | None = None) -> dict:
     """Head-to-head model-menu runs (MODEL_STAGES; default M1 supervised-only
     vs M5 TAE -> SAE seed + fine-tune) on the SAME corpus, split, labeled
     budget, LM, and seed — the thesis' central semi-supervised claim
@@ -340,7 +347,7 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
                          seed_its=seed_its, name=model,
                          labeled_utts=labeled_utts,
                          sae_listener_lr_scale=sae_listener_lr_scale,
-                         reuse_lm=reuse_lm)
+                         reuse_lm=reuse_lm, augment=augment)
         reuse_lm = os.path.join(work, "result", model, "char_lm.npz")
     base = models[0]
     for model in models[1:]:
@@ -366,19 +373,24 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
     return out
 
 
-def build_gain_corpus(work: str, n: int, seed: int = 0):
+def build_gain_corpus(work: str, n: int, seed: int = 0, hard: bool = False):
     """Synthetic corpus + abundant text for the M1-vs-M5 gain experiment:
     Málrómur-layout tone speech over the LARGE word inventory with
     homophone characters (i->e, g->c render identically — only text
     knowledge can pick the spelling, the lever TAE/LM training pulls), plus
     a plain-text LM corpus over the full vocabulary (the thesis' analogue:
-    Risamálheild text is abundant while labeled audio is scarce)."""
+    Risamálheild text is abundant while labeled audio is scarce).
+
+    ``hard=True`` renders with mkdata.render_hard (speaker pitch/formant
+    shifts, duration jitter, swept-SNR noise, crowded formant grid) so
+    held-out WER has headroom and robustness features can pay — the
+    pure-tone corpus saturates (docs/GAIN_SUMMARY.json round-3 boundary)."""
     from benchmarks.quality_protocol import _lm_text
     from ss_asr_tpu.cli.mkdata import WORDS_LARGE
 
     csv_path, wav_dir, n_correct = build_smoke_corpus(
         work, n=n, seed=seed, words=WORDS_LARGE, homophones=True,
-        max_words=2)
+        max_words=2, hard=hard)
     lm_corpus = os.path.join(work, "lm_corpus.txt")
     with open(lm_corpus, "w", encoding="utf-8") as f:
         f.write(_lm_text(WORDS_LARGE, reps=400, seed=seed))
@@ -391,7 +403,7 @@ def build_gain_corpus(work: str, n: int, seed: int = 0):
 
 def build_smoke_corpus(work: str, n: int = 24, seed: int = 0,
                        words=None, homophones: bool = False,
-                       max_words: int = 2):
+                       max_words: int = 2, hard: bool = False):
     """Synthetic tone corpus written in Málrómur's exact layout: one CSV
     (utt id col 0, text col 5, classification col 7) + a wav directory.
     Every 5th row is classified != 'correct' and must be filtered out;
@@ -403,8 +415,9 @@ def build_smoke_corpus(work: str, n: int = 24, seed: int = 0,
     gain experiment (``compare --synthetic``)."""
     import numpy as np
 
-    from ss_asr_tpu.cli.mkdata import SR, WORDS, render, write_wav
+    from ss_asr_tpu.cli.mkdata import SR, WORDS, render, render_hard, write_wav
 
+    renderer = render_hard if hard else render
     vocab = list(words) if words is not None else WORDS
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(work, "wav")
@@ -419,7 +432,7 @@ def build_smoke_corpus(work: str, n: int = 24, seed: int = 0,
             cls = "correct" if i % 5 else "incorrect"
             if i != 7:  # row 7: correct but its wav is missing
                 write_wav(os.path.join(wav_dir, utt + ".wav"),
-                          render(text, rng, homophones=homophones), sr=SR)
+                          renderer(text, rng, homophones=homophones), sr=SR)
             # cols: id, env, age, gender, device, TEXT, duration, CLASS
             f.write(f"{utt},indoor,20-30,m,phone,{text},2.0,{cls}\n")
             n_correct += int(cls == "correct" and i != 7)
@@ -495,6 +508,16 @@ def main():
     c.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="generate an N-utterance homophone tone corpus + "
                         "abundant LM text instead of a real download")
+    c.add_argument("--hard", action="store_true",
+                   help="with --synthetic: render hard synthetic speech "
+                        "(speaker shifts, duration jitter, swept-SNR noise, "
+                        "crowded formant grid — mkdata.render_hard) instead "
+                        "of saturating pure tones")
+    c.add_argument("--augment", default=None,
+                   help="JSON SpecAugment config for the supervised "
+                        "fine-tune's asr.augment section, e.g. "
+                        '\'{"n_freq_masks":1,"freq_mask_width":6,'
+                        '"n_time_masks":1,"time_mask_width":12}\'')
     c.add_argument("--hours", type=float, default=None)
     c.add_argument("--labeled-utts", type=int, default=None,
                    help="count-based labeled budget (synthetic regimes)")
@@ -581,6 +604,11 @@ def _dispatch(ap, args):
         if len(seed_list) != len(set(seed_list)):
             ap.error(f"--seeds: duplicate entries in {args.seeds!r}")
 
+        try:
+            augment = json.loads(args.augment) if args.augment else None
+        except json.JSONDecodeError as e:
+            ap.error(f"--augment: invalid JSON ({e})")
+
         def one_compare(seed: int, work: str) -> dict:
             index, wav_dir, lm_corpus, sr = (
                 args.index, args.wav_dir, args.lm_corpus, args.sr)
@@ -589,7 +617,7 @@ def _dispatch(ap, args):
                 # each seed draws its own corpus — the sweep varies corpus
                 # AND training RNG together, like independent replications
                 index, wav_dir, lm_corpus, _ = build_gain_corpus(
-                    work, args.synthetic, seed=seed)
+                    work, args.synthetic, seed=seed, hard=args.hard)
                 sr = 8000
             return compare(index, wav_dir, work, args.hours, lm_corpus,
                            args.epochs, args.lm_epochs, args.batch, mdl=mdl,
@@ -598,7 +626,8 @@ def _dispatch(ap, args):
                            seed_epochs=args.seed_epochs,
                            seed_its=args.seed_its,
                            labeled_utts=args.labeled_utts, models=models,
-                           sae_listener_lr_scale=args.sae_listener_lr_scale)
+                           sae_listener_lr_scale=args.sae_listener_lr_scale,
+                           augment=augment)
 
         if not sweep:
             return one_compare(seed_list[0], args.work)

@@ -39,6 +39,98 @@ WORDS_LARGE = WORDS + [
 #: reproduced synthetically)
 HOMOPHONES = {"i": "e", "g": "c"}
 
+# ---------------------------------------------------------------------------
+# hard mode: synthetic speech with real-speech-like nuisance variation
+# ---------------------------------------------------------------------------
+#
+# The pure-tone corpus above is exactly learnable — a model that memorizes
+# eleven stationary frequencies saturates it, so held-out WER hits a floor
+# and robustness features (SpecAugment, SAE pretraining on varied audio)
+# have nothing to pay for.  ``render_hard`` keeps the same character
+# alphabet and lexicon but makes the acoustics behave like speech:
+#
+#   * each character is a two-formant pair on a deliberately CROWDED grid
+#     (F1 spacing 70 Hz, interleaved F2), so neighboring characters'
+#     spectra overlap once speakers shift them;
+#   * every utterance draws a speaker: global pitch factor (±~16%), an
+#     independent second-formant shift, and a vibrato rate/depth — the
+#     same character lands on different absolute frequencies per speaker
+#     (what forces the model to learn relative, not absolute, cues);
+#   * per-character duration jitter (0.6-1.45x) breaks fixed alignment;
+#   * additive white noise at a per-utterance SNR swept over
+#     ``HARD_SNR_DB`` (default 8-25 dB);
+#   * raised-cosine attack/decay envelopes + vibrato make every frame
+#     non-stationary (a reconstruction target the SAE can't trivially
+#     memorize).
+#
+# Used by the quality campaign (benchmarks/malromur_parity.py
+# ``compare --hard``) to give WER headroom; see docs/GAIN_*.json.
+
+HARD_CHAR_MS = 140
+HARD_ALPHABET = "abcdefghij"
+HARD_SNR_DB = (8.0, 25.0)
+
+
+def _hard_formants(ch: str) -> tuple:
+    """(F1, F2) for a character: F1 on a crowded 70 Hz grid, F2 interleaved
+    so characters adjacent in F1 differ in F2 (and vice versa) — separable
+    in the clean case, overlapping under speaker shift + noise."""
+    i = HARD_ALPHABET.index(ch) if ch in HARD_ALPHABET else len(HARD_ALPHABET)
+    f1 = 350.0 + 70.0 * i
+    f2 = 900.0 + 110.0 * ((3 * i) % 11)
+    return f1, f2
+
+
+def hard_speaker(rng) -> dict:
+    """Draw a per-utterance speaker: pitch/formant shifts + vibrato + SNR."""
+    return {
+        "pitch": float(np.exp(rng.uniform(np.log(0.85), np.log(1.18)))),
+        "f2_shift": float(rng.uniform(0.92, 1.08)),
+        "vib_hz": float(rng.uniform(4.5, 7.0)),
+        "vib_depth": float(rng.uniform(0.01, 0.03)),
+        "snr_db": float(rng.uniform(*HARD_SNR_DB)),
+    }
+
+
+def render_hard(text: str, rng, homophones: bool = False,
+                speaker: dict | None = None) -> np.ndarray:
+    """Synthetic hard-speech rendering of ``text`` (see module block above).
+
+    ``homophones`` composes with hard mode: the mapped characters borrow the
+    target character's FORMANTS (i->e, g->c) so only text knowledge can pick
+    the spelling, exactly as in tone mode."""
+    spk = speaker if speaker is not None else hard_speaker(rng)
+    if homophones:
+        text = "".join(HOMOPHONES.get(ch, ch) for ch in text)
+    pieces = []
+    for ch in text:
+        dur_s = HARD_CHAR_MS / 1000.0 * float(rng.uniform(0.6, 1.45))
+        n = max(int(SR * dur_s), 16)
+        if ch == " ":
+            pieces.append(np.zeros(n, np.float32))
+            continue
+        t = np.arange(n) / SR
+        f1, f2 = _hard_formants(ch)
+        f1 *= spk["pitch"]
+        f2 *= spk["pitch"] * spk["f2_shift"]
+        # vibrato as true FM: integrate the instantaneous-rate modulation
+        vib = 1.0 + spk["vib_depth"] * np.sin(
+            2 * np.pi * spk["vib_hz"] * t + float(rng.uniform(0, 2 * np.pi)))
+        phase = 2 * np.pi * np.cumsum(vib) / SR
+        amp = float(rng.uniform(0.7, 1.0))
+        seg = amp * (np.sin(f1 * phase) + 0.6 * np.sin(f2 * phase))
+        # 8 ms raised-cosine attack/decay: no clicks, every frame transient
+        r = min(int(0.008 * SR), n // 2)
+        if r > 0:
+            ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(r) / r)
+            seg[:r] *= ramp
+            seg[-r:] *= ramp[::-1]
+        pieces.append(seg.astype(np.float32))
+    y = 0.5 * np.concatenate(pieces).astype(np.float32)
+    p_sig = float(np.mean(np.square(y)))
+    p_noise = max(p_sig, 1e-8) / (10.0 ** (spk["snr_db"] / 10.0))
+    return y + np.sqrt(p_noise) * rng.standard_normal(len(y)).astype(np.float32)
+
 
 def render(text: str, rng, homophones: bool = False) -> np.ndarray:
     n = int(SR * CHAR_MS / 1000)
@@ -59,9 +151,11 @@ def write_wav(path: str, y: np.ndarray, sr: int = SR) -> None:
 
 
 def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3,
-                homophones: bool = False, words=None) -> None:
+                homophones: bool = False, words=None,
+                hard: bool = False) -> None:
     rng = np.random.default_rng(seed)
     vocab = list(words) if words is not None else WORDS
+    renderer = render_hard if hard else render
     wav_dir = os.path.join(out_dir, "wav")
     txt_dir = os.path.join(out_dir, "txt")
     os.makedirs(wav_dir, exist_ok=True)
@@ -71,7 +165,7 @@ def make_corpus(out_dir: str, n: int = 64, seed: int = 0, max_words: int = 3,
         text = " ".join(rng.choice(vocab) for _ in range(k))
         write_wav(
             os.path.join(wav_dir, f"u{i:04d}.wav"),
-            render(text, rng, homophones=homophones),
+            renderer(text, rng, homophones=homophones),
         )
         with open(os.path.join(txt_dir, f"u{i:04d}.txt"), "w", encoding="utf-8") as f:
             f.write(text)
@@ -86,8 +180,13 @@ def main(argv=None):
     ap.add_argument("--max-words", type=int, default=3)
     ap.add_argument("--homophones", action="store_true",
                     help="render i/g as e/c tones (LM-only disambiguation)")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard synthetic speech: crowded formant pairs, "
+                         "speaker pitch/formant shifts, vibrato, duration "
+                         "jitter, swept-SNR noise (see render_hard)")
     args = ap.parse_args(argv)
-    make_corpus(args.out_dir, args.n, args.seed, args.max_words, args.homophones)
+    make_corpus(args.out_dir, args.n, args.seed, args.max_words,
+                args.homophones, hard=args.hard)
 
 
 if __name__ == "__main__":

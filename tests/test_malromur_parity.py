@@ -200,7 +200,7 @@ def test_compare_seeds_sweep(tmp_path, monkeypatch, capsys):
 
     corpus_seeds = []
 
-    def fake_corpus(work, n, seed=0):
+    def fake_corpus(work, n, seed=0, hard=False):
         corpus_seeds.append(seed)
         os.makedirs(work, exist_ok=True)
         return "idx", "wavs", "lm", None
@@ -237,7 +237,7 @@ def test_compare_single_seed_backcompat(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(mp, "run", fake_run)
     monkeypatch.setattr(mp, "build_gain_corpus",
-                        lambda work, n, seed=0: ("idx", "wavs", "lm", None))
+                        lambda work, n, seed=0, hard=False: ("idx", "wavs", "lm", None))
     monkeypatch.setattr(sys, "argv", [
         "malromur_parity.py", "compare", "--work", str(tmp_path),
         "--synthetic", "8", "--models", "m1,m5"])
@@ -262,7 +262,7 @@ def test_compare_seeds_single_entry_keeps_wrapper(tmp_path, monkeypatch, capsys)
 
     monkeypatch.setattr(mp, "run", fake_run)
     monkeypatch.setattr(mp, "build_gain_corpus",
-                        lambda work, n, seed=0: ("idx", "wavs", "lm", None))
+                        lambda work, n, seed=0, hard=False: ("idx", "wavs", "lm", None))
     monkeypatch.setattr(sys, "argv", [
         "malromur_parity.py", "compare", "--work", str(tmp_path),
         "--synthetic", "8", "--seeds", "3", "--models", "m1,m5"])
