@@ -243,6 +243,17 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
             f.write(" ".join(
                 t.lstrip("<").rstrip(">") for t in df["normalized_text"]))
 
+    # clamp the LM batch to what the corpus can actually fill — the loader
+    # drops partial batches, so a corpus with fewer than lm_batch chunks
+    # would "train" the LM for 0 steps and silently poison the fusion arm
+    # (this happened: round-3 GAIN artifacts' beam8_lm columns)
+    with open(lm_corpus, encoding="utf-8") as f:
+        n_chunks = max(0, (len(f.read()) - 1) // lm_chunk)
+    if 0 < n_chunks < lm_batch:
+        print(f"[malromur_parity] LM corpus has only {n_chunks} chunks; "
+              f"clamping lm_batch {lm_batch} -> {n_chunks}")
+        lm_batch = n_chunks
+
     paths = {"train_index": train_index, "eval_index": eval_index,
              "lm_corpus": lm_corpus}
     if stages:
@@ -392,8 +403,14 @@ def build_gain_corpus(work: str, n: int, seed: int = 0, hard: bool = False):
         work, n=n, seed=seed, words=WORDS_LARGE, homophones=True,
         max_words=2, hard=hard)
     lm_corpus = os.path.join(work, "lm_corpus.txt")
+    # abundant text is the experiment's premise (Risamálheild analogue) AND
+    # a batching requirement: run()'s reference-scale LM config consumes
+    # chunk 200 x batch 128 = 25,600 chars per step, and the loader drops
+    # partial batches — reps=400 (~1.9 KB) yielded 0 batches, i.e. an
+    # UNTRAINED LM silently feeding every beam8_lm number. 60k tokens
+    # (~290 KB) gives ~11 full reference-scale batches per epoch.
     with open(lm_corpus, "w", encoding="utf-8") as f:
-        f.write(_lm_text(WORDS_LARGE, reps=400, seed=seed))
+        f.write(_lm_text(WORDS_LARGE, reps=60_000, seed=seed))
     return csv_path, wav_dir, lm_corpus, n_correct
 
 

@@ -85,6 +85,17 @@ class CHARLMTrainer(Solver):
     def exec(self):
         n_batches = len(self.ds) // self.train_batch_size
         self.verbose(f"Training set total {n_batches} batches.")
+        if n_batches == 0:
+            # a silently-untrained LM poisons every downstream fusion
+            # measurement (an untrained LM at lambda>0 injects noise into
+            # beam rescoring) — say so unmissably rather than "finishing"
+            # 0-step epochs. Corpus has len(ds) full chunks; the caller
+            # should shrink train_batch_size or grow the corpus.
+            self.verbose(
+                "WARNING: 0 train batches — the corpus yields "
+                f"{len(self.ds)} chunks of {self.ds.chunk_size} chars but "
+                f"train_batch_size={self.train_batch_size}; the LM will be "
+                "saved UNTRAINED. Shrink the batch or grow the corpus.")
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
             # multi-host: rotate the chunk shard so truncated tail chunks
