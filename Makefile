@@ -1,0 +1,31 @@
+# Convenience entry points. The framework itself needs no build step
+# (pure Python; the native C helpers compile on demand under
+# ss_asr_tpu/native/build/).
+
+.PHONY: test bench parity-when-available
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py --full
+
+# The three environment-blocked parity measurements (round-3 VERDICT #7):
+# each is one command, fails fast if the environment still lacks the
+# ingredient, and lands the numbers with zero new code the moment it
+# appears.
+#   1. real Málrómur -> thesis-table numbers   (needs the corpus download;
+#      set MALROMUR_INDEX / MALROMUR_WAVS / LM_CORPUS)
+#   2. librosa-0.6 golden frontend fixture      (needs librosa in the env;
+#      the test self-skips without it — see tests/test_frontend.py)
+#   3. physical multi-chip weak scaling         (needs >1 real chip; writes
+#      the on_chip section of docs/ICI_SCALING.json)
+parity-when-available:
+	python benchmarks/malromur_parity.py run \
+	  --index $${MALROMUR_INDEX:?set MALROMUR_INDEX to the corpus CSV} \
+	  --wav-dir $${MALROMUR_WAVS:?set MALROMUR_WAVS} \
+	  --work /tmp/malromur_parity --hours 10 \
+	  --lm-corpus $${LM_CORPUS:?set LM_CORPUS (Risamalheild-style text)} \
+	  --epochs 30 --out docs/MALROMUR_PARITY.json
+	python -m pytest tests/test_frontend.py::test_librosa_golden_fixture -q
+	python benchmarks/ici_scaling.py

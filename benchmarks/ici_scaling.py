@@ -230,9 +230,26 @@ def run(n_devices, tiny=False, per_chip_b=None, T=512, L=48, reps=3,
 
 
 def _write(results, out_path):
-    if out_path:
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    if not out_path:
+        return
+    # docs/ICI_SCALING.json is a MERGED record ({on_chip, virtual_cpu_mesh}
+    # sections): a real-hardware run refreshes on_chip, a virtual run the
+    # other section — neither clobbers the other's history
+    if os.path.basename(out_path) == "ICI_SCALING.json":
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        if "on_chip" in merged or "virtual_cpu_mesh" in merged:
+            section = ("virtual_cpu_mesh"
+                       if str(results.get("device", "")).startswith("TFRT_CPU")
+                       else "on_chip")
+            merged[section] = results
+            with open(out_path, "w") as f:
+                json.dump(merged, f, indent=1)
+            return
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def main(argv=None):

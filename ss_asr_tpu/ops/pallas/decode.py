@@ -6,8 +6,11 @@ all stay in VMEM for every step — the XLA scan pays per-step fusion/dispatch
 overhead ~50-100us on the serialized decode path; here a step is a handful of
 small MXU matmuls plus VPU reductions on resident data.
 
-Scope: greedy, no LM fusion (the fused-LM variant stays on the XLA path).
-Numerically identical to ``decode.greedy.greedy_decode`` (tested).
+Two kernels: plain greedy (``greedy_decode_pallas``) and greedy with char-LM
+shallow fusion (``greedy_decode_lm_pallas`` — the 2xGRU LM stepped in-kernel,
+fused log-softmax mixing; the reference's serving fusion rule,
+src/asr.py:143-173). Numerically identical to ``decode.greedy.greedy_decode``
+with/without ``lm_params`` (tested). Beam search stays on the XLA path.
 
 VMEM budget at flagship size (B=32, S<=64): speller weights ~5 MB, encoder
 memory ~4.5 MB, carries <1 MB — comfortably resident.
