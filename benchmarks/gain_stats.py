@@ -315,13 +315,108 @@ def build_summary(gain: dict, ab: dict, ab64: dict | None = None) -> dict:
     return out
 
 
+#: the thesis' ADV claim (Tables 6.6-6.10: M3 is the worst model; §6.5:
+#: adversarial training does not help) tested as paired arms — each pair
+#: differs ONLY by an ADV stage in the seed chain
+ADV_PAIRS = (("m3", "m2"), ("m4", "m5"), ("m6", "m5"))
+
+
+def summarize_menu(seeds, base: str = "m1") -> dict:
+    """Pool full model-menu per-seed compare blocks (m1..m6) and judge the
+    thesis' two menu-level claims on them:
+
+    (a) semi-supervised GAIN — some ADV-free aux arm (m2/m5) beats the
+        supervised baseline (the thesis' central claim; note ``base
+        strictly worst`` is NOT the thesis prediction once ADV arms are in
+        the menu — Tables 6.6-6.10 have M3 *below* M1);
+    (b) ADV HURTS — each (with-ADV, without-ADV) pair that differs only by
+        an ADV stage orders with-ADV worse (M3 is the thesis' worst model).
+    Per-seed counts, exact ties excluded from both directions.
+    """
+    out = pool_seed_blocks(seeds, base=base)
+    models = set(out.get("pooled", {}))
+    n = out.get("n_seeds", 0)
+
+    def best_wer(blk, m):
+        return min(blk[m][f"{mode}_wer"] for mode in MODES
+                   if f"{mode}_wer" in blk[m])
+
+    concl = []
+    free = [m for m in ("m2", "m5") if m in models]
+    if free and base in models:
+        hits = [s for s, blk in seeds
+                if min(best_wer(blk, m) for m in free)
+                < best_wer(blk, base)]
+        out["gain_adv_free"] = {
+            "what": f"best({'/'.join(free)}) best-mode WER < {base}'s",
+            "seeds": hits, "count": f"{len(hits)}/{n}",
+        }
+        concl.append(
+            f"semi-supervised gain (ADV-free arms {'/'.join(free)} vs "
+            f"{base}, best decode mode): {len(hits)}/{n} seeds")
+    adv = {}
+    for w, wo in ADV_PAIRS:
+        if w in models and wo in models:
+            worse = [s for s, blk in seeds
+                     if best_wer(blk, w) > best_wer(blk, wo)]
+            ties = [s for s, blk in seeds
+                    if best_wer(blk, w) == best_wer(blk, wo)]
+            adv[f"{w}_worse_than_{wo}"] = {
+                "seeds": worse, "count": f"{len(worse)}/{n}",
+                **({"ties": ties} if ties else {}),
+            }
+    if adv:
+        out["adv_effect"] = adv
+        total = sum(int(v["count"].split("/")[0]) for v in adv.values())
+        cells = len(adv) * n
+        direction = ("reproduces the thesis' ADV-hurts finding"
+                     if total > cells / 2 else
+                     "does NOT reproduce the thesis' ADV-hurts finding")
+        concl.append(
+            f"ADV-in-chain arms worse than their ADV-free counterparts in "
+            f"{total}/{cells} (pair,seed) cells — {direction} "
+            "(Tables 6.6-6.10: M3 worst)")
+    if base in models and len(models) > 1 and n:
+        k = len([s for s, blk in seeds
+                 if best_wer(blk, base)
+                 > max(best_wer(blk, m) for m in models if m != base)])
+        concl.append(
+            f"{base} strictly-worst (the tone-corpus framing): {k}/{n} "
+            "seeds — expected to fail when ADV arms underperform the "
+            "baseline, as the thesis itself records")
+    out["conclusions"] = concl
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--gain", default=os.path.join(REPO, "docs", "GAIN_M1_VS_M5.json"))
     ap.add_argument("--ab", default=os.path.join(REPO, "docs", "GAIN_AB.json"))
     ap.add_argument("--ab64", default=os.path.join(REPO, "docs", "GAIN_AB_64.json"))
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "GAIN_SUMMARY.json"))
+    ap.add_argument("--compare-files", default=None,
+                    help="comma-separated per-seed compare JSONs (e.g. the "
+                         "hard-corpus sweep's seed*.json); pools the full "
+                         "model menu into --out instead of the legacy "
+                         "summary (seed label = file order: seed0,seed1,...)")
     args = ap.parse_args(argv)
+    if args.compare_files:
+        seeds = []
+        for i, path in enumerate(args.compare_files.split(",")):
+            with open(path) as f:
+                seeds.append((f"seed{i}", json.load(f)))
+        summary = {
+            "what": ("Pooled full-model-menu (thesis Table 6.5) per-seed "
+                     "statistics; sources listed in source_files."),
+            "source_files": args.compare_files.split(","),
+            **summarize_menu(seeds),
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        json.dump(summary["conclusions"], sys.stdout, indent=1)
+        print()
+        print(f"written to {args.out}", file=sys.stderr)
+        return
     with open(args.gain) as f:
         gain = json.load(f)
     with open(args.ab) as f:

@@ -229,3 +229,37 @@ def test_ab_skips_empty_arm():
     a = summarize_ab(ab)
     assert a["skipped_empty_arms"] == ["pruned"]
     assert "pruned" not in a["pooled"]
+
+
+def test_summarize_menu_adv_effect_and_gain():
+    from benchmarks.gain_stats import summarize_menu
+
+    def arm(w):
+        return {"greedy_wer": w, "beam8_wer": w, "beam8_lm_wer": w,
+                "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    # thesis-shaped draw: m2/m5 beat m1; every ADV arm worse than its
+    # ADV-free counterpart
+    blk = {"m1": arm(0.5), "m2": arm(0.4), "m3": arm(0.6),
+           "m4": arm(0.65), "m5": arm(0.42), "m6": arm(0.55)}
+    out = summarize_menu([("seed0", blk), ("seed1", blk)])
+    assert out["gain_adv_free"]["count"] == "2/2"
+    assert out["adv_effect"]["m3_worse_than_m2"]["count"] == "2/2"
+    assert out["adv_effect"]["m4_worse_than_m5"]["count"] == "2/2"
+    assert out["adv_effect"]["m6_worse_than_m5"]["count"] == "2/2"
+    assert any("reproduces the thesis' ADV-hurts" in c
+               for c in out["conclusions"])
+
+    # anti-thesis draw: ADV helps everywhere -> wording must flip
+    blk2 = {"m1": arm(0.5), "m2": arm(0.4), "m3": arm(0.3),
+            "m4": arm(0.3), "m5": arm(0.42), "m6": arm(0.3)}
+    out2 = summarize_menu([("seed0", blk2)])
+    assert any("does NOT reproduce" in c for c in out2["conclusions"])
+
+    # exact ties count for neither direction but are recorded
+    blk3 = {"m1": arm(0.5), "m2": arm(0.4), "m3": arm(0.4), "m5": arm(0.42)}
+    out3 = summarize_menu([("seed0", blk3)])
+    eff = out3["adv_effect"]["m3_worse_than_m2"]
+    assert eff["count"] == "0/1" and eff["ties"] == ["seed0"]
