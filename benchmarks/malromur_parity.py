@@ -568,6 +568,29 @@ def main():
     c.add_argument("--max-decode-steps", type=int, default=200)
     c.add_argument("--out", default=None)
 
+    e = sub.add_parser(
+        "evalsweep",
+        help="decode-only re-evaluation of an already-trained run with an "
+             "LM-fusion weight sweep (and optional n-best rescoring) — the "
+             "thesis Table 6.12 lambda curve on any recorded checkpoint")
+    e.add_argument("--work", required=True,
+                   help="a run/compare work dir (result/<model>/ checkpoints "
+                        "+ processed/eval.tsv present)")
+    e.add_argument("--model", default="m1",
+                   help="checkpoint namespace under result/ (menu entry or "
+                        "run --name)")
+    e.add_argument("--labeled-utts", type=int, default=None,
+                   help="the producing run's labeled budget (locates "
+                        "processed/train_<N>u.tsv; optional — only paths "
+                        "matter for decode)")
+    e.add_argument("--lm-weight", type=float, default=0.1)
+    e.add_argument("--lm-sweep", default="0.05,0.1,0.2,0.5")
+    e.add_argument("--rescore", action="store_true")
+    e.add_argument("--batch", type=int, default=32)
+    e.add_argument("--size", choices=["tiny", "flagship"], default="flagship")
+    e.add_argument("--max-decode-steps", type=int, default=60)
+    e.add_argument("--out", default=None)
+
     args = ap.parse_args()
     # trainer/preprocess chatter goes to stderr; stdout carries only the
     # JSON table (same contract as quality_protocol.py)
@@ -584,7 +607,56 @@ def main():
             f.write(line + "\n")
 
 
+def evalsweep(work: str, model: str, lm_weight: float, lm_sweep,
+              batch: int = 32, size: str = "flagship",
+              max_decode_steps: int = 60, rescore: bool = False,
+              labeled_utts: int | None = None) -> dict:
+    """Decode-only LM-weight sweep over an existing trained run — re-uses
+    the run's checkpoints and eval split, no training. One command turns any
+    recorded arm into a thesis-Table-6.12-style lambda curve
+    (quality_protocol.eval_decode_modes does the decoding/metrics)."""
+    from benchmarks.quality_protocol import eval_decode_modes
+    from ss_asr_tpu.train import make_paras
+
+    processed = os.path.join(work, "processed")
+    eval_index = os.path.join(processed, "eval.tsv")
+    ckpdir = os.path.join(work, "result", model)
+    for need in (eval_index, os.path.join(ckpdir, "asr.npz"),
+                 os.path.join(ckpdir, "char_lm.npz")):
+        if not os.path.exists(need):
+            raise SystemExit(f"evalsweep: missing {need}")
+    train_index = os.path.join(
+        processed,
+        f"train_{labeled_utts}u.tsv" if labeled_utts else "train.tsv")
+    if size == "tiny":
+        mdl = {"encoder_state_size": 8, "mlp_out_size": 8,
+               "decoder_state_size": 8, "feature_dim": 40}
+    else:
+        mdl = {"encoder_state_size": 256, "mlp_out_size": 128,
+               "decoder_state_size": 256, "feature_dim": 40}
+    paths = {"train_index": train_index, "eval_index": eval_index,
+             "lm_corpus": os.path.join(work, "lm_corpus.txt")}
+    config = make_config(paths, mdl, epochs=0, batch=batch, lm_epochs=0,
+                         lm_chunk=200, lm_batch=1)
+    paras = make_paras(name=model, logdir=os.path.join(work, "runs"),
+                       ckpdir=os.path.join(work, "result"))
+    out = eval_decode_modes(config, paras, lm_weight,
+                            max_steps=max_decode_steps,
+                            lm_sweep=list(lm_sweep), rescore=rescore)
+    out["checkpoint"] = os.path.join(ckpdir, "asr.npz")
+    out["lm_weights"] = [lm_weight] + [w for w in lm_sweep
+                                       if w != lm_weight]
+    return out
+
+
 def _dispatch(ap, args):
+    if args.cmd == "evalsweep":
+        sweep = [float(w) for w in args.lm_sweep.split(",") if w.strip()]
+        return evalsweep(args.work, args.model, args.lm_weight, sweep,
+                         batch=args.batch, size=args.size,
+                         max_decode_steps=args.max_decode_steps,
+                         rescore=args.rescore,
+                         labeled_utts=args.labeled_utts)
     if args.cmd == "run":
         return run(args.index, args.wav_dir, args.work, args.hours,
                    args.lm_corpus, args.epochs, args.lm_epochs, args.batch,
