@@ -512,11 +512,12 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
 
         return run
 
-    def beam8(x, xl):
+    def beam8(x, xl, with_lm=False):
         enc_h, enc_lens = las.listener_apply(params["encoder"], x, xl)
         toks, parents, scores, done, hyp_lens = beam_mod._beam_scan(
-            params, cfg, enc_h, enc_lens, 8, max_steps, None, None, 0.0,
-            early_exit=True,
+            params, cfg, enc_h, enc_lens, 8, max_steps,
+            lm_params if with_lm else None, lm_cfg if with_lm else None,
+            0.2 if with_lm else 0.0, early_exit=True,
         )
         return toks, hyp_lens.reshape(-1)
 
@@ -529,11 +530,20 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
                 params, cfg, x, xl, max_steps, lm_params=lm_params,
                 lm_cfg=lm_cfg, lm_weight=0.2), B, k),
         "beam8": lambda B, k: chain(beam8, B, k),
+        "beam8_lm": lambda B, k: chain(
+            lambda x, xl: beam8(x, xl, with_lm=True), B, k),
     }
     if jax.default_backend() == "tpu":
+        from ss_asr_tpu.ops.pallas.beam import beam_device_pallas
         from ss_asr_tpu.ops.pallas.decode import (
             greedy_decode_lm_pallas, greedy_decode_pallas,
         )
+
+        def beam8_pallas(x, xl):
+            toks, parents, scores, done, hyp = beam_device_pallas(
+                params, cfg, x, xl, beam_size=8, max_steps=max_steps,
+                lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=0.2)
+            return toks, hyp.reshape(-1)
 
         variants["greedy_pallas"] = lambda B, k: chain(
             lambda x, xl: greedy_decode_pallas(
@@ -541,6 +551,7 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
         variants["greedy_pallas_lm"] = lambda B, k: chain(
             lambda x, xl: greedy_decode_lm_pallas(
                 params, cfg, x, xl, lm_params, 0.2, max_steps), B, k)
+        variants["beam8_pallas_lm"] = lambda B, k: chain(beam8_pallas, B, k)
         variants["signal_fused_greedy"] = lambda B, k: signal_chain(
             B, k, lambda x, xl: greedy_decode_pallas(
                 params, cfg, x, xl, max_steps))

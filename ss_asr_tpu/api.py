@@ -218,7 +218,19 @@ class Transcriber:
 
         params, lm_params = self._w  # one snapshot: no torn (ASR, LM) pair
         use_lm = lm_params is not None and self.lm_weight != 0.0
-        if self.beam_size > 1:
+        if self.beam_size > 1 and self.use_pallas_kernel:
+            from ss_asr_tpu.ops.pallas.beam import beam_decode_pallas
+
+            # fixed-trip fused frontier (ops/pallas/beam.py); callers pick
+            # max_steps by expected transcript length — the A/B vs the XLA
+            # early-exit scan is bench.py decode_throughput's beam rows
+            toks, _ = beam_decode_pallas(
+                params, self.cfg, x, lens,
+                beam_size=self.beam_size, max_steps=self.max_steps,
+                lm_params=lm_params if use_lm else None,
+                lm_cfg=self.lm_cfg, lm_weight=self.lm_weight,
+            )
+        elif self.beam_size > 1:
             from ss_asr_tpu.decode.beam import beam_decode
 
             toks, _ = beam_decode(
