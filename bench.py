@@ -584,15 +584,24 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
             tag = f"{name}@B{B}"
             log(f"decode_tp[{tag}]: compiling ...")
             ms = None
-            for attempt in range(3):
-                key = jax.random.key(base + 1000 * attempt + B)
-                t_lo = timed(mk, B, k_lo, key, iters)
-                t_hi = timed(mk, B, k_hi, jax.random.fold_in(key, 7), iters)
-                ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
-                if ms >= floor_ms:
-                    break
-                log(f"WARNING: decode_tp[{tag}] {ms:.2f} ms/batch below "
-                    f"floor — replay suspected, retrying ({attempt + 1}/3)")
+            try:
+                for attempt in range(3):
+                    key = jax.random.key(base + 1000 * attempt + B)
+                    t_lo = timed(mk, B, k_lo, key, iters)
+                    t_hi = timed(mk, B, k_hi, jax.random.fold_in(key, 7),
+                                 iters)
+                    ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+                    if ms >= floor_ms:
+                        break
+                    log(f"WARNING: decode_tp[{tag}] {ms:.2f} ms/batch below "
+                        f"floor — replay suspected, retrying "
+                        f"({attempt + 1}/3)")
+            except Exception as e:  # noqa: BLE001 — one variant failing
+                # (e.g. a kernel's first on-chip compile tripping a VMEM
+                # ceiling) must not take down the whole table
+                out[tag] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                log(f"  FAILED: {out[tag]['error']}")
+                continue
             out[tag] = {"ms_per_batch": round(ms, 3),
                         "utt_per_s": round(B / ms * 1e3, 1)}
             if ms < floor_ms:
@@ -822,7 +831,8 @@ def main():
         # headline: the best greedy utt/s at the largest batch
         big = max((8,) if args.quick else (32, 64))
         cands = [v["utt_per_s"] for k, v in tp.items()
-                 if k.endswith(f"@B{big}") and k.startswith("greedy")]
+                 if k.endswith(f"@B{big}") and k.startswith("greedy")
+                 and "utt_per_s" in v]
         out = {
             "metric": "batched_greedy_decode_throughput",
             "value": max(cands),

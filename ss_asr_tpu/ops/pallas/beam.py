@@ -387,16 +387,19 @@ def beam_device_pallas(
 
     if lm_weight == 0.0:  # static here (python float); inside jit it traces
         lm_params = None
-    return _beam_device_pallas_jit(
+    # the K-beam frontier holds encoder memory + speller/LM weights + all
+    # beam states VMEM-resident: past ~B=32 flagship that brushes the 16 MB
+    # scoped default, so attach the raised limit unconditionally on TPU
+    # (measured neutral-to-better for legal shapes, docs/PERF.md round 3)
+    fn = (_beam_device_pallas_jit_raised
+          if jax.default_backend() == "tpu" else _beam_device_pallas_jit)
+    return fn(
         params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_weight,
         interpret, _salt=rnn.impl_salt())
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "K", "max_steps", "interpret", "_salt"))
-def _beam_device_pallas_jit(params, cfg, x, x_lens, K, max_steps, lm_params,
-                            lm_weight, interpret, *, _salt=None):
+def _beam_device_impl(params, cfg, x, x_lens, K, max_steps, lm_params,
+                      lm_weight, interpret, *, _salt=None):
     enc_h, enc_lens = las.listener_apply(params["encoder"], x, x_lens)
     comp_h = las.attention_precompute(params["attention"], enc_h)
     d = params["decoder"]
@@ -420,6 +423,14 @@ def _beam_device_pallas_jit(params, cfg, x, x_lens, K, max_steps, lm_params,
         )
     return _beam_pallas(enc_h, comp_h, enc_lens, weights, lm_weights,
                         lm_weight, K, max_steps, use_lm, interpret)
+
+
+_BEAM_STATICS = ("cfg", "K", "max_steps", "interpret", "_salt")
+_beam_device_pallas_jit = jax.jit(
+    _beam_device_impl, static_argnames=_BEAM_STATICS)
+_beam_device_pallas_jit_raised = jax.jit(
+    _beam_device_impl, static_argnames=_BEAM_STATICS,
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
 
 
 def beam_decode_pallas(
