@@ -46,6 +46,11 @@ def main(argv=None):
                              "device dispatches; beam runs frontend + beam "
                              "programs); fbank: per-request frontend, "
                              "decode-only batching")
+    parser.add_argument("--pallas-kernel", action="store_true",
+                        help="route decodes through the fused whole-loop "
+                             "Pallas kernels (greedy, greedy+LM, beam) — "
+                             "TPU only; the A/B vs the XLA paths is "
+                             "docs/BENCH_DETAILS.json decode_throughput")
     args = parser.parse_args(argv)
 
     config = {}
@@ -58,7 +63,8 @@ def main(argv=None):
     from ss_asr_tpu.api import Transcriber
     from ss_asr_tpu.serve import BatchingTranscriber, serve_http
 
-    kw = {"max_steps": args.max_steps, "sr": args.sr}
+    kw = {"max_steps": args.max_steps, "sr": args.sr,
+          "use_pallas_kernel": args.pallas_kernel}
     if args.beam is not None:
         kw["beam_size"] = args.beam
     if args.lm_weight is not None:
