@@ -115,8 +115,6 @@ def _make_kernel(K: int, use_lm: bool):
         att_valid = pos < len_ref[:, 0][:, None]
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
         pad_row = jnp.where(iota_v == SOS_ID, 0.0, NEG_INF)  # frozen-beam row
-        done = done_ref[:]  # [B, K] int32
-        scores = scores_ref[:]
 
         def beam_forward(k):
             """Attention + speller (+ LM) for beam k: returns the fused
@@ -177,83 +175,101 @@ def _make_kernel(K: int, use_lm: bool):
                 return logp, (h1n, c1, h2n, c2, lmh1, lmh2)
             return logp, (h1n, c1, h2n, c2)
 
-        cand, new_states = [], []
-        for k in range(K):
-            logp_k, st_k = beam_forward(k)
-            # frozen beams may only emit pad at no cost (XLA pad_onehot)
-            logp_k = jnp.where(done[:, k : k + 1] != 0, pad_row, logp_k)
-            cand.append(scores[:, k : k + 1] + logp_k)
-            new_states.append(st_k)
-
-        # --- frontier top-K: K iterations of masked global argmax ---------
+        # predicated early exit (see ops/pallas/decode.py): once every
+        # (sample, beam) is frozen the XLA fixed-trip scan provably writes
+        # token=pad / parent=identity rows and leaves scores/done/hyp
+        # unchanged (pad extends at zero cost on an already-sorted
+        # frontier), so all-done steps skip the whole frontier body
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (T_out, B, K), 0)
+        alive = jnp.min(done_ref[:]) == 0
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-        par_cols, tok_cols, sc_cols = [], [], []
-        for _ in range(K):
-            vmax = jnp.concatenate(
-                [jnp.max(cand[k], axis=-1, keepdims=True) for k in range(K)],
-                axis=-1)  # [B, K]
-            vidx = jnp.concatenate(
-                [jnp.argmax(cand[k], axis=-1).astype(jnp.int32)[:, None]
-                 for k in range(K)], axis=-1)  # [B, K]
-            kstar = jnp.argmax(vmax, axis=-1).astype(jnp.int32)  # [B]
-            sstar = jnp.max(vmax, axis=-1)  # [B]
-            vstar = jnp.sum(
-                jnp.where(iota_k == kstar[:, None], vidx, 0), axis=-1)  # [B]
-            par_cols.append(kstar[:, None])
-            tok_cols.append(vstar[:, None])
-            sc_cols.append(sstar[:, None])
-            for k in range(K):
-                hit = ((kstar[:, None] == k)
-                       & (iota_v[:, : cand[k].shape[-1]] == vstar[:, None]))
-                cand[k] = jnp.where(hit, NEG_INF, cand[k])
-        parent = jnp.concatenate(par_cols, axis=-1)  # [B, K]
-        token = jnp.concatenate(tok_cols, axis=-1)  # [B, K]
-        new_scores = jnp.concatenate(sc_cols, axis=-1)  # [B, K]
 
-        # --- bookkeeping (matches frontier_step exactly) -------------------
-        def sel_cols(mat, parent):
-            """[B, K] gathered by parent: out[:, j] = mat[b, parent[b, j]]."""
-            cols = []
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            beam_ids = jax.lax.broadcasted_iota(jnp.int32, (T_out, B, K), 2)
+            toks_ref[:] = jnp.where(row3 == t, jnp.int32(SOS_ID),
+                                    toks_ref[:])
+            par_ref[:] = jnp.where(row3 == t, beam_ids, par_ref[:])
+
+        @pl.when(alive)
+        def full_step():
+            done = done_ref[:]  # [B, K] int32
+            scores = scores_ref[:]
+            cand, new_states = [], []
+            for k in range(K):
+                logp_k, st_k = beam_forward(k)
+                # frozen beams may only emit pad at no cost (XLA pad_onehot)
+                logp_k = jnp.where(done[:, k : k + 1] != 0, pad_row, logp_k)
+                cand.append(scores[:, k : k + 1] + logp_k)
+                new_states.append(st_k)
+
+            # --- frontier top-K: K iterations of masked global argmax ------
+            par_cols, tok_cols, sc_cols = [], [], []
+            for _ in range(K):
+                vmax = jnp.concatenate(
+                    [jnp.max(cand[k], axis=-1, keepdims=True) for k in range(K)],
+                    axis=-1)  # [B, K]
+                vidx = jnp.concatenate(
+                    [jnp.argmax(cand[k], axis=-1).astype(jnp.int32)[:, None]
+                     for k in range(K)], axis=-1)  # [B, K]
+                kstar = jnp.argmax(vmax, axis=-1).astype(jnp.int32)  # [B]
+                sstar = jnp.max(vmax, axis=-1)  # [B]
+                vstar = jnp.sum(
+                    jnp.where(iota_k == kstar[:, None], vidx, 0), axis=-1)  # [B]
+                par_cols.append(kstar[:, None])
+                tok_cols.append(vstar[:, None])
+                sc_cols.append(sstar[:, None])
+                for k in range(K):
+                    hit = ((kstar[:, None] == k)
+                           & (iota_v[:, : cand[k].shape[-1]] == vstar[:, None]))
+                    cand[k] = jnp.where(hit, NEG_INF, cand[k])
+            parent = jnp.concatenate(par_cols, axis=-1)  # [B, K]
+            token = jnp.concatenate(tok_cols, axis=-1)  # [B, K]
+            new_scores = jnp.concatenate(sc_cols, axis=-1)  # [B, K]
+
+            # --- bookkeeping (matches frontier_step exactly) -------------------
+            def sel_cols(mat, parent):
+                """[B, K] gathered by parent: out[:, j] = mat[b, parent[b, j]]."""
+                cols = []
+                for j in range(K):
+                    pj = parent[:, j : j + 1]
+                    cols.append(jnp.sum(
+                        jnp.where(iota_k == pj, mat, 0), axis=-1, keepdims=True))
+                return jnp.concatenate(cols, axis=-1)
+
+            parent_done = sel_cols(done, parent)
+            done_new = jnp.where(
+                (parent_done != 0) | (token == EOS_ID), 1, 0).astype(jnp.int32)
+            grew = jnp.where((parent_done != 0) | (token == EOS_ID), 0, 1)
+            hyp_new = sel_cols(hyp_ref[:], parent) + grew
+
+            # --- state regather: dense K^2 select-accumulate --------------------
+            n_state = 6 if use_lm else 4
             for j in range(K):
-                pj = parent[:, j : j + 1]
-                cols.append(jnp.sum(
-                    jnp.where(iota_k == pj, mat, 0), axis=-1, keepdims=True))
-            return jnp.concatenate(cols, axis=-1)
+                pj = parent[:, j : j + 1]  # [B, 1]
+                acc = [jnp.zeros_like(new_states[0][s]) for s in range(n_state)]
+                for k in range(K):
+                    m = (pj == k).astype(jnp.float32)
+                    for s in range(n_state):
+                        acc[s] = acc[s] + m * new_states[k][s]
+                # feedback one-hot of the beam's new token
+                tj = token[:, j][:, None]
+                ohj = (iota_v == tj).astype(jnp.float32)
+                # defer ref writes until all beams' gathers are computed? not
+                # needed: acc reads new_states (locals), not the refs
+                h1_ref[j], c1_ref[j] = acc[0], acc[1]
+                h2_ref[j], c2_ref[j] = acc[2], acc[3]
+                if use_lm:
+                    lmh1_ref[j], lmh2_ref[j] = acc[4], acc[5]
+                lastoh_ref[j] = ohj
 
-        parent_done = sel_cols(done, parent)
-        done_new = jnp.where(
-            (parent_done != 0) | (token == EOS_ID), 1, 0).astype(jnp.int32)
-        grew = jnp.where((parent_done != 0) | (token == EOS_ID), 0, 1)
-        hyp_new = sel_cols(hyp_ref[:], parent) + grew
+            scores_ref[:] = new_scores
+            done_ref[:] = done_new
+            hyp_ref[:] = hyp_new
 
-        # --- state regather: dense K^2 select-accumulate --------------------
-        n_state = 6 if use_lm else 4
-        for j in range(K):
-            pj = parent[:, j : j + 1]  # [B, 1]
-            acc = [jnp.zeros_like(new_states[0][s]) for s in range(n_state)]
-            for k in range(K):
-                m = (pj == k).astype(jnp.float32)
-                for s in range(n_state):
-                    acc[s] = acc[s] + m * new_states[k][s]
-            # feedback one-hot of the beam's new token
-            tj = token[:, j][:, None]
-            ohj = (iota_v == tj).astype(jnp.float32)
-            # defer ref writes until all beams' gathers are computed? not
-            # needed: acc reads new_states (locals), not the refs
-            h1_ref[j], c1_ref[j] = acc[0], acc[1]
-            h2_ref[j], c2_ref[j] = acc[2], acc[3]
-            if use_lm:
-                lmh1_ref[j], lmh2_ref[j] = acc[4], acc[5]
-            lastoh_ref[j] = ohj
-
-        scores_ref[:] = new_scores
-        done_ref[:] = done_new
-        hyp_ref[:] = hyp_new
-
-        # --- trace write ----------------------------------------------------
-        row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B, K), 0)
-        toks_ref[:] = jnp.where(row == t, token[None], toks_ref[:])
-        par_ref[:] = jnp.where(row == t, parent[None], par_ref[:])
+            # --- trace write ----------------------------------------------------
+            toks_ref[:] = jnp.where(row3 == t, token[None], toks_ref[:])
+            par_ref[:] = jnp.where(row3 == t, parent[None], par_ref[:])
 
         # --- final step: still-open beams pay their terminal EOS cost -------
         @pl.when(t == T_out - 1)

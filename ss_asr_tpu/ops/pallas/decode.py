@@ -52,6 +52,39 @@ def _decode_kernel(
         last_ref[:] = jnp.broadcast_to(emb_ref[SOS_ID, :][None, :], last_ref.shape)
         done_ref[:] = jnp.zeros_like(done_ref)
 
+    # predicated early exit: a Pallas grid cannot break, but once every
+    # row has emitted EOS the remaining steps only need their pad row in
+    # the output — the whole MXU/VPU body is branch-skipped, so a short
+    # transcript costs ~zero per leftover step (the XLA early-exit
+    # while_loop's advantage, kept inside the fused kernel). Done rows'
+    # states stop evolving, which is unobservable: their emits are forced
+    # to SOS either way.
+    alive = jnp.min(done_ref[:]) == 0
+    T_out = out_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        out_ref[:] = jnp.where(row == t, jnp.int32(SOS_ID), out_ref[:])
+
+    @pl.when(alive)
+    def _():
+        _decode_step_body(
+            t, B, S, F, H, V, row,
+            enc_ref, comp_ref, len_ref,
+            phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref,
+            ct_w_ref, ct_b_ref, emb_ref, out_ref,
+            h1_ref, c1_ref, h2_ref, c2_ref, last_ref, done_ref,
+        )
+
+
+def _decode_step_body(
+    t, B, S, F, H, V, row,
+    enc_ref, comp_ref, len_ref,
+    phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref,
+    ct_w_ref, ct_b_ref, emb_ref, out_ref,
+    h1_ref, c1_ref, h2_ref, c2_ref, last_ref, done_ref,
+):
     h1 = h1_ref[:]
     # attention: q = tanh(h1 @ phi); energy/context as VPU reductions
     q = jnp.tanh(
@@ -101,8 +134,6 @@ def _decode_kernel(
     # the [max_steps, B] token buffer stays fully VMEM-resident (tiny);
     # write row t with a masked update (per-step (1, B) blocks violate the
     # sublane tiling rule)
-    T_out = out_ref.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
     out_ref[:] = jnp.where(row == t, emit[None, :], out_ref[:])
 
     # feedback: embed via one-hot matmul (dynamic row gather lowers poorly)
@@ -258,6 +289,41 @@ def _decode_lm_kernel(
         )
         lastoh_ref[:] = oh0
 
+    # predicated early exit (see _decode_kernel): all-done steps only pad
+    alive = jnp.min(done_ref[:]) == 0
+    T_out = out_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        out_ref[:] = jnp.where(row == t, jnp.int32(SOS_ID), out_ref[:])
+
+    @pl.when(alive)
+    def _():
+        _decode_lm_step_body(
+            t, B, S, F, H, V, row,
+            enc_ref, comp_ref, len_ref, lmw_ref,
+            phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref,
+            ct_w_ref, ct_b_ref, emb_ref,
+            lm_emb_ref, g1_wih_ref, g1_whh_ref, g1_bih_ref, g1_bhh_ref,
+            g2_wih_ref, g2_whh_ref, g2_bih_ref, g2_bhh_ref, lm_w_ref,
+            lm_b_ref, out_ref,
+            h1_ref, c1_ref, h2_ref, c2_ref, last_ref, done_ref, lmh1_ref,
+            lmh2_ref, lastoh_ref,
+        )
+
+
+def _decode_lm_step_body(
+    t, B, S, F, H, V, row,
+    enc_ref, comp_ref, len_ref, lmw_ref,
+    phi_ref, wih1_ref, whh1_ref, b1_ref, wih2_ref, whh2_ref, b2_ref,
+    ct_w_ref, ct_b_ref, emb_ref,
+    lm_emb_ref, g1_wih_ref, g1_whh_ref, g1_bih_ref, g1_bhh_ref,
+    g2_wih_ref, g2_whh_ref, g2_bih_ref, g2_bhh_ref, lm_w_ref, lm_b_ref,
+    out_ref,
+    h1_ref, c1_ref, h2_ref, c2_ref, last_ref, done_ref, lmh1_ref, lmh2_ref,
+    lastoh_ref,
+):
     h1 = h1_ref[:]
     q = jnp.tanh(jnp.dot(h1, phi_ref[:], preferred_element_type=jnp.float32))
     energy = jnp.sum(comp_ref[:] * q[:, None, :], axis=-1)
@@ -308,8 +374,6 @@ def _decode_lm_kernel(
     emit = jnp.where(done, jnp.int32(SOS_ID), ids)
     done_new = jnp.logical_or(done, ids == EOS_ID)
 
-    T_out = out_ref.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (T_out, B), 0)
     out_ref[:] = jnp.where(row == t, emit[None, :], out_ref[:])
 
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == ids[:, None]).astype(

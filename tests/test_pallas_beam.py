@@ -78,3 +78,30 @@ def test_beam_kernel_length_norm_path(rng):
                                 interpret=True)
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_beam_kernel_early_done_pad_branch(rng):
+    """EOS-biased params freeze the whole frontier at step 1; the
+    predicated pad branch must reproduce the XLA fixed-trip trace
+    (token=pad, parent=identity, scores/done/hyp unchanged) exactly."""
+    from ss_asr_tpu.vocab import EOS_ID
+
+    params = las.init_asr(jax.random.key(6), CFG)
+    b = np.asarray(params["char_trans"]["b"]).copy()
+    b[EOS_ID] = 50.0
+    params = dict(params)
+    params["char_trans"] = {"w": params["char_trans"]["w"],
+                            "b": jnp.asarray(b)}
+    x = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    lens = jnp.asarray([16, 16])
+    K, T = 3, 10
+    toks1, par1, sc1, done1, hyp1 = _beam_device(
+        params, CFG, x, lens, K, T, None, None, 0.0, early_exit=False)
+    toks2, par2, sc2, done2, hyp2 = beam_device_pallas(
+        params, CFG, x, lens, beam_size=K, max_steps=T, interpret=True)
+    assert bool(np.asarray(done1).all())  # the bias actually froze everything
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    np.testing.assert_array_equal(np.asarray(par1), np.asarray(par2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hyp1), np.asarray(hyp2))

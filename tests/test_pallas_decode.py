@@ -46,3 +46,25 @@ def test_pallas_decode_with_lm_matches_scan(rng):
     )
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_pallas_decode_early_done_pad_branch(rng):
+    """Params biased to emit EOS at step 1: all rows finish immediately, so
+    steps 2..max_steps take the kernel's predicated all-done pad branch —
+    outputs must still match the XLA scan exactly."""
+    params = las.init_asr(jax.random.key(5), CFG)
+    from ss_asr_tpu.vocab import EOS_ID
+
+    b = np.asarray(params["char_trans"]["b"]).copy()
+    b[EOS_ID] = 50.0
+    params = dict(params)
+    params["char_trans"] = {"w": params["char_trans"]["w"],
+                            "b": jnp.asarray(b)}
+    x = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    lens = jnp.asarray([16, 16])
+    t1, l1 = greedy_decode(params, CFG, x, lens, max_steps=12)
+    t2, l2 = greedy_decode_pallas(params, CFG, x, lens, max_steps=12,
+                                  interpret=True)
+    assert int(np.asarray(l1).max()) <= 1  # the bias actually fired
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
