@@ -212,15 +212,22 @@ def greedy_decode_pallas(
     serving calls hit one cached executable — see decode/greedy.py."""
     from ss_asr_tpu.ops import rnn
 
-    return _greedy_decode_pallas_jit(
+    return _greedy_jit_for(x.shape[0])(
         params, cfg, x, x_lens, max_steps, interpret, _salt=rnn.impl_salt()
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_steps", "interpret", "_salt")
-)
-def _greedy_decode_pallas_jit(
+def _greedy_jit_for(batch: int):
+    """Large batches keep more encoder memory VMEM-resident; past ~B=32
+    flagship that brushes the compiler's 16 MB scoped default, so route
+    them through the raised-limit executable (ops/rnn.py scoped-VMEM
+    notes)."""
+    if batch > 32 and jax.default_backend() == "tpu":
+        return _greedy_decode_pallas_jit_raised
+    return _greedy_decode_pallas_jit
+
+
+def _greedy_decode_pallas_impl(
     params, cfg, x, x_lens, max_steps, interpret, *, _salt=None
 ):
     from ss_asr_tpu.decode.greedy import _finalize
@@ -237,6 +244,14 @@ def _greedy_decode_pallas_jit(
     )
     toks = _decode_pallas(enc_h, comp_h, enc_lens, weights, max_steps, interpret)
     return _finalize(toks, max_steps)
+
+
+_GREEDY_STATICS = ("cfg", "max_steps", "interpret", "_salt")
+_greedy_decode_pallas_jit = jax.jit(
+    _greedy_decode_pallas_impl, static_argnames=_GREEDY_STATICS)
+_greedy_decode_pallas_jit_raised = jax.jit(
+    _greedy_decode_pallas_impl, static_argnames=_GREEDY_STATICS,
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
 
 
 # ---------------------------------------------------------------------------
@@ -480,16 +495,16 @@ def greedy_decode_lm_pallas(
     scalar) so serving calls hit one cached executable."""
     from ss_asr_tpu.ops import rnn
 
-    return _greedy_decode_lm_pallas_jit(
+    fn = (_greedy_decode_lm_pallas_jit_raised
+          if x.shape[0] > 32 and jax.default_backend() == "tpu"
+          else _greedy_decode_lm_pallas_jit)
+    return fn(
         params, cfg, x, x_lens, lm_params, lm_weight, max_steps, interpret,
         _salt=rnn.impl_salt(),
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_steps", "interpret", "_salt")
-)
-def _greedy_decode_lm_pallas_jit(
+def _greedy_decode_lm_pallas_impl(
     params, cfg, x, x_lens, lm_params, lm_weight, max_steps, interpret,
     *, _salt=None,
 ):
@@ -517,3 +532,10 @@ def _greedy_decode_lm_pallas_jit(
         enc_h, comp_h, enc_lens, weights, lm_weights, lm_weight, max_steps, interpret
     )
     return _finalize(toks, max_steps)
+
+
+_greedy_decode_lm_pallas_jit = jax.jit(
+    _greedy_decode_lm_pallas_impl, static_argnames=_GREEDY_STATICS)
+_greedy_decode_lm_pallas_jit_raised = jax.jit(
+    _greedy_decode_lm_pallas_impl, static_argnames=_GREEDY_STATICS,
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
