@@ -105,3 +105,33 @@ def test_beam_kernel_early_done_pad_branch(rng):
     np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(hyp1), np.asarray(hyp2))
+
+
+def test_beam_kernel_partial_done_mixed_frontier(rng):
+    """A moderate EOS bias makes SOME beams finish mid-decode while others
+    stay live — exercising the frozen-beam pad rows inside an active
+    frontier (distinct from the all-done pad branch)."""
+    from ss_asr_tpu.vocab import EOS_ID
+
+    params = las.init_asr(jax.random.key(7), CFG)
+    b = np.asarray(params["char_trans"]["b"]).copy()
+    b[EOS_ID] = 1.5  # competitive, not dominant
+    params = dict(params)
+    params["char_trans"] = {"w": params["char_trans"]["w"],
+                            "b": jnp.asarray(b)}
+    x = jnp.asarray(rng.standard_normal((3, 16, 5)).astype(np.float32))
+    lens = jnp.asarray([16, 12, 16])
+    K, T = 4, 12
+    toks1, par1, sc1, done1, hyp1 = _beam_device(
+        params, CFG, x, lens, K, T, None, None, 0.0, early_exit=False)
+    toks2, par2, sc2, done2, hyp2 = beam_device_pallas(
+        params, CFG, x, lens, beam_size=K, max_steps=T, interpret=True)
+    # mixed-frontier evidence: beams froze at DIFFERENT steps (varying
+    # hypothesis lengths), so live and frozen beams coexisted mid-decode
+    h = np.asarray(hyp1)
+    assert np.asarray(done1).any() and h.min() < h.max(), h
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+    np.testing.assert_array_equal(np.asarray(par1), np.asarray(par2))
+    np.testing.assert_array_equal(np.asarray(hyp1), np.asarray(hyp2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               rtol=1e-5, atol=1e-5)
