@@ -392,13 +392,21 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         "serving_e2e": serving_chain,
     }
     if jax.default_backend() == "tpu":
-        # the fused decode kernel (whole greedy loop as one Pallas program)
-        # only compiles on real TPU; record it so the A/B vs the XLA
-        # early-exit variant is on the record (ops/pallas/decode.py)
+        # the fused decode kernels (whole loop as one Pallas program)
+        # only compile on real TPU; record them so the A/B vs the XLA
+        # variants is on the record (ops/pallas/{decode,beam}.py)
+        from ss_asr_tpu.ops.pallas.beam import beam_device_pallas
         from ss_asr_tpu.ops.pallas.decode import greedy_decode_pallas
+
+        def beam8_pallas_single(x):
+            toks, parents, scores, done, hyp = beam_device_pallas(
+                params, cfg, x, xl, beam_size=8, max_steps=max_steps)
+            return toks, hyp.reshape(-1)
 
         variants["greedy_pallas_kernel"] = lambda k: chain(
             lambda x: greedy_decode_pallas(params, cfg, x, xl, max_steps), k)
+        variants["beam8_pallas_kernel"] = lambda k: chain(
+            beam8_pallas_single, k)
     if floor_ms is None:
         floor_ms = 0.5 if max_steps >= 100 else 0.0
     out, suspects = {}, []
