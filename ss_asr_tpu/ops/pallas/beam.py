@@ -29,7 +29,12 @@ Design notes (TPU-shaped):
   scores are final and the host backtrack is shared with the XLA path.
 
 Numerically identical to ``_beam_scan(early_exit=False)`` + its EOS charge
-(tested in interpret mode, tokens/parents/scores exact).
+in interpret mode (tokens/parents/scores exact — tests/test_pallas_beam.py).
+On real TPU the two paths order their matmuls differently under the
+hardware's single-pass-bf16 f32 precision, so RANDOM-weight decodes can
+flip near-tie frontier choices (measured: 3/1920 tokens at flagship, 0 at
+tiny); trained checkpoints separate their decisions and agree at the
+transcript level (.campaign beam_trained_parity record).
 """
 
 from __future__ import annotations
