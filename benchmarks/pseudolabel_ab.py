@@ -21,7 +21,11 @@ Protocol (one command, all arms share corpus/split/LM/seed):
 
     python benchmarks/pseudolabel_ab.py --work .campaign/hard_pl \
         --labeled-utts 64 --epochs 250 --extra-epochs 120 \
-        --thresholds -0.1,-0.3,-0.6 --out docs/GAIN_PSEUDO.json
+        --thresholds auto --out docs/GAIN_PSEUDO.json
+
+The pool is decoded once with the confidence filter open; each threshold is
+a post-filter over that master decode (``thresholds auto`` sweeps P25/P50/
+P75 of the observed confidence distribution, which the artifact records).
 
 Match: the reference's whole program is leveraging unlabeled data
 (/root/reference/src/trainer.py:909-1124 aux chain); self-training is the
@@ -93,13 +97,16 @@ def _pool_truth(processed_index: str, labeled_index: str):
     return wavs, truth
 
 
-def _pseudo_corpus(outdir: str, wavs, ckpt: str, lm_ckpt: str,
-                   threshold: float, mdl: dict, lm_weight: float,
-                   max_steps: int, truth: dict) -> dict:
-    """Run the real CLI in-process; score the kept labels against truth."""
+def _decode_pool(outdir: str, wavs, ckpt: str, lm_ckpt: str, mdl: dict,
+                 lm_weight: float, max_steps: int):
+    """Run the real CLI in-process ONCE over the whole pool with the
+    confidence filter open (``--min-avg-logprob -1e9``), producing a master
+    index whose ``text_fname`` column carries each row's decode confidence
+    (``pseudo:<avg_logprob>``, written by the CLI).  Threshold arms are then
+    pure post-filters over this one decode — the sweep never re-decodes.
+    Returns (master DataFrame, index path)."""
     from ss_asr_tpu.cli.pseudolabel import main as pl_main
     from ss_asr_tpu.data.index import load_index
-    from ss_asr_tpu.utils.metrics import err_rate
 
     shutil.rmtree(outdir, ignore_errors=True)
     # the CLI reads asr.mdl sizes from a config file; write one
@@ -111,15 +118,46 @@ def _pseudo_corpus(outdir: str, wavs, ckpt: str, lm_ckpt: str,
             "--config", cfg_path, "--lm", lm_ckpt, "--beam", "8",
             "--lm-weight", str(lm_weight), "--sr", "8000",
             "--max-steps", str(max_steps), "--batch", "32",
-            "--min-avg-logprob", str(threshold)]
-    rc = pl_main(argv)
+            "--min-avg-logprob=-1e9"]  # =-form: argparse's negative-number
+    # matcher doesn't recognize exponent literals as values
+    pl_main(argv)
     index_path = os.path.join(outdir, "index.tsv")
-    stats = {"threshold": threshold, "rc": rc, "n_kept": 0,
-             "pseudo_wer": None, "pseudo_cer": None}
     if not (os.path.exists(index_path) and os.path.getsize(index_path)):
+        return None, index_path
+    return load_index(index_path), index_path
+
+
+def _row_conf(df):
+    """Per-row avg_logprob confidences from the CLI's text_fname field."""
+    return [float(str(s).split(":", 1)[1]) for s in df["text_fname"]]
+
+
+def _conf_stats(confs) -> dict:
+    import numpy as np
+
+    a = np.asarray(confs, dtype=np.float64)
+    pct = {f"p{q}": round(float(np.percentile(a, q)), 4)
+           for q in (10, 25, 50, 75, 90)}
+    return {"n": int(a.size), "min": round(float(a.min()), 4),
+            "mean": round(float(a.mean()), 4),
+            "max": round(float(a.max()), 4), **pct}
+
+
+def _threshold_arm(outdir: str, master, threshold: float,
+                   truth: dict) -> dict:
+    """Post-filter the master pool decode at ``threshold``; score the kept
+    pseudolabels against the (known, synthetic-corpus) truth."""
+    from ss_asr_tpu.data.index import save_index
+    from ss_asr_tpu.utils.metrics import err_rate
+
+    confs = _row_conf(master)
+    keep = [c >= threshold for c in confs]
+    df = master[keep]
+    stats = {"threshold": threshold, "n_kept": int(len(df)),
+             "rejected_low_conf": int(len(master) - len(df)),
+             "pseudo_wer": None, "pseudo_cer": None}
+    if not len(df):
         return stats
-    df = load_index(index_path)
-    stats["n_kept"] = int(len(df))
     wers, cers = [], []
     for _, row in df.iterrows():
         stem = os.path.splitext(os.path.basename(row["wav_fname"]))[0]
@@ -132,6 +170,9 @@ def _pseudo_corpus(outdir: str, wavs, ckpt: str, lm_ckpt: str,
     if wers:
         stats["pseudo_wer"] = round(sum(wers) / len(wers), 4)
         stats["pseudo_cer"] = round(sum(cers) / len(cers), 4)
+    os.makedirs(outdir, exist_ok=True)
+    index_path = os.path.join(outdir, "index.tsv")
+    save_index(df, index_path)
     stats["index"] = index_path
     return stats
 
@@ -150,10 +191,31 @@ def _merge_indices(a: str, b: str, out: str) -> str:
 def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
            extra_epochs: int, thresholds, batch: int = 32,
            lm_weight: float = 0.2, max_decode_steps: int = 60,
-           seed: int = 0, lm_epochs: int = 6, size: str = "flagship") -> dict:
+           seed: int = 0, lm_epochs: int = 6, size: str = "flagship",
+           reuse: str | None = None) -> dict:
+    """``thresholds`` is a list of floats or the string ``"auto"`` — auto
+    picks P25/P50/P75 of the pool's decoded confidence distribution, so the
+    sweep brackets the teacher's actual operating range instead of assuming
+    one (the first run of this harness rejected 386/386 pool utterances at
+    every preset threshold because the hard-corpus teacher's avg_logprob
+    lives in [-1.1, -0.8]).  ``reuse`` points at a previous artifact JSON;
+    base/control/oracle arm results are copied from it when the base arm's
+    checkpoints still exist on disk, so a threshold re-sweep costs only the
+    pool decode + the pseudo fine-tunes."""
     from benchmarks.malromur_parity import build_gain_corpus, run
 
     os.makedirs(work, exist_ok=True)
+    prior = None
+    if reuse and os.path.exists(reuse):
+        with open(reuse, encoding="utf-8") as f:
+            prior = json.load(f)
+        needed = [os.path.join(work, "result", "pl_base", n)
+                  for n in ("asr.npz", "char_lm.npz")]
+        needed += [os.path.join(work, "processed", p)
+                   for p in (f"train_{labeled_utts}u.tsv", "train.tsv",
+                             "eval.tsv")]
+        if not all(os.path.exists(p) for p in needed):
+            prior = None  # arms without their checkpoints can't be reused
     csv_path, wav_dir, lm_corpus, _ = build_gain_corpus(
         work, n_corpus, seed=seed, hard=True)
     if size == "tiny":
@@ -164,11 +226,14 @@ def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
                "decoder_state_size": 256, "feature_dim": 40}
 
     # 1. base: supervised-only m1 at the low-resource budget
-    base = run(csv_path, wav_dir, work, hours=None, lm_corpus=lm_corpus,
-               epochs=epochs, lm_epochs=lm_epochs, batch=batch, mdl=mdl,
-               lm_weight=lm_weight, seed=seed, sr=8000,
-               max_decode_steps=max_decode_steps, model="m1", name="pl_base",
-               labeled_utts=labeled_utts)
+    if prior is not None:
+        base = prior["base"]
+    else:
+        base = run(csv_path, wav_dir, work, hours=None, lm_corpus=lm_corpus,
+                   epochs=epochs, lm_epochs=lm_epochs, batch=batch, mdl=mdl,
+                   lm_weight=lm_weight, seed=seed, sr=8000,
+                   max_decode_steps=max_decode_steps, model="m1",
+                   name="pl_base", labeled_utts=labeled_utts)
     processed = os.path.join(work, "processed")
     labeled_index = os.path.join(processed, f"train_{labeled_utts}u.tsv")
     eval_index = os.path.join(processed, "eval.tsv")
@@ -185,39 +250,59 @@ def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
            "labeled_utts": labeled_utts, "seed": seed,
            "config": {"n_corpus": n_corpus, "epochs": epochs,
                       "extra_epochs": extra_epochs, "batch": batch,
-                      "lm_weight": lm_weight, "thresholds": list(thresholds)}}
+                      "lm_weight": lm_weight,
+                      "thresholds": ("auto" if thresholds == "auto"
+                                     else list(thresholds))}}
 
     # 2. control: same continuation budget, labeled data only
-    out["control"] = _finetune_arm(arm="pl_control",
-                                   train_index=labeled_index, **common)
+    if prior is not None and "control" in prior:
+        out["control"] = prior["control"]
+    else:
+        out["control"] = _finetune_arm(arm="pl_control",
+                                       train_index=labeled_index, **common)
 
-    # 3. pseudo arms, one per confidence threshold
+    # 3. decode the pool ONCE, then one post-filter + fine-tune per threshold
+    master, master_index = _decode_pool(
+        os.path.join(work, "pool_decode"), wavs, base_ckpt, lm_ckpt, mdl,
+        lm_weight, max_decode_steps)
     out["pseudo"] = {}
-    for t in thresholds:
-        tag = f"t{t}".replace("-", "m").replace(".", "p")
-        pdir = os.path.join(work, f"pseudo_{tag}")
-        stats = _pseudo_corpus(pdir, wavs, base_ckpt, lm_ckpt, t, mdl,
-                               lm_weight, max_decode_steps, truth)
-        arm = dict(stats)
-        if stats["n_kept"]:
-            merged = _merge_indices(labeled_index, stats["index"],
-                                    os.path.join(pdir, "merged.tsv"))
-            arm.update(_finetune_arm(arm=f"pl_{tag}", train_index=merged,
-                                     **common))
-        out["pseudo"][str(t)] = arm
+    if master is None:
+        out["pool_confidence"] = None
+    else:
+        confs = _row_conf(master)
+        out["pool_confidence"] = _conf_stats(confs)
+        out["pool_confidence"]["index"] = master_index
+        if thresholds == "auto":
+            thresholds = [out["pool_confidence"][p]
+                          for p in ("p75", "p50", "p25")]
+            out["config"]["thresholds_resolved"] = thresholds
+        for t in thresholds:
+            tag = f"t{t}".replace("-", "m").replace(".", "p")
+            pdir = os.path.join(work, f"pseudo_{tag}")
+            stats = _threshold_arm(pdir, master, t, truth)
+            arm = dict(stats)
+            if stats["n_kept"]:
+                merged = _merge_indices(labeled_index, stats["index"],
+                                        os.path.join(pdir, "merged.tsv"))
+                arm.update(_finetune_arm(arm=f"pl_{tag}", train_index=merged,
+                                         **common))
+            out["pseudo"][str(t)] = arm
 
     # 4. oracle: the pool with its TRUE labels (data-quality upper bound)
-    from ss_asr_tpu.data.index import load_index, save_index
+    if prior is not None and "oracle" in prior:
+        out["oracle"] = prior["oracle"]
+    else:
+        from ss_asr_tpu.data.index import load_index, save_index
 
-    full = load_index(os.path.join(processed, "train.tsv"))
-    labeled = set(load_index(labeled_index)["wav_fname"])
-    pool_df = full[~full["wav_fname"].isin(labeled)]
-    pool_index = os.path.join(work, "pool_true.tsv")
-    save_index(pool_df, pool_index)
-    merged = _merge_indices(labeled_index, pool_index,
-                            os.path.join(work, "oracle_merged.tsv"))
-    out["oracle"] = _finetune_arm(arm="pl_oracle", train_index=merged,
-                                  **common)
+        full = load_index(os.path.join(processed, "train.tsv"))
+        labeled = set(load_index(labeled_index)["wav_fname"])
+        pool_df = full[~full["wav_fname"].isin(labeled)]
+        pool_index = os.path.join(work, "pool_true.tsv")
+        save_index(pool_df, pool_index)
+        merged = _merge_indices(labeled_index, pool_index,
+                                os.path.join(work, "oracle_merged.tsv"))
+        out["oracle"] = _finetune_arm(arm="pl_oracle", train_index=merged,
+                                      **common)
 
     # conclusion strings are data-driven — never overstate
     # (benchmarks/gain_stats.py contract)
@@ -229,15 +314,26 @@ def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
     concl = []
     if wins:
         t_best = min(wins, key=wins.get)
+        lq = out["pseudo"][t_best].get("pseudo_wer")
+        lq_s = f" (kept-label WER vs truth {lq:.4f})" if lq is not None \
+            else ""
         if wins[t_best] < ctrl:
             concl.append(
                 f"self-training helps at this operating point: best pseudo "
                 f"arm (threshold {t_best}) best-mode WER {wins[t_best]:.4f} "
-                f"vs control {ctrl:.4f} at equal continuation epochs")
+                f"vs control {ctrl:.4f} at equal continuation epochs{lq_s}")
         else:
             concl.append(
                 f"self-training did NOT beat the labeled-only control here "
-                f"(best pseudo {wins[t_best]:.4f} vs control {ctrl:.4f})")
+                f"(best pseudo {wins[t_best]:.4f} vs control {ctrl:.4f})"
+                f"{lq_s}")
+    elif out["pseudo"]:
+        concl.append(
+            "every threshold kept 0 pool utterances — no pseudo arm was "
+            "trainable; the thresholds sit above the teacher's confidence "
+            "range (see pool_confidence)")
+    else:
+        concl.append("pool decode produced no index — no pseudo arms ran")
     concl.append(
         f"oracle (true pool labels) best-mode WER "
         f"{best_mode(out['oracle']):.4f} bounds what perfect labels buy")
@@ -254,7 +350,13 @@ def main(argv=None):
                     help="base supervised epochs")
     ap.add_argument("--extra-epochs", type=int, default=120,
                     help="continuation budget per arm (control/pseudo/oracle)")
-    ap.add_argument("--thresholds", default="-0.1,-0.3,-0.6")
+    ap.add_argument("--thresholds", default="auto",
+                    help="comma-separated avg_logprob floors, or 'auto' to "
+                         "sweep P25/P50/P75 of the pool confidence "
+                         "distribution")
+    ap.add_argument("--reuse", default=None,
+                    help="previous artifact JSON; base/control/oracle arms "
+                         "are copied from it when their checkpoints exist")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lm-weight", type=float, default=0.2)
     ap.add_argument("--max-decode-steps", type=int, default=60)
@@ -264,12 +366,13 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    thresholds = [float(t) for t in args.thresholds.split(",") if t.strip()]
+    thresholds = ("auto" if args.thresholds.strip() == "auto" else
+                  [float(t) for t in args.thresholds.split(",") if t.strip()])
     result = run_ab(args.work, args.synthetic, args.labeled_utts, args.epochs,
                     args.extra_epochs, thresholds, batch=args.batch,
                     lm_weight=args.lm_weight,
                     max_decode_steps=args.max_decode_steps, seed=args.seed,
-                    size=args.size)
+                    size=args.size, reuse=args.reuse)
     blob = json.dumps(result, indent=1, ensure_ascii=False)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
