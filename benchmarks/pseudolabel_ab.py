@@ -194,11 +194,12 @@ def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
            seed: int = 0, lm_epochs: int = 6, size: str = "flagship",
            reuse: str | None = None) -> dict:
     """``thresholds`` is a list of floats or the string ``"auto"`` — auto
-    picks P25/P50/P75 of the pool's decoded confidence distribution, so the
-    sweep brackets the teacher's actual operating range instead of assuming
-    one (the first run of this harness rejected 386/386 pool utterances at
-    every preset threshold because the hard-corpus teacher's avg_logprob
-    lives in [-1.1, -0.8]).  ``reuse`` points at a previous artifact JSON;
+    picks P90/P75/P50/P25 of the pool's decoded confidence distribution, so
+    the sweep brackets the teacher's actual operating range instead of
+    assuming one (the first run of this harness rejected 386/386 pool
+    utterances at every preset threshold because the hard-corpus teacher's
+    avg_logprob lives in [-1.1, -0.8]).  ``reuse`` points at a previous
+    artifact JSON;
     base/control/oracle arm results are copied from it when the base arm's
     checkpoints still exist on disk, so a threshold re-sweep costs only the
     pool decode + the pseudo fine-tunes."""
@@ -274,7 +275,7 @@ def run_ab(work: str, n_corpus: int, labeled_utts: int, epochs: int,
         out["pool_confidence"]["index"] = master_index
         if thresholds == "auto":
             thresholds = [out["pool_confidence"][p]
-                          for p in ("p75", "p50", "p25")]
+                          for p in ("p90", "p75", "p50", "p25")]
             out["config"]["thresholds_resolved"] = thresholds
         for t in thresholds:
             tag = f"t{t}".replace("-", "m").replace(".", "p")
