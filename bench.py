@@ -59,6 +59,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _chain_jit(fn):
+    """jit for the outer decode-chain programs. On TPU, attach the raised
+    scoped-VMEM limit: fused decode kernels composed INSIDE a chain must
+    route to their plain (option-free) jits — jax rejects
+    ``compiler_options`` on a nested jit — so the OUTER program supplies
+    the headroom their top-level raised executables would have
+    (ops/rnn.py ``top_level_call`` notes; measured neutral-to-better for
+    legal shapes, docs/PERF.md round 3)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return jax.jit(
+            fn,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
+    return jax.jit(fn)
+
+
 def _flagship():
     import jax
 
@@ -317,7 +334,7 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
     k_lo, k_hi = K, 3 * K
 
     def chain(decode_fn, k):
-        @jax.jit
+        @_chain_jit
         def run(key):
             xs = eps + jax.random.normal(key, (k, 1, T, cfg.feature_dim), jnp.float32)
 
@@ -331,7 +348,7 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
         return run
 
     def serving_chain(k):
-        @jax.jit
+        @_chain_jit
         def run(key):
             wavs = 0.1 * jax.random.normal(key, (k, 1, N), jnp.float32) + eps
 
@@ -363,7 +380,7 @@ def bench_decode_latency(T: int = 512, max_steps: int = 200, K: int = 8,
 
         ids = jax.random.randint(jax.random.PRNGKey(7), (4, 48), 3, 49)
 
-        @jax.jit
+        @_chain_jit
         def run(key):
             xs = eps + jax.random.normal(key, (k, 1, T, cfg.feature_dim), jnp.float32)
 
@@ -489,7 +506,7 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
     def chain(decode_fn, B, k):
         xl = jnp.full((B,), T, dtype=jnp.int32)
 
-        @jax.jit
+        @_chain_jit
         def run(key):
             xs = eps + jax.random.normal(
                 key, (k, B, T, cfg.feature_dim), jnp.float32)
@@ -506,7 +523,7 @@ def bench_decode_throughput(B_list=(32, 64), T: int = 512,
     def signal_chain(B, k, decode_fn):
         n_samples = jnp.full((B,), N, dtype=jnp.int32)
 
-        @jax.jit
+        @_chain_jit
         def run(key):
             wavs = 0.1 * jax.random.normal(key, (k, B, N), jnp.float32) + eps
 

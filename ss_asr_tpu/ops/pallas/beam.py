@@ -410,10 +410,14 @@ def beam_device_pallas(
         lm_params = None
     # the K-beam frontier holds encoder memory + speller/LM weights + all
     # beam states VMEM-resident: past ~B=32 flagship that brushes the 16 MB
-    # scoped default, so attach the raised limit unconditionally on TPU
-    # (measured neutral-to-better for legal shapes, docs/PERF.md round 3)
+    # scoped default, so attach the raised limit on TPU (measured
+    # neutral-to-better for legal shapes, docs/PERF.md round 3) — but only
+    # at top level: compiler_options is rejected on a jit inlined into an
+    # outer trace, so composed callers get the plain jit and raise the
+    # limit on their own outer program when their shapes need it
     fn = (_beam_device_pallas_jit_raised
-          if jax.default_backend() == "tpu" else _beam_device_pallas_jit)
+          if jax.default_backend() == "tpu" and rnn.top_level_call()
+          else _beam_device_pallas_jit)
     return fn(
         params, cfg, x, x_lens, beam_size, max_steps, lm_params, lm_weight,
         interpret, _salt=rnn.impl_salt())

@@ -221,8 +221,12 @@ def _greedy_jit_for(batch: int):
     """Large batches keep more encoder memory VMEM-resident; past ~B=32
     flagship that brushes the compiler's 16 MB scoped default, so route
     them through the raised-limit executable (ops/rnn.py scoped-VMEM
-    notes)."""
-    if batch > 32 and jax.default_backend() == "tpu":
+    notes). Only at top level: ``compiler_options`` is rejected on a jit
+    inlined into an outer trace (rnn.top_level_call)."""
+    from ss_asr_tpu.ops import rnn
+
+    if (batch > 32 and jax.default_backend() == "tpu"
+            and rnn.top_level_call()):
         return _greedy_decode_pallas_jit_raised
     return _greedy_decode_pallas_jit
 
@@ -496,7 +500,8 @@ def greedy_decode_lm_pallas(
     from ss_asr_tpu.ops import rnn
 
     fn = (_greedy_decode_lm_pallas_jit_raised
-          if x.shape[0] > 32 and jax.default_backend() == "tpu"
+          if (x.shape[0] > 32 and jax.default_backend() == "tpu"
+              and rnn.top_level_call())
           else _greedy_decode_lm_pallas_jit)
     return fn(
         params, cfg, x, x_lens, lm_params, lm_weight, max_steps, interpret,

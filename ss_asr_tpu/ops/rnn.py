@@ -162,6 +162,25 @@ def impl_salt() -> tuple:
     return (LSTM_IMPL, SPELL_IMPL, PALLAS_INTERPRET, GSPMD_PARTITION)
 
 
+def top_level_call() -> bool:
+    """True when NOT under an active jax trace.
+
+    The raised-scoped-VMEM decode executables carry ``compiler_options``
+    on their ``jax.jit``; jax rejects those on a jit that gets inlined
+    into an outer trace ("can only be passed to top-level jax.jit").
+    Entry points that auto-route to a raised executable must therefore
+    fall back to the plain jit when a caller composes them inside its own
+    jitted program — the OUTER program owns the compile there, and the
+    caller raises the limit on its own jit if its shapes need it (bench's
+    decode chains do)."""
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.trace_state_clean())
+    except Exception:  # pragma: no cover — private-API drift
+        return True
+
+
 def _use_pallas_lstm(hidden_size: Optional[int] = None) -> bool:
     if LSTM_IMPL == "pallas":
         return True

@@ -68,3 +68,33 @@ def test_pallas_decode_early_done_pad_branch(rng):
     assert int(np.asarray(l1).max()) <= 1  # the bias actually fired
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_raised_vmem_routing_is_top_level_only(monkeypatch):
+    """The raised-scoped-VMEM executables carry ``compiler_options``, which
+    jax rejects on a jit inlined into an outer trace — composed callers
+    (bench's decode chains, any user jit wrapping a decode entry point)
+    must get the plain jit. Regression for the round-4 bench crash:
+    ``beam_device_pallas`` inside an outer jit raised ValueError on TPU."""
+    import jax
+
+    from ss_asr_tpu.ops import rnn
+    from ss_asr_tpu.ops.pallas import decode as pd
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # top level: big batches route to the raised executable
+    assert rnn.top_level_call()
+    assert pd._greedy_jit_for(64) is pd._greedy_decode_pallas_jit_raised
+    assert pd._greedy_jit_for(8) is pd._greedy_decode_pallas_jit
+
+    seen = {}
+
+    @jax.jit
+    def probe(x):
+        seen["top_level"] = rnn.top_level_call()
+        seen["routed"] = pd._greedy_jit_for(64)
+        return x
+
+    probe(jnp.zeros(()))
+    assert seen["top_level"] is False
+    assert seen["routed"] is pd._greedy_decode_pallas_jit
