@@ -349,11 +349,9 @@ def summarize_menu(seeds, base: str = "m1") -> dict:
                 < best_wer(blk, base)]
         out["gain_adv_free"] = {
             "what": f"best({'/'.join(free)}) best-mode WER < {base}'s",
+            "arms": free,
             "seeds": hits, "count": f"{len(hits)}/{n}",
         }
-        concl.append(
-            f"semi-supervised gain (ADV-free arms {'/'.join(free)} vs "
-            f"{base}, best decode mode): {len(hits)}/{n} seeds")
     adv = {}
     for w, wo in ADV_PAIRS:
         if w in models and wo in models:
@@ -367,6 +365,33 @@ def summarize_menu(seeds, base: str = "m1") -> dict:
             }
     if adv:
         out["adv_effect"] = adv
+    if base in models and len(models) > 1 and n:
+        hits_sw = [s for s, blk in seeds
+                   if best_wer(blk, base)
+                   > max(best_wer(blk, m) for m in models if m != base)]
+        out["base_strictly_worst"] = {
+            "what": f"{base} best-mode WER > every other arm's",
+            "seeds": hits_sw, "count": f"{len(hits_sw)}/{n}",
+        }
+    out["conclusions"] = concl + _menu_conclusions(out)
+    return out
+
+
+def _menu_conclusions(out: dict) -> list:
+    """Conclusion strings derived purely from the structured tally fields —
+    shared by summarize_menu and merge_menu_summaries so merged artifacts
+    re-state their claims from the merged counts, never stale prose."""
+    concl = []
+    n = out.get("n_seeds", 0)
+    gaf = out.get("gain_adv_free")
+    if gaf:
+        base = out.get("base", "m1")
+        arms = "/".join(gaf.get("arms", ["m2", "m5"]))
+        concl.append(
+            f"semi-supervised gain (ADV-free arms {arms} vs "
+            f"{base}, best decode mode): {gaf['count']} seeds")
+    adv = out.get("adv_effect")
+    if adv:
         total = sum(int(v["count"].split("/")[0]) for v in adv.values())
         cells = len(adv) * n
         direction = ("reproduces the thesis' ADV-hurts finding"
@@ -376,15 +401,139 @@ def summarize_menu(seeds, base: str = "m1") -> dict:
             f"ADV-in-chain arms worse than their ADV-free counterparts in "
             f"{total}/{cells} (pair,seed) cells — {direction} "
             "(Tables 6.6-6.10: M3 worst)")
-    if base in models and len(models) > 1 and n:
-        k = len([s for s, blk in seeds
-                 if best_wer(blk, base)
-                 > max(best_wer(blk, m) for m in models if m != base)])
+    sw = out.get("base_strictly_worst")
+    if sw:
+        base = out.get("base", "m1")
         concl.append(
-            f"{base} strictly-worst (the tone-corpus framing): {k}/{n} "
+            f"{base} strictly-worst (the tone-corpus framing): {sw['count']} "
             "seeds — expected to fail when ADV arms underperform the "
             "baseline, as the thesis itself records")
-    out["conclusions"] = concl
+    return concl
+
+
+def _merge_moments(x: dict, y: dict) -> dict:
+    """Exact pool of two {mean, std, n} summaries via sufficient statistics
+    (population std, matching _mean_std). Rounding of the inputs to 4
+    decimals bounds the merged error at ~1e-4 — below every claim margin."""
+    if not x or not x.get("n"):
+        return dict(y)
+    if not y or not y.get("n"):
+        return dict(x)
+    na, nb = x["n"], y["n"]
+    n = na + nb
+    s = x["mean"] * na + y["mean"] * nb
+    ss = ((x["std"] ** 2 + x["mean"] ** 2) * na
+          + (y["std"] ** 2 + y["mean"] ** 2) * nb)
+    m = s / n
+    var = max(ss / n - m * m, 0.0)
+    return {"mean": round(m, 4), "std": round(math.sqrt(var), 4), "n": n}
+
+
+def _merge_tally(x: dict, y: dict, n_total: int) -> dict:
+    """Union of two per-seed hit tallies ({seeds, count[, ties]})."""
+    seeds = list(x.get("seeds", [])) + list(y.get("seeds", []))
+    hits = (int(x["count"].split("/")[0]) + int(y["count"].split("/")[0]))
+    row = {"seeds": seeds, "count": f"{hits}/{n_total}"}
+    ties = list(x.get("ties", [])) + list(y.get("ties", []))
+    if ties:
+        row["ties"] = ties
+    return row
+
+
+def _relabel_seeds(obj, mapping: dict):
+    """Recursively rewrite seed labels inside ``seeds``/``ties`` lists (and
+    the top-level ``seeds`` list) of a summarize_menu output."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k in ("seeds", "ties") and isinstance(v, list):
+                out[k] = [mapping.get(s, s) for s in v]
+            else:
+                out[k] = _relabel_seeds(v, mapping)
+        return out
+    if isinstance(obj, list):
+        return [_relabel_seeds(v, mapping) for v in obj]
+    return obj
+
+
+def merge_menu_summaries(a: dict, b: dict) -> dict:
+    """Pool two summarize_menu outputs into one as if every underlying seed
+    had been pooled together: moment-merge the {mean,std,n} cells, union the
+    per-seed tallies, and regenerate the conclusion strings from the merged
+    counts. Exists because per-seed raw compare files live in the
+    (gitignored) campaign dir — once only the pooled artifact survives, new
+    seeds merge through this instead of being unpoolable. ``b``'s seed
+    labels are renumbered to follow ``a``'s (seed0.. collisions)."""
+    if a.get("base") != b.get("base"):
+        raise ValueError(f"base mismatch: {a.get('base')} vs {b.get('base')}")
+    base = a["base"]
+    na, nb = a["n_seeds"], b["n_seeds"]
+    n = na + nb
+    mapping = {s: f"seed{na + i}" for i, s in enumerate(b["seeds"])}
+    b = _relabel_seeds(b, mapping)
+
+    models = [m for m in a["pooled"] if m in b["pooled"]]
+    dropped = sorted((set(a["pooled"]) | set(b["pooled"])) - set(models))
+    out = {
+        "n_seeds": n,
+        "seeds": list(a["seeds"]) + list(b["seeds"]),
+        "base": base,
+        "pooled": {
+            m: {
+                k: _merge_moments(a["pooled"][m][k], b["pooled"][m][k])
+                for k in a["pooled"][m] if k in b["pooled"][m]
+            }
+            for m in models
+        },
+    }
+    if dropped:
+        out["dropped_models"] = dropped
+    oc = {}
+    for mode in MODES:
+        ra, rb = (x.get("ordering_consistency", {}).get(mode) for x in (a, b))
+        if ra and rb:
+            oc[mode] = {k: _merge_tally(ra[k], rb[k], n)
+                        for k in ra if k in rb}
+    if oc:
+        out["ordering_consistency"] = oc
+    gk = f"paired_gain_vs_{base}"
+    if gk in a and gk in b:
+        out[gk] = {
+            arm: {k: _merge_moments(a[gk][arm][k], b[gk][arm][k])
+                  for k in a[gk][arm] if k in b[gk][arm]}
+            for arm in a[gk] if arm in b[gk]
+        }
+    if "gain_adv_free" in a and "gain_adv_free" in b:
+        out["gain_adv_free"] = {
+            "what": a["gain_adv_free"]["what"],
+            "arms": a["gain_adv_free"].get(
+                "arms", b["gain_adv_free"].get("arms", ["m2", "m5"])),
+            **_merge_tally(a["gain_adv_free"], b["gain_adv_free"], n),
+        }
+    if "adv_effect" in a and "adv_effect" in b:
+        out["adv_effect"] = {
+            k: _merge_tally(a["adv_effect"][k], b["adv_effect"][k], n)
+            for k in a["adv_effect"] if k in b["adv_effect"]
+        }
+    sw_a, sw_b = a.get("base_strictly_worst"), b.get("base_strictly_worst")
+    if sw_a is None:
+        # pre-merge artifacts only recorded this count in prose — recover it
+        for line in a.get("conclusions", []):
+            mobj = re.search(r"strictly-worst.*?:\s*(\d+)/(\d+)\s+seeds", line)
+            if mobj:
+                sw_a = {"seeds": [], "count": f"{mobj.group(1)}/{na}",
+                        "seeds_unrecorded": True}
+                break
+    if sw_a and sw_b:
+        merged_sw = _merge_tally(sw_a, sw_b, n)
+        merged_sw["what"] = sw_b.get(
+            "what", f"{base} best-mode WER > every other arm's")
+        if sw_a.get("seeds_unrecorded"):
+            merged_sw["note"] = (
+                "hit-seed labels from the pre-merge artifact were not "
+                "recorded; its count is folded in exactly")
+        out["base_strictly_worst"] = merged_sw
+    out["conclusions"] = _menu_conclusions(out)
     return out
 
 
@@ -399,7 +548,33 @@ def main(argv=None):
                          "hard-corpus sweep's seed*.json); pools the full "
                          "model menu into --out instead of the legacy "
                          "summary (seed label = file order: seed0,seed1,...)")
+    ap.add_argument("--merge", default=None, metavar="A.json,B.json",
+                    help="merge two summarize_menu artifacts (e.g. the "
+                         "recorded GAIN_HARD.json + a new-seed pooling) "
+                         "into --out; B's seed labels are renumbered after "
+                         "A's and every count/moment is pooled exactly")
     args = ap.parse_args(argv)
+    if args.merge:
+        pa, pb = args.merge.split(",")
+        with open(pa) as f:
+            a = json.load(f)
+        with open(pb) as f:
+            b = json.load(f)
+        merged = merge_menu_summaries(a, b)
+        summary = {
+            "what": a.get("what", "Pooled full-model-menu per-seed "
+                                  "statistics (merged)."),
+            "source_files": (a.get("source_files", [pa])
+                             + b.get("source_files", [pb])),
+            "merged_from": [pa, pb],
+            **merged,
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        json.dump(summary["conclusions"], sys.stdout, indent=1)
+        print()
+        print(f"written to {args.out}", file=sys.stderr)
+        return
     if args.compare_files:
         seeds = []
         for i, path in enumerate(args.compare_files.split(",")):

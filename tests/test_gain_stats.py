@@ -263,3 +263,76 @@ def test_summarize_menu_adv_effect_and_gain():
     out3 = summarize_menu([("seed0", blk3)])
     eff = out3["adv_effect"]["m3_worse_than_m2"]
     assert eff["count"] == "0/1" and eff["ties"] == ["seed0"]
+
+
+def test_merge_menu_summaries_equals_direct_pool():
+    """Merging a 3-seed and a 2-seed summary must equal pooling all 5 raw
+    seeds directly — moments to rounding error, tallies exactly."""
+    import random
+
+    from benchmarks.gain_stats import merge_menu_summaries, summarize_menu
+
+    rng = random.Random(7)
+
+    def arm(w):
+        return {"greedy_wer": w, "beam8_wer": round(w * 0.95, 4),
+                "beam8_lm_wer": round(w * 0.9, 4),
+                "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    def blk():
+        return {m: arm(round(rng.uniform(0.3, 0.9), 4))
+                for m in ("m1", "m2", "m3", "m4", "m5", "m6")}
+
+    blocks = [(f"seed{i}", blk()) for i in range(5)]
+    direct = summarize_menu(blocks)
+    first = summarize_menu(blocks[:3])
+    # the second pool arrives labeled seed0/seed1 (fresh --compare-files
+    # file order), exactly the collision the merge renumbers
+    second = summarize_menu([("seed0", blocks[3][1]),
+                             ("seed1", blocks[4][1])])
+    merged = merge_menu_summaries(first, second)
+
+    assert merged["n_seeds"] == 5
+    assert merged["seeds"] == [f"seed{i}" for i in range(5)]
+    for m, cells in direct["pooled"].items():
+        for k, v in cells.items():
+            got = merged["pooled"][m][k]
+            assert got["n"] == v["n"] == 5
+            assert abs(got["mean"] - v["mean"]) < 2e-4, (m, k)
+            assert abs(got["std"] - v["std"]) < 2e-3, (m, k)
+    for mode, row in direct["ordering_consistency"].items():
+        for k, v in row.items():
+            got = merged["ordering_consistency"][mode][k]
+            assert got["count"] == v["count"], (mode, k)
+            assert sorted(got["seeds"]) == sorted(v["seeds"]), (mode, k)
+    assert merged["gain_adv_free"]["count"] == direct["gain_adv_free"]["count"]
+    for k, v in direct["adv_effect"].items():
+        assert merged["adv_effect"][k]["count"] == v["count"], k
+    assert (merged["base_strictly_worst"]["count"]
+            == direct["base_strictly_worst"]["count"])
+    assert merged["conclusions"] == direct["conclusions"]
+
+
+def test_merge_recovers_strictly_worst_count_from_prose():
+    """Pre-merge artifacts carried the strictly-worst count only in the
+    conclusion string — the merge must fold it in from there."""
+    from benchmarks.gain_stats import merge_menu_summaries, summarize_menu
+
+    def arm(w):
+        return {"greedy_wer": w, "beam8_wer": w, "beam8_lm_wer": w,
+                "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    blk = {"m1": arm(0.7), "m2": arm(0.4), "m5": arm(0.45)}
+    old = summarize_menu([("seed0", blk), ("seed1", blk)])
+    del old["base_strictly_worst"]  # the round-4a artifact's shape
+    new = summarize_menu([("seed0", blk)])
+    merged = merge_menu_summaries(old, new)
+    sw = merged["base_strictly_worst"]
+    assert sw["count"] == "3/3"
+    assert sw.get("note")  # provenance of the unlabeled hits
+    assert any("strictly-worst" in c and "3/3" in c
+               for c in merged["conclusions"])
