@@ -408,6 +408,24 @@ def _menu_conclusions(out: dict) -> list:
             f"{base} strictly-worst (the tone-corpus framing): {sw['count']} "
             "seeds — expected to fail when ADV arms underperform the "
             "baseline, as the thesis itself records")
+    # the thesis' M5-best margin (Table 6.12), stated from the data — the
+    # round-3 advisor contract: never emit an ordering claim the counts
+    # don't carry
+    t = out.get("ordering_consistency", {}).get("greedy", {}).get(
+        "m5_beats_m2_wer")
+    if t:
+        hits, total = (int(x) for x in t["count"].split("/"))
+        if hits * 2 > total:
+            verdict = "the thesis' M5-best margin reproduces"
+        elif hits * 2 == total:
+            verdict = "a coin flip — the M5-vs-M2 margin carries no signal"
+        else:
+            verdict = ("m2 (TAE-only) leads at this regime — the thesis' "
+                       "M5-best margin does not reproduce here (its own "
+                       "low-resource margins are small, Tables 6.6-6.10)")
+        concl.append(
+            f"m5-vs-m2 (greedy WER): m5 better in {t['count']} seeds — "
+            + verdict)
     return concl
 
 

@@ -336,3 +336,25 @@ def test_merge_recovers_strictly_worst_count_from_prose():
     assert sw.get("note")  # provenance of the unlabeled hits
     assert any("strictly-worst" in c and "3/3" in c
                for c in merged["conclusions"])
+
+
+def test_menu_conclusions_m5_vs_m2_margin_is_data_driven():
+    from benchmarks.gain_stats import summarize_menu
+
+    def arm(w):
+        return {"greedy_wer": w, "beam8_wer": w, "beam8_lm_wer": w,
+                "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    m5_wins = {"m1": arm(0.6), "m2": arm(0.5), "m5": arm(0.4)}
+    m2_wins = {"m1": arm(0.6), "m2": arm(0.4), "m5": arm(0.5)}
+
+    out = summarize_menu([("s0", m5_wins), ("s1", m5_wins)])
+    assert any("M5-best margin reproduces" in c for c in out["conclusions"])
+
+    out = summarize_menu([("s0", m2_wins), ("s1", m2_wins)])
+    assert any("does not reproduce here" in c for c in out["conclusions"])
+
+    out = summarize_menu([("s0", m5_wins), ("s1", m2_wins)])
+    assert any("coin flip" in c for c in out["conclusions"])
