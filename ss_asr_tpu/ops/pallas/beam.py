@@ -34,7 +34,8 @@ On real TPU the two paths order their matmuls differently under the
 hardware's single-pass-bf16 f32 precision, so RANDOM-weight decodes can
 flip near-tie frontier choices (measured: 3/1920 tokens at flagship, 0 at
 tiny); trained checkpoints separate their decisions and agree at the
-transcript level (.campaign beam_trained_parity record).
+transcript level (docs/BEAM_KERNEL_PARITY.json: 32/32 identical
+transcripts, with and without LM fusion).
 """
 
 from __future__ import annotations
