@@ -28,6 +28,21 @@ sys.path.insert(0, REPO)
 TF_RATES = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 
 
+def _verdict(rows):
+    """Data-driven Table-6.3 verdict: step-wise rise if it holds, else the
+    end-to-end trend (the thesis' actual claim; 8 short probes carry
+    per-point noise), else an honest flat/non-monotone label."""
+    inc = all(rows[i]["mean_acc_pct"] <= rows[i + 1]["mean_acc_pct"] + 2.0
+              for i in range(len(rows) - 1))
+    delta = round(rows[-1]["mean_acc_pct"] - rows[0]["mean_acc_pct"], 2)
+    if inc:
+        return delta, "accuracy rises with tf_rate"
+    if delta > 2.0:
+        return delta, (f"rises end-to-end (+{delta} pts tf 0.0 -> 1.0) "
+                       "with local non-monotonicity — see sweep rows")
+    return delta, "NON-MONOTONE, flat end-to-end — see sweep rows"
+
+
 def probe(work: str, name: str, texts=None, hidden_size: int = 128,
           n_probes: int = 8, seed: int = 123) -> dict:
     from ss_asr_tpu.train import CHARLMTrainer, make_paras
@@ -74,8 +89,7 @@ def probe(work: str, name: str, texts=None, hidden_size: int = 128,
                      "max_acc_pct": round(max(accs), 2)})
     t.close()
 
-    inc = all(rows[i]["mean_acc_pct"] <= rows[i + 1]["mean_acc_pct"] + 2.0
-              for i in range(len(rows) - 1))
+    delta, verdict = _verdict(rows)
     return {
         "what": "char-LM teacher-forcing sweep on a trained checkpoint "
                 "(thesis Table 6.3 protocol via CHARLMTrainer.predict, the "
@@ -83,9 +97,8 @@ def probe(work: str, name: str, texts=None, hidden_size: int = 128,
         "checkpoint": ckpt,
         "n_probes": len(texts),
         "sweep": rows,
-        "qualitative_match_table_6_3":
-            "accuracy rises with tf_rate" if inc else
-            "NON-MONOTONE — see sweep rows",
+        "endpoint_delta_pct": delta,
+        "qualitative_match_table_6_3": verdict,
     }
 
 

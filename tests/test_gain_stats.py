@@ -358,3 +358,19 @@ def test_menu_conclusions_m5_vs_m2_margin_is_data_driven():
 
     out = summarize_menu([("s0", m5_wins), ("s1", m2_wins)])
     assert any("coin flip" in c for c in out["conclusions"])
+
+
+def test_lm_probe_verdict_wording_is_data_driven():
+    from benchmarks.lm_probe import _verdict
+
+    def rows(vals):
+        return [{"mean_acc_pct": v} for v in vals]
+
+    d, v = _verdict(rows([10, 12, 14, 20]))
+    assert v == "accuracy rises with tf_rate" and d == 10
+
+    d, v = _verdict(rows([13.8, 24.2, 20.8, 26.2]))  # dip > slack, rises e2e
+    assert "rises end-to-end" in v and d == 12.4
+
+    d, v = _verdict(rows([20, 26, 19, 21]))  # non-monotone, flat
+    assert "flat end-to-end" in v
