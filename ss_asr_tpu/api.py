@@ -89,7 +89,21 @@ class Transcriber:
         replicate once here; GSPMD propagates the row sharding through the
         whole decode program, so every chip decodes its slice and the
         early-exit all-reduce rides ICI). Batches pad up to a multiple of
-        the axis size with zero-length rows."""
+        the axis size with zero-length rows.
+
+        ``use_pallas_kernel``: True / False route decodes through the fused
+        whole-loop Pallas kernels / the XLA scans; ``"auto"`` picks the
+        kernels exactly where the recorded A/B says they win — greedy
+        (±LM fusion) on TPU within the kernels' size ceilings
+        (docs/BENCH_DETAILS.json ``decode_latency_p50_ms`` /
+        ``decode_throughput``) — and the XLA paths everywhere else
+        (CPU, mesh serving, beam, oversized decoders)."""
+        if use_pallas_kernel == "auto":
+            use_pallas_kernel = self._auto_kernel_choice(cfg, mesh, beam_size)
+        elif not isinstance(use_pallas_kernel, bool):
+            raise ValueError(
+                f"use_pallas_kernel must be True, False, or 'auto'; got "
+                f"{use_pallas_kernel!r}")
         self.mesh = mesh
         self._n_data = 1
         if mesh is not None:
@@ -125,6 +139,26 @@ class Transcriber:
         self.t_bucket = t_bucket
         self.use_pallas_kernel = use_pallas_kernel
         self.mapper = Mapper()
+
+    @staticmethod
+    def _auto_kernel_choice(cfg, mesh, beam_size: int) -> bool:
+        """The data-driven half of ``use_pallas_kernel="auto"``.
+
+        Greedy decode: the fused kernels are the recorded winner on TPU
+        (0.75 ms/utt vs 1.59 early-exit marginal, BENCH_DETAILS
+        decode_latency; batched rows in decode_throughput). Beam: the
+        fused frontier kernel is fixed-trip — the XLA early-exit scan
+        stays the default until the throughput A/B shows a win at serving
+        shapes. Mesh serving and oversized decoders have no kernel
+        partitioning rules / no probe-verified footprint, so they route
+        to XLA."""
+        from ss_asr_tpu.ops import rnn
+
+        if mesh is not None or beam_size > 1:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        return cfg.decoder_state_size <= rnn.SPELL_KERNEL_MAX_H
 
     @property
     def params(self) -> Dict:

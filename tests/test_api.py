@@ -87,3 +87,39 @@ def test_transcriber_empty_inputs(rng):
         [np.zeros((0, 8), np.float32), rng.standard_normal((12, 8)).astype(np.float32)]
     )
     assert len(mixed) == 2 and mixed[0] == ""
+
+
+def test_auto_kernel_choice_resolution(monkeypatch, rng):
+    """'auto' routes greedy to the fused kernels on TPU within size limits,
+    and to XLA everywhere else (CPU, mesh, beam, oversized decoder)."""
+    import pytest
+
+    from ss_asr_tpu.ops import rnn
+
+    cfg = las.ASRConfig(encoder_state_size=8, decoder_state_size=8,
+                        mlp_out_size=8, feature_dim=40)
+    params = las.init_asr(jax.random.key(0), cfg)
+
+    # this suite pins JAX_PLATFORMS=cpu -> auto resolves to the XLA paths
+    t = Transcriber(params, cfg, use_pallas_kernel="auto")
+    assert t.use_pallas_kernel is False
+
+    # pretend-TPU: greedy within limits -> kernels on
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert Transcriber._auto_kernel_choice(cfg, None, beam_size=1) is True
+    # beam stays XLA until the throughput A/B flips it
+    assert Transcriber._auto_kernel_choice(cfg, None, beam_size=8) is False
+    # oversized decoder exceeds the probe-verified kernel ceiling
+    big = las.ASRConfig(encoder_state_size=8, mlp_out_size=8, feature_dim=40,
+                        decoder_state_size=rnn.SPELL_KERNEL_MAX_H + 1)
+    assert Transcriber._auto_kernel_choice(big, None, beam_size=1) is False
+    monkeypatch.undo()
+
+    # anything else is a loud error, not a silent bool()
+    with pytest.raises(ValueError, match="use_pallas_kernel"):
+        Transcriber(params, cfg, use_pallas_kernel="yes")
+
+    # mesh keeps its existing incompatibility error with an explicit True,
+    # and auto never picks kernels on a mesh (checked via the resolver —
+    # building a real mesh here would pull 8 devices for one predicate)
+    assert Transcriber._auto_kernel_choice(cfg, object(), beam_size=1) is False
