@@ -59,6 +59,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Persistent executable cache shared across bench invocations (and the
+    driver's end-of-round run). Remote relay compiles are erratic — 15 s to
+    ~17 min observed for same-size programs (the supervisor docstring) —
+    and the big x22 e2e chain can blow the stall window on a cold machine;
+    with the cache, a killed-mid-compile retry or a later invocation reuses
+    every executable that DID finish. No-op (with a logged note) when the
+    backend doesn't support executable serialization."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover — config-API drift
+        log(f"persistent compile cache unavailable: {e}")
+
+
 def _chain_jit(fn):
     """jit for the outer decode-chain programs. On TPU, attach the raised
     scoped-VMEM limit: fused decode kernels composed INSIDE a chain must
@@ -821,6 +840,7 @@ def main():
             and os.environ.get("JAX_PLATFORMS", "axon") in ("", "axon")):
         sys.exit(_supervise())
     fallback = "cpu" if os.environ.get(_FELL_BACK_ENV) else None
+    _enable_compile_cache()
 
     if args.quick:
         B, T, L = 8, 64, 16
