@@ -415,17 +415,20 @@ def _menu_conclusions(out: dict) -> list:
         "m5_beats_m2_wer")
     if t:
         hits, total = (int(x) for x in t["count"].split("/"))
-        if hits * 2 > total:
-            verdict = "the thesis' M5-best margin reproduces"
-        elif hits * 2 == total:
+        n_ties = len(t.get("ties", []))
+        decided = total - n_ties  # ties carry no direction either way
+        if decided == 0 or hits * 2 == decided:
             verdict = "a coin flip — the M5-vs-M2 margin carries no signal"
+        elif hits * 2 > decided:
+            verdict = "the thesis' M5-best margin reproduces"
         else:
             verdict = ("m2 (TAE-only) leads at this regime — the thesis' "
                        "M5-best margin does not reproduce here (its own "
                        "low-resource margins are small, Tables 6.6-6.10)")
+        tie_note = f" ({n_ties} tie{'s' * (n_ties != 1)})" if n_ties else ""
         concl.append(
-            f"m5-vs-m2 (greedy WER): m5 better in {t['count']} seeds — "
-            + verdict)
+            f"m5-vs-m2 (greedy WER): m5 better in {t['count']} seeds"
+            f"{tie_note} — " + verdict)
     return concl
 
 
@@ -488,6 +491,14 @@ def merge_menu_summaries(a: dict, b: dict) -> dict:
     na, nb = a["n_seeds"], b["n_seeds"]
     n = na + nb
     mapping = {s: f"seed{na + i}" for i, s in enumerate(b["seeds"])}
+    overlap = set(mapping.values()) & set(a["seeds"])
+    if overlap:
+        # a's labels need not be contiguous seed0..seed{na-1} (partial
+        # sweeps, suffix-labeled blocks) — a collision would silently
+        # conflate per-seed hit lists in the merged tallies
+        raise ValueError(
+            f"renumbered seed labels {sorted(overlap)} collide with the "
+            f"first artifact's labels {a['seeds']}; relabel one side first")
     b = _relabel_seeds(b, mapping)
 
     models = [m for m in a["pooled"] if m in b["pooled"]]
@@ -522,10 +533,15 @@ def merge_menu_summaries(a: dict, b: dict) -> dict:
             for arm in a[gk] if arm in b[gk]
         }
     if "gain_adv_free" in a and "gain_adv_free" in b:
+        arms_a = a["gain_adv_free"].get("arms")
+        arms_b = b["gain_adv_free"].get("arms")
+        if arms_a is not None and arms_b is not None and arms_a != arms_b:
+            # differently-defined hits must not pool under one description
+            raise ValueError(
+                f"gain_adv_free arm sets differ: {arms_a} vs {arms_b}")
         out["gain_adv_free"] = {
             "what": a["gain_adv_free"]["what"],
-            "arms": a["gain_adv_free"].get(
-                "arms", b["gain_adv_free"].get("arms", ["m2", "m5"])),
+            "arms": arms_a if arms_a is not None else (arms_b or ["m2", "m5"]),
             **_merge_tally(a["gain_adv_free"], b["gain_adv_free"], n),
         }
     if "adv_effect" in a and "adv_effect" in b:

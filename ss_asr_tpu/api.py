@@ -158,6 +158,13 @@ class Transcriber:
             return False
         if jax.default_backend() != "tpu":
             return False
+        # honor the global kernel opt-outs (ops/rnn.py escape hatches):
+        # a user who forced the scan paths — or interpret mode — must not
+        # have 'auto' route serving decodes through the fused kernels
+        if rnn.SPELL_IMPL == "scan" or rnn.LSTM_IMPL == "scan":
+            return False
+        if rnn.PALLAS_INTERPRET:
+            return False
         return cfg.decoder_state_size <= rnn.SPELL_KERNEL_MAX_H
 
     @property

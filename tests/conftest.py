@@ -23,14 +23,28 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by XLA compiles of
-# scan-heavy train steps; caching them makes re-runs fast.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# scan-heavy train steps; caching them makes re-runs fast.  Write thresholds
+# deliberately HIGH: a round-4 full-suite run segfaulted at ~97% inside
+# jax's cache write (put_executable_and_time) while serializing the TP
+# trainer program on a cold cache — only the genuinely expensive compiles
+# are worth that risk, and every cheap compile recompiles in under the
+# former write cost anyway.  SS_ASR_TEST_NO_CACHE=1 disables it entirely.
+if not os.environ.get("SS_ASR_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-process / TP / campaign-scale tests — the heavy tier. "
+        "Fast tier: pytest -m 'not slow' (make test-fast).",
+    )
 
 
 @pytest.fixture
