@@ -69,6 +69,47 @@ def _fused_signal_greedy_jit(params, cfg, buf, n_samples, sr, max_steps,
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _recorded_decode_throughput():
+    """The committed batched decode A/B (docs/BENCH_DETAILS.json
+    ``decode_throughput``, written by ``bench.py --metric
+    decode_throughput`` on-chip), or None outside a repo checkout /
+    before a record exists."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "BENCH_DETAILS.json")
+    try:
+        with open(path) as f:
+            tp = json.load(f).get("decode_throughput")
+        return tp if isinstance(tp, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _recorded_beam_kernel_wins() -> bool:
+    """True iff the recorded throughput table shows the fused beam kernel
+    beating the XLA beam scan in EVERY comparable (±LM, batch) row — the
+    routing bar for ``use_pallas_kernel='auto'`` beam decodes (a mixed or
+    absent record keeps the known-good XLA path)."""
+    tp = _recorded_decode_throughput()
+    if not tp:
+        return False
+    wins = losses = 0
+    for suffix in ("", "_lm"):
+        for B in (32, 64):
+            pal = tp.get(f"beam8_pallas{suffix}@B{B}", {}).get("utt_per_s")
+            xla = tp.get(f"beam8{suffix}@B{B}", {}).get("utt_per_s")
+            if pal is not None and xla is not None:
+                if pal > xla:
+                    wins += 1
+                else:
+                    losses += 1
+    return wins > 0 and losses == 0
+
+
 class Transcriber:
     def __init__(
         self,
@@ -146,15 +187,17 @@ class Transcriber:
 
         Greedy decode: the fused kernels are the recorded winner on TPU
         (0.75 ms/utt vs 1.59 early-exit marginal, BENCH_DETAILS
-        decode_latency; batched rows in decode_throughput). Beam: the
-        fused frontier kernel is fixed-trip — the XLA early-exit scan
-        stays the default until the throughput A/B shows a win at serving
-        shapes. Mesh serving and oversized decoders have no kernel
-        partitioning rules / no probe-verified footprint, so they route
-        to XLA."""
+        decode_latency; batched rows in decode_throughput). Beam: routed
+        per the recorded batched A/B — the fused frontier kernel wins only
+        if every comparable ``beam8_pallas*`` row in the committed
+        ``decode_throughput`` table beats its XLA ``beam8*`` counterpart
+        (``_recorded_beam_kernel_wins``); no record, or a mixed one, stays
+        on the XLA early-exit scan. Mesh serving and oversized decoders
+        have no kernel partitioning rules / no probe-verified footprint,
+        so they route to XLA."""
         from ss_asr_tpu.ops import rnn
 
-        if mesh is not None or beam_size > 1:
+        if mesh is not None:
             return False
         if jax.default_backend() != "tpu":
             return False
@@ -165,7 +208,13 @@ class Transcriber:
             return False
         if rnn.PALLAS_INTERPRET:
             return False
-        return cfg.decoder_state_size <= rnn.SPELL_KERNEL_MAX_H
+        if cfg.decoder_state_size > rnn.SPELL_KERNEL_MAX_H:
+            return False
+        if beam_size > 1:
+            # the recorded rows cover beam_size=8 (the serving default);
+            # other widths have no probe-verified footprint
+            return beam_size == 8 and _recorded_beam_kernel_wins()
+        return True
 
     @property
     def params(self) -> Dict:

@@ -107,8 +107,22 @@ def test_auto_kernel_choice_resolution(monkeypatch, rng):
     # pretend-TPU: greedy within limits -> kernels on
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert Transcriber._auto_kernel_choice(cfg, None, beam_size=1) is True
-    # beam stays XLA until the throughput A/B flips it
+    # the global scan/interpret opt-outs override 'auto' (round-4 advisor)
+    for knob, val in (("SPELL_IMPL", "scan"), ("LSTM_IMPL", "scan"),
+                      ("PALLAS_INTERPRET", True)):
+        monkeypatch.setattr(rnn, knob, val)
+        assert Transcriber._auto_kernel_choice(cfg, None, beam_size=1) is False
+        monkeypatch.undo()
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # beam follows the committed decode_throughput record, both directions
+    import ss_asr_tpu.api as api_mod
+
+    monkeypatch.setattr(api_mod, "_recorded_beam_kernel_wins", lambda: False)
     assert Transcriber._auto_kernel_choice(cfg, None, beam_size=8) is False
+    monkeypatch.setattr(api_mod, "_recorded_beam_kernel_wins", lambda: True)
+    assert Transcriber._auto_kernel_choice(cfg, None, beam_size=8) is True
+    # only the probe-verified width (8) may route to the fused frontier
+    assert Transcriber._auto_kernel_choice(cfg, None, beam_size=4) is False
     # oversized decoder exceeds the probe-verified kernel ceiling
     big = las.ASRConfig(encoder_state_size=8, mlp_out_size=8, feature_dim=40,
                         decoder_state_size=rnn.SPELL_KERNEL_MAX_H + 1)
@@ -123,3 +137,35 @@ def test_auto_kernel_choice_resolution(monkeypatch, rng):
     # and auto never picks kernels on a mesh (checked via the resolver —
     # building a real mesh here would pull 8 devices for one predicate)
     assert Transcriber._auto_kernel_choice(cfg, object(), beam_size=1) is False
+
+
+def test_recorded_beam_kernel_wins_predicate(monkeypatch):
+    """The beam-routing bar: kernel routes ONLY on a clean sweep of the
+    comparable recorded rows; absent/partial/mixed records stay XLA."""
+    import ss_asr_tpu.api as api_mod
+
+    def with_table(tp):
+        monkeypatch.setattr(api_mod, "_recorded_decode_throughput",
+                            lambda: tp)
+        return api_mod._recorded_beam_kernel_wins()
+
+    assert with_table(None) is False  # no record
+    assert with_table({}) is False
+    # no comparable pairs (only greedy rows)
+    assert with_table({"greedy_pallas@B32": {"utt_per_s": 9.0}}) is False
+    row = lambda v: {"utt_per_s": v}  # noqa: E731
+    # clean sweep over every present pair -> route
+    assert with_table({
+        "beam8@B32": row(100), "beam8_pallas@B32": row(150),
+        "beam8_lm@B32": row(90), "beam8_pallas_lm@B32": row(120),
+    }) is True
+    # one loss anywhere -> stay on XLA
+    assert with_table({
+        "beam8@B32": row(100), "beam8_pallas@B32": row(150),
+        "beam8_lm@B64": row(90), "beam8_pallas_lm@B64": row(80),
+    }) is False
+    # an errored variant row (no utt_per_s) doesn't crash or count
+    assert with_table({
+        "beam8@B32": row(100), "beam8_pallas@B32": {"error": "VMEM"},
+        "beam8_lm@B32": row(90), "beam8_pallas_lm@B32": row(120),
+    }) is True
