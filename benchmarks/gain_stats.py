@@ -35,6 +35,19 @@ MODES = ("greedy", "beam8", "beam8_lm")
 MODELS = ("m1", "m2", "m5")
 
 
+def _sign_test_p(hits: int, decided: int) -> float | None:
+    """Exact two-sided sign-test p-value: probability, under H0 p=0.5, of a
+    split at least as extreme as hits/decided (ties already excluded).
+    The seed-count gate for ordering claims (round-4 VERDICT weak #3: 4
+    seeds cannot resolve a small margin — the p-value says so numerically)."""
+    if decided <= 0:
+        return None
+    lo, hi = min(hits, decided - hits), max(hits, decided - hits)
+    p = sum(math.comb(decided, k) for k in range(0, lo + 1))
+    p += sum(math.comb(decided, k) for k in range(hi, decided + 1))
+    return round(min(p / 2.0 ** decided, 1.0), 4)
+
+
 def _mean_std(xs):
     xs = [float(x) for x in xs]
     n = len(xs)
@@ -127,6 +140,9 @@ def pool_seed_blocks(seeds, base: str | None = None) -> dict:
         row = {"seeds": hit_seeds, "count": f"{len(hit_seeds)}/{len(seeds)}"}
         if tie_seeds:
             row["ties"] = tie_seeds
+        p = _sign_test_p(len(hit_seeds), len(seeds) - len(tie_seeds))
+        if p is not None:
+            row["sign_test_p"] = p
         return row
 
     pooled = {
@@ -426,9 +442,11 @@ def _menu_conclusions(out: dict) -> list:
                        "M5-best margin does not reproduce here (its own "
                        "low-resource margins are small, Tables 6.6-6.10)")
         tie_note = f" ({n_ties} tie{'s' * (n_ties != 1)})" if n_ties else ""
+        p = t.get("sign_test_p")
+        p_note = f", sign test p={p}" if p is not None else ""
         concl.append(
             f"m5-vs-m2 (greedy WER): m5 better in {t['count']} seeds"
-            f"{tie_note} — " + verdict)
+            f"{tie_note}{p_note} — " + verdict)
     return concl
 
 
@@ -451,13 +469,17 @@ def _merge_moments(x: dict, y: dict) -> dict:
 
 
 def _merge_tally(x: dict, y: dict, n_total: int) -> dict:
-    """Union of two per-seed hit tallies ({seeds, count[, ties]})."""
+    """Union of two per-seed hit tallies ({seeds, count[, ties]});
+    the sign-test p is recomputed from the merged counts."""
     seeds = list(x.get("seeds", [])) + list(y.get("seeds", []))
     hits = (int(x["count"].split("/")[0]) + int(y["count"].split("/")[0]))
     row = {"seeds": seeds, "count": f"{hits}/{n_total}"}
     ties = list(x.get("ties", [])) + list(y.get("ties", []))
     if ties:
         row["ties"] = ties
+    p = _sign_test_p(hits, n_total - len(ties))
+    if p is not None:
+        row["sign_test_p"] = p
     return row
 
 

@@ -374,3 +374,70 @@ def test_lm_probe_verdict_wording_is_data_driven():
 
     d, v = _verdict(rows([20, 26, 19, 21]))  # non-monotone, flat
     assert "flat end-to-end" in v
+
+
+def test_lm_probe_declining_sweep_is_not_a_rise():
+    """Round-4 advisor (medium): a gently monotone-DECLINING sweep passed
+    the step-wise rise check (2-pt slack per step) and was labeled rising."""
+    from benchmarks.lm_probe import _verdict
+
+    rows = [{"mean_acc_pct": v} for v in
+            [30, 28.5, 27.2, 26.0, 24.9, 23.9, 23.0, 22.2, 21.5, 20.9, 20.4]]
+    d, v = _verdict(rows)
+    assert d < 0 and "rises" not in v
+
+
+def test_sign_test_p_values_and_tally_plumbing():
+    from benchmarks.gain_stats import (_sign_test_p, pool_seed_blocks,
+                                       merge_menu_summaries, summarize_menu)
+
+    assert _sign_test_p(0, 0) is None
+    assert _sign_test_p(4, 8) == 1.0        # perfectly split
+    assert _sign_test_p(8, 8) == 0.0078     # clean sweep, n=8
+    assert _sign_test_p(0, 8) == 0.0078     # symmetric
+    assert _sign_test_p(1, 4) == 0.625
+
+    def arm(w):
+        return {"greedy_wer": w, "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_wer": w, "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_wer": w, "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    m5w = {"m1": arm(0.6), "m2": arm(0.5), "m5": arm(0.4)}
+    seeds = [(f"seed{i}", m5w) for i in range(4)]
+    out = pool_seed_blocks(seeds, base="m1")
+    t = out["ordering_consistency"]["greedy"]["m5_beats_m2_wer"]
+    assert t["count"] == "4/4" and t["sign_test_p"] == 0.125
+
+    # merged tallies recompute p from the union (4+4 clean -> p=0.0078)
+    a = summarize_menu(seeds)
+    b = summarize_menu([(f"seed{i}", m5w) for i in range(4, 8)])
+    m = merge_menu_summaries(a, b)
+    t = m["ordering_consistency"]["greedy"]["m5_beats_m2_wer"]
+    assert t["count"] == "8/8" and t["sign_test_p"] == 0.0078
+    assert any("p=0.0078" in c for c in m["conclusions"])
+
+
+def test_merge_rejects_seed_label_collision_and_arm_mismatch():
+    """Round-4 advisor (low x2): renumbered labels must not collide with
+    a's, and differently-defined gain_adv_free arms must not pool."""
+    import pytest
+
+    from benchmarks.gain_stats import merge_menu_summaries, summarize_menu
+
+    def arm(w):
+        return {"greedy_wer": w, "greedy_acc": 1 - w, "greedy_cer": w,
+                "beam8_wer": w, "beam8_acc": 1 - w, "beam8_cer": w,
+                "beam8_lm_wer": w, "beam8_lm_acc": 1 - w, "beam8_lm_cer": w}
+
+    blk = {"m1": arm(0.6), "m2": arm(0.5), "m5": arm(0.4)}
+    a = summarize_menu([("seed0", blk), ("seed3", blk)])  # non-contiguous
+    b = summarize_menu([("seed0", blk), ("seed1", blk)])
+    with pytest.raises(ValueError, match="collide"):
+        merge_menu_summaries(a, b)  # b renumbers to seed2, seed3 -> clash
+
+    a2 = summarize_menu([("seed0", blk), ("seed1", blk)])
+    b2 = summarize_menu([("seed0", {"m1": arm(0.6), "m2": arm(0.5)}),
+                         ("seed1", {"m1": arm(0.6), "m2": arm(0.5)})])
+    assert a2["gain_adv_free"]["arms"] != b2["gain_adv_free"]["arms"]
+    with pytest.raises(ValueError, match="arm sets differ"):
+        merge_menu_summaries(a2, b2)
