@@ -2,10 +2,15 @@
 # (pure Python; the native C helpers compile on demand under
 # ss_asr_tpu/native/build/).
 
-.PHONY: test bench parity-when-available
+.PHONY: test test-fast bench parity-when-available
 
 test:
 	python -m pytest tests/ -x -q
+
+# fast tier: everything except the multi-process / TP trainer heavyweights
+# (marked `slow`); keeps the edit loop under a few minutes
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py --full

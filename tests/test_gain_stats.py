@@ -441,3 +441,43 @@ def test_merge_rejects_seed_label_collision_and_arm_mismatch():
     assert a2["gain_adv_free"]["arms"] != b2["gain_adv_free"]["arms"]
     with pytest.raises(ValueError, match="arm sets differ"):
         merge_menu_summaries(a2, b2)
+
+
+def test_pseudolabel_pool_runs_seed_gated():
+    """pool_runs: the fixed-percentile rule is the claim-bearer; the
+    per-seed best arm is labeled selection-biased; counts/sign-p gate
+    the wording (round-4 VERDICT weak #4)."""
+    from benchmarks.pseudolabel_ab import pool_runs
+
+    def arm(w):
+        return {"greedy_wer": w, "beam8_wer": w + 0.02, "beam8_lm_wer": w}
+
+    def run(seed, ctrl, pseudo_by_pct, oracle=0.2):
+        # thresholds_resolved order is p90,p75,p50,p25
+        th = [-0.6 - 0.1 * i for i in range(4)]
+        return {
+            "seed": seed,
+            "control": arm(ctrl),
+            "oracle": arm(oracle),
+            "config": {"thresholds_resolved": th},
+            "pseudo": {str(t): arm(w)
+                       for t, w in zip(th, pseudo_by_pct)},
+        }
+
+    # 3 seeds, p25 wins everywhere, p90 loses everywhere
+    runs = [run(s, 0.47, [0.50, 0.48, 0.46, 0.44]) for s in range(3)]
+    out = pool_runs(runs)
+    assert out["n_seeds"] == 3
+    assert out["by_percentile"]["p25"]["beats_control"] == "3/3"
+    assert out["by_percentile"]["p90"]["beats_control"] == "0/3"
+    assert out["by_percentile"]["p25"]["sign_test_p"] == 0.25
+    assert any("pseudo@p25: beats control in 3/3" in c
+               for c in out["conclusions"])
+    assert any("selection-biased" in c for c in out["conclusions"])
+
+    # mixed: p25 wins 1/3 -> does NOT beat
+    runs = [run(0, 0.47, [0.50, 0.48, 0.46, 0.44]),
+            run(1, 0.43, [0.50, 0.48, 0.46, 0.44]),
+            run(2, 0.43, [0.50, 0.48, 0.46, 0.45])]
+    out = pool_runs(runs)
+    assert any("does NOT beat" in c for c in out["conclusions"])

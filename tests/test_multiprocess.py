@@ -24,6 +24,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns 2 extra jax processes per test
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = """

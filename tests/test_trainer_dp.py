@@ -14,6 +14,8 @@ import pytest
 from ss_asr_tpu.train import ASRTrainer, make_paras
 from ss_asr_tpu.vocab import normalize_string
 
+pytestmark = pytest.mark.slow  # full DP/TP trainer loops, heavy compiles
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
