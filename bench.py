@@ -995,6 +995,19 @@ def main():
 
     if args.full:
         train_only = bench_train_step(B, T, L, iters=args.iters)
+        if not args.quick:
+            # the recorded throughput optimum is B=96 (PROFILE_OPT phase 3:
+            # 6,573 utt/s vs 6,046 at B=32) — headline BOTH shapes: B=32
+            # stays the comparability row (claim-audit band M2), B=96 is
+            # the best-shape claim
+            e2e_best, _ = bench_e2e_step(96, T, L, iters=args.iters)
+            details["e2e_best_shape"] = {
+                "B": 96, "utt_per_s": round(e2e_best, 2),
+                "note": "recorded optimum batch (docs/PROFILE_OPT.json); "
+                        "e2e_fbank_train_utt_per_s stays the B=32 "
+                        "comparability row",
+            }
+            details["run_ids"]["e2e_best_shape"] = rid
         if args.quick:
             decode, dec_suspects = bench_decode_latency(T=64, max_steps=20, K=4, iters=2)
         else:
