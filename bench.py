@@ -927,9 +927,11 @@ def main():
                     details = json.load(f)
             details["decode_throughput"] = tp
             details.setdefault("run_ids", {})["decode_throughput"] = _run_id()
-            if "decode_throughput" in details.get(
-                    "full_metrics_carried_from", {}):
-                del details["full_metrics_carried_from"]["decode_throughput"]
+            carried = details.get("full_metrics_carried_from")
+            if isinstance(carried, dict):
+                carried.pop("decode_throughput", None)
+                if not carried:
+                    del details["full_metrics_carried_from"]
             with open(DETAILS_PATH, "w") as f:
                 json.dump(details, f, indent=1)
         print(json.dumps(out))
