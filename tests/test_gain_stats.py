@@ -481,3 +481,29 @@ def test_pseudolabel_pool_runs_seed_gated():
             run(2, 0.43, [0.50, 0.48, 0.46, 0.45])]
     out = pool_runs(runs)
     assert any("does NOT beat" in c for c in out["conclusions"])
+
+
+def test_sae_damping_summary_verdicts():
+    from benchmarks.sae_damping_stats import summarize
+
+    def blk(w):
+        return {"greedy_wer": w, "beam8_wer": w, "beam8_lm_wer": w}
+
+    # damping rescues: m5@0.1 < m2 < m5@1.0 in both seeds
+    cells = {k: {"m2": blk(0.50), "m5@1.0": blk(0.55), "m5@0.1": blk(0.45)}
+             for k in (4, 5)}
+    out = summarize(cells)
+    assert out["vs_m2"]["m5@0.1"]["beats_m2_greedy"] == "2/2"
+    assert any("rescues the ordering" in c for c in out["conclusions"])
+
+    # damping helps but does not flip
+    cells = {k: {"m2": blk(0.50), "m5@1.0": blk(0.58), "m5@0.1": blk(0.53)}
+             for k in (4, 5)}
+    out = summarize(cells)
+    assert any("does NOT flip" in c for c in out["conclusions"])
+
+    # damping does not help
+    cells = {k: {"m2": blk(0.50), "m5@1.0": blk(0.52), "m5@0.1": blk(0.56)}
+             for k in (4, 5)}
+    out = summarize(cells)
+    assert any("damping does NOT help" in c for c in out["conclusions"])
