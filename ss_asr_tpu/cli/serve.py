@@ -46,11 +46,14 @@ def main(argv=None):
                              "device dispatches; beam runs frontend + beam "
                              "programs); fbank: per-request frontend, "
                              "decode-only batching")
-    parser.add_argument("--pallas-kernel", action="store_true",
+    parser.add_argument("--pallas-kernel", nargs="?", const="on",
+                        default="off", choices=["auto", "on", "off"],
                         help="route decodes through the fused whole-loop "
                              "Pallas kernels (greedy, greedy+LM, beam) — "
-                             "TPU only; the A/B vs the XLA paths is "
-                             "docs/BENCH_DETAILS.json decode_throughput")
+                             "TPU only; bare flag forces them on, 'auto' "
+                             "follows the recorded A/B "
+                             "(docs/BENCH_DETAILS.json decode_throughput, "
+                             "api.Transcriber._auto_kernel_choice)")
     args = parser.parse_args(argv)
 
     config = {}
@@ -64,7 +67,8 @@ def main(argv=None):
     from ss_asr_tpu.serve import BatchingTranscriber, serve_http
 
     kw = {"max_steps": args.max_steps, "sr": args.sr,
-          "use_pallas_kernel": args.pallas_kernel}
+          "use_pallas_kernel": {"auto": "auto", "on": True,
+                                "off": False}[args.pallas_kernel]}
     if args.beam is not None:
         kw["beam_size"] = args.beam
     if args.lm_weight is not None:
