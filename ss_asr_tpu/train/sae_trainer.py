@@ -181,6 +181,13 @@ class SAETrainer(Solver):
 
     def exec(self):
         self.verbose(f"Training set total {len(self.train_ds)} batches.")
+        # saturation-guard cadence: the seed-pipeline SAE stages run far
+        # fewer steps than a typical logging_step (e.g. 84 steps vs 250),
+        # so a logging-gated check never fires in exactly the short-stage
+        # regime where the co-update can collapse the listener (hard-corpus
+        # seeds 4-5: undamped m5 greedy WER 0.93 vs m2 0.54). Check at
+        # least once per epoch.
+        sat_every = max(min(self.logging_step, len(self.train_ds)), 1)
         for epoch in range(self.n_epochs):
             self.verbose(f"Starting epoch {epoch + 1} out of {self.n_epochs}")
             # multi-host: rotate the host shard (no row stranded by the step
@@ -204,6 +211,7 @@ class SAETrainer(Solver):
                 )
                 if self.tr.step % self.logging_step == 0:
                     self.lg.scalar("train_loss", float(loss), self.tr.step)
+                if self.tr.step % sat_every == 0:
                     self.lg.scalar("listener_saturation", float(sat), self.tr.step)
                     self._check_saturation(float(sat))
                 if self.tr.step % self.valid_step == 0:
