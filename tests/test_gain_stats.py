@@ -507,3 +507,29 @@ def test_sae_damping_summary_verdicts():
              for k in (4, 5)}
     out = summarize(cells)
     assert any("damping does NOT help" in c for c in out["conclusions"])
+
+
+def test_lm_fusion_pool_counts_and_verdict(tmp_path):
+    from benchmarks.lm_fusion_stats import pool
+
+    def seedfile(i, blocks):
+        p = tmp_path / f"s{i}.json"
+        p.write_text(json.dumps(blocks))
+        return str(p)
+
+    def arm(b8, b8lm):
+        return {"greedy_wer": 0.6, "beam8_wer": b8, "beam8_lm_wer": b8lm}
+
+    # fusion helps every cell -> significant at 6 cells (p=2/64*... )
+    files = [seedfile(i, {"m1": arm(0.5, 0.45), "m2": arm(0.5, 0.44)})
+             for i in range(3)]
+    out = pool(files)
+    assert out["overall"]["lm_helps"] == "6/6"
+    assert out["overall"]["sign_test_p"] == 0.0312
+    assert any("helps" in c and "NOT" not in c for c in out["conclusions"])
+
+    # all ties -> no claim either way
+    files = [seedfile(10 + i, {"m1": arm(0.5, 0.5)}) for i in range(3)]
+    out = pool(files)
+    assert out["overall"]["sign_test_p"] is None
+    assert any("does NOT help" in c for c in out["conclusions"])
