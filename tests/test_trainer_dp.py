@@ -21,17 +21,28 @@ pytestmark = pytest.mark.slow  # full DP/TP trainer loops, heavy compiles
 def _no_persistent_compile_cache():
     """Serializing this module's TP/GSPMD trainer executables for the
     persistent compile cache SEGFAULTS inside jaxlib
-    (compilation_cache.put_executable_and_time) on the CPU backend —
-    reproduced on two independent cold-cache full-suite runs, both dying
+    (``executable.serialize()`` under
+    ``compilation_cache.put_executable_and_time``) on the CPU backend —
+    reproduced on THREE independent cold-cache full-suite runs, all dying
     in test_tp_training_matches_single_device (round-4 VERDICT weak #6).
-    A segfault cannot be caught, so the cache is disabled for this module;
-    the rest of the suite keeps it."""
+    A segfault cannot be caught, so the cache must be OFF for this module.
+
+    Flipping ``jax_compilation_cache_dir`` alone is not enough: jax
+    memoizes the initialized cache singleton (``_cache_initialized``), so
+    once any earlier test compiled with the cache on, ``_get_cache`` keeps
+    returning it (verified: run 2 crashed with the config-only fixture in
+    place). ``reset_cache()`` returns the module to its pristine state so
+    the None dir actually takes effect; teardown resets again so later
+    modules re-initialize with the suite cache dir."""
     import jax
+    from jax._src import compilation_cache
 
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    compilation_cache.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    compilation_cache.reset_cache()
 
 
 @pytest.fixture(scope="module")
