@@ -67,9 +67,15 @@ def _compile_arm(BB: int, raised: bool, B: int = 96, S: int = 64,
         fn.lower(params).compile()
         return {"compiled": True}
     except Exception as e:  # noqa: BLE001 — the error IS the payload
+        msg = str(e)
+        # keep head AND tail: the relay prepends ~2k chars of transport
+        # warnings, while the actual compiler diagnostic (scoped-VMEM vs
+        # Mosaic internal) sits at the end
+        if len(msg) > 4000:
+            msg = msg[:1000] + "\n...[truncated]...\n" + msg[-3000:]
         return {"compiled": False,
                 "error_type": type(e).__name__,
-                "error": str(e)[:2000]}
+                "error": msg}
     finally:
         spell.BATCH_BLOCK_MULTI, spell.BATCH_BLOCK_MAX = old_multi, old_max
         jax.clear_caches()
@@ -115,6 +121,16 @@ def main():
         out["verdict"] = ("NOT reproduced: BB=48 now compiles at the stock "
                           "limit — toolchain fixed; BATCH_BLOCK_MULTI can "
                           "be re-benchmarked at 48")
+    elif not b["compiled"] and c["compiled"]:
+        out["verdict"] = (
+            "stronger than round 3 recorded: at this toolchain the ENTIRE "
+            "B=96 multi-block fwd+bwd regime exceeds the stock scoped-VMEM "
+            "budget regardless of block size (BB=32 fails too); the "
+            "raised-limit option — auto-attached in production via "
+            "rnn.wide_h_compiler_options and bench._chain_jit — is "
+            "load-bearing, and the BB=48-vs-32 distinction only exists "
+            "under the raised limit (where round-4 PROFILE_OPT phase 4 "
+            "measured BB=48 ~2% faster)")
     else:
         out["verdict"] = "unexpected arm pattern — see per-arm errors"
 
