@@ -4,8 +4,14 @@
 
 .PHONY: test test-fast bench parity-when-available
 
+# Two pytest processes, not one: compiling the TP trainer executable on
+# the CPU backend after ~40 modules of accumulated in-process state
+# segfaults inside jaxlib (three reproductions, three different native
+# crash sites — cache serialize twice, backend_compile once); each tier
+# is green standalone. tests/test_trainer_dp.py documents the analysis.
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -x -q -m "not slow"
+	python -m pytest tests/ -x -q -m slow
 
 # fast tier: everything except the multi-process / TP trainer heavyweights
 # (marked `slow`); keeps the edit loop under a few minutes

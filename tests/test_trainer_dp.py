@@ -40,6 +40,13 @@ def _no_persistent_compile_cache():
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
     compilation_cache.reset_cache()
+    # ... and run 3 then crashed inside backend_compile_and_load itself on
+    # the same program: three crash sites, one common factor — compiling
+    # this module's TP executable AFTER the whole suite's state has
+    # accumulated in-process (each tier passes standalone). Shed the live
+    # executables before the heavy compiles; the durable fix is process
+    # isolation (make test runs the slow tier as its own invocation).
+    jax.clear_caches()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
     compilation_cache.reset_cache()
