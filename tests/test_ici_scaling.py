@@ -10,9 +10,12 @@ are meaningless and are not asserted on).
 import json
 import math
 
+import pytest
+
 from benchmarks import ici_scaling
 
 
+@pytest.mark.slow  # full virtual-mesh DP sweep + TP points (~3 min cold)
 def test_run_covers_dp_sweep_and_tp_points(tmp_path):
     out = tmp_path / "ici.json"
     results = ici_scaling.run(2, tiny=True, reps=1, out_path=str(out))

@@ -100,6 +100,7 @@ def test_pad_batch_to():
     np.testing.assert_array_equal(padded["y"][3:], [2] * 5)
 
 
+@pytest.mark.slow  # compiles the full graft entry (driver re-checks it)
 def test_graft_entry_contract():
     import __graft_entry__ as g
 
