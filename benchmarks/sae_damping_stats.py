@@ -121,12 +121,25 @@ def summarize(cells: dict) -> dict:
             damped, key=lambda a: damped[a]["paired_dwer_greedy"]["mean"])
         d = damped[best_scale]["paired_dwer_greedy"]["mean"]
         u = (und or {}).get("paired_dwer_greedy", {}).get("mean")
-        if u is not None and d < u and d < 0:
+        hits, total = (int(x) for x in
+                       damped[best_scale]["beats_m2_greedy"].split("/"))
+        p = damped[best_scale]["sign_test_p"]
+        # an ordering-rescued claim needs a per-seed MAJORITY, not just a
+        # negative mean (one strong seed can flip a small-n mean); the
+        # quoted sign-test p carries the remaining uncertainty
+        if u is not None and d < u and d < 0 and hits * 2 > total:
             concl.append(
                 f"damping helps AND rescues the ordering at {best_scale}: "
-                f"paired dWER vs m2 moves {u} -> {d} — the tone-corpus "
+                f"paired dWER vs m2 moves {u} -> {d} "
+                f"({hits}/{total} seeds, p={p}) — the tone-corpus "
                 f"guardrail story (docs/GAIN_AB.json) carries to the hard "
                 f"corpus")
+        elif u is not None and d < u and d <= 0:
+            concl.append(
+                f"damping at {best_scale} brings m5 to statistical parity "
+                f"with m2 (paired dWER {u} -> {d}, {hits}/{total} seeds, "
+                f"p={p}) — the collapse is fully prevented but an m5-beats-"
+                f"m2 ordering is not established at this seed count")
         elif u is not None and d < u:
             concl.append(
                 f"damping helps m5 (paired dWER vs m2 {u} -> {d} at "
