@@ -163,7 +163,8 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         labeled_utts: int | None = None,
         sae_listener_lr_scale: float = 1.0,
         reuse_lm: str | None = None,
-        augment: dict | None = None) -> dict:
+        augment: dict | None = None,
+        lm_target_steps: int | None = None) -> dict:
     """``model``: any of the thesis Table 6.5 menu (MODEL_STAGES) — "m1" =
     supervised-only baseline (Tables 6.6-6.10); "m2".."m6" = the aux seed
     chain named by the thesis (TAE / ADV / SAE in the listed order) on the
@@ -262,6 +263,15 @@ def run(index: str, wav_dir: str, work: str, hours: float | None,
         paths["unlabeled_index"] = os.path.join(processed, "train.tsv")
     mdl = mdl or {"encoder_state_size": 256, "mlp_out_size": 128,
                   "decoder_state_size": 256, "feature_dim": 40}
+    if lm_target_steps is not None:
+        # matched-step fusion-LM budget: the reference-scale lm_epochs=5
+        # default trains ~55 steps on the synthetic corpora, which caps the
+        # LM at ~25% probe accuracy and washes out fusion entirely —
+        # docs/LM_SCALE.json + docs/LM_SWEEP_RETRAINED.json measured the
+        # mechanism and the fix. Derive epochs so total steps ~= target.
+        n_chars = os.path.getsize(paths["lm_corpus"])
+        spe = max(int(0.9 * n_chars / lm_chunk) // lm_batch, 1)
+        lm_epochs = max(round(lm_target_steps / spe), 1)
     config = make_config(paths, mdl, epochs, batch, lm_epochs, lm_chunk,
                          lm_batch, seed_epochs=seed_epochs, seed_its=seed_its,
                          stages=stages or ("tae", "sae"),
@@ -336,7 +346,8 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
             seed_its: int = 1, labeled_utts: int | None = None,
             models=("m1", "m5"),
             sae_listener_lr_scale: float = 1.0,
-            augment: dict | None = None) -> dict:
+            augment: dict | None = None,
+            lm_target_steps: int | None = None) -> dict:
     """Head-to-head model-menu runs (MODEL_STAGES; default M1 supervised-only
     vs M5 TAE -> SAE seed + fine-tune) on the SAME corpus, split, labeled
     budget, LM, and seed — the thesis' central semi-supervised claim
@@ -358,7 +369,8 @@ def compare(index: str, wav_dir: str, work: str, hours: float | None,
                          seed_its=seed_its, name=model,
                          labeled_utts=labeled_utts,
                          sae_listener_lr_scale=sae_listener_lr_scale,
-                         reuse_lm=reuse_lm, augment=augment)
+                         reuse_lm=reuse_lm, augment=augment,
+                         lm_target_steps=lm_target_steps)
         reuse_lm = os.path.join(work, "result", model, "char_lm.npz")
     base = models[0]
     for model in models[1:]:
@@ -490,6 +502,11 @@ def main():
                    help="plain-text LM corpus (Risamálheild); default: train transcripts")
     r.add_argument("--epochs", type=int, default=30)
     r.add_argument("--lm-epochs", type=int, default=5)
+    r.add_argument("--lm-target-steps", type=int, default=None,
+                   help="train the fusion LM to ~N total steps (epochs "
+                        "derived from corpus size) instead of --lm-epochs; "
+                        "the reference-scale epoch default undertrains the "
+                        "LM on small corpora (docs/LM_SCALE.json)")
     r.add_argument("--batch", type=int, default=32)
     r.add_argument("--lm-weight", type=float, default=0.1)
     r.add_argument("--seed", type=int, default=0)
@@ -541,6 +558,8 @@ def main():
     c.add_argument("--lm-corpus", default=None)
     c.add_argument("--epochs", type=int, default=30)
     c.add_argument("--lm-epochs", type=int, default=5)
+    c.add_argument("--lm-target-steps", type=int, default=None,
+                   help="see run --lm-target-steps")
     c.add_argument("--batch", type=int, default=32)
     c.add_argument("--lm-weight", type=float, default=0.1)
     c.add_argument("--seed", type=int, default=0)
@@ -663,7 +682,8 @@ def _dispatch(ap, args):
                    lm_weight=args.lm_weight, seed=args.seed, sr=args.sr,
                    model=args.model, seed_epochs=args.seed_epochs,
                    seed_its=args.seed_its, labeled_utts=args.labeled_utts,
-                   sae_listener_lr_scale=args.sae_listener_lr_scale)
+                   sae_listener_lr_scale=args.sae_listener_lr_scale,
+                   lm_target_steps=args.lm_target_steps)
     if args.cmd == "compare":
         if not args.synthetic and not (args.index and args.wav_dir):
             ap.error("compare needs --index/--wav-dir or --synthetic N")
@@ -716,7 +736,8 @@ def _dispatch(ap, args):
                            seed_its=args.seed_its,
                            labeled_utts=args.labeled_utts, models=models,
                            sae_listener_lr_scale=args.sae_listener_lr_scale,
-                           augment=augment)
+                           augment=augment,
+                           lm_target_steps=args.lm_target_steps)
 
         if not sweep:
             return one_compare(seed_list[0], args.work)
